@@ -1,0 +1,252 @@
+"""Adaptive Dormand–Prince 5(4) integrator inside ``jit``.
+
+TPU-native replacement for ``torchdiffeq.odeint(..., method="dopri5")``
+(reference: src/ananke_abm/models/latent_ode/architecture/model.py:194-196,
+ode_components.py:29-50) — adaptive step control runs in a
+``lax.while_loop`` with fixed-shape state; dense output at the requested
+times uses the standard DOPRI5 4th-order continuous extension, so there is
+no data-dependent shape anywhere.
+
+Gradients: the while_loop is not reverse-differentiable by design — use
+``ananke_abm_tpu.ode.adjoint.odeint_adjoint`` (continuous adjoint) or
+``rk4_solve`` (checkpointed backprop) for training.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ananke_abm_tpu.ode.tree import (
+    tree_axpy,
+    tree_buffer_set,
+    tree_error_norm,
+    tree_lincomb,
+    tree_map,
+    tree_stack_buffer,
+    tree_where,
+    tree_zeros_like,
+)
+
+# Dormand–Prince 5(4) tableau.
+_C = (0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0)
+_A = (
+    (),
+    (1 / 5,),
+    (3 / 40, 9 / 40),
+    (44 / 45, -56 / 15, 32 / 9),
+    (19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729),
+    (9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656),
+    (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84),
+)
+# 5th-order solution weights (same as last A row — FSAL).
+_B5 = (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0)
+# Embedded 4th-order weights.
+_B4 = (
+    5179 / 57600,
+    0.0,
+    7571 / 16695,
+    393 / 640,
+    -92097 / 339200,
+    187 / 2100,
+    1 / 40,
+)
+# Dense-output coefficients (Hairer CONTD5).
+_D = (
+    -12715105075.0 / 11282082432.0,
+    0.0,
+    87487479700.0 / 32700410799.0,
+    -10690763975.0 / 1880347072.0,
+    701980252875.0 / 199316789632.0,
+    -1453857185.0 / 822651844.0,
+    69997945.0 / 29380423.0,
+)
+
+_SAFETY = 0.9
+_MIN_FACTOR = 0.2
+_MAX_FACTOR = 10.0
+_ORDER_EXP = -0.2  # err ** (-1/5)
+
+
+class _Interp(NamedTuple):
+    """Continuous extension over one accepted step [t0, t0+h]."""
+
+    t0: jnp.ndarray
+    h: jnp.ndarray
+    r1: object  # y0
+    r2: object  # y1 - y0
+    r3: object  # h*k1 - (y1 - y0)
+    r4: object  # (y1 - y0) - h*k7 - r3
+    r5: object  # h * sum d_i k_i
+
+
+def _dense_eval(interp: _Interp, t):
+    # guard h == 0 (duplicate output times / zero-span integration)
+    safe_h = jnp.where(interp.h == 0, 1.0, interp.h)
+    theta = jnp.clip((t - interp.t0) / safe_h, 0.0, 1.0)
+    om = 1.0 - theta
+
+    def leaf(r1, r2, r3, r4, r5):
+        return r1 + theta * (r2 + om * (r3 + theta * (r4 + om * r5)))
+
+    return tree_map(leaf, interp.r1, interp.r2, interp.r3, interp.r4, interp.r5)
+
+
+def _step(rhs, t0, h, y0, f0, args):
+    """One DOPRI5 step. Returns (y1, f1(FSAL), err_norm_inputs, interp)."""
+    ks = [f0]
+    for i in range(1, 7):
+        y_stage = y0
+        row = _A[i]
+        y_stage = tree_axpy(h * row[0], ks[0], y_stage)
+        for j in range(1, len(row)):
+            if row[j] != 0.0:
+                y_stage = tree_axpy(h * row[j], ks[j], y_stage)
+        ks.append(rhs(t0 + _C[i] * h, y_stage, args))
+
+    incr5 = tree_lincomb([h * b for b in _B5[:6]], ks[:6])
+    y1 = tree_map(jnp.add, y0, incr5)
+    f1 = ks[6]  # FSAL: f(t0 + h, y1)
+
+    # error = h * sum (b5 - b4) k_i
+    e_coeffs = [h * (b5 - b4) for b5, b4 in zip(_B5, _B4)]
+    err = tree_lincomb(e_coeffs, ks)
+
+    dy = tree_map(jnp.subtract, y1, y0)
+    r3 = tree_map(lambda k, d: h * k - d, ks[0], dy)
+    r4 = tree_map(lambda d, k7, r3l: d - h * k7 - r3l, dy, f1, r3)
+    d_nz = [(c, k) for c, k in zip(_D, ks) if c != 0.0]
+    r5 = tree_lincomb([h * c for c, _ in d_nz], [k for _, k in d_nz])
+    interp = _Interp(t0=t0, h=h, r1=y0, r2=dy, r3=r3, r4=r4, r5=r5)
+    return y1, f1, err, interp
+
+
+def _initial_step(rhs, t0, y0, f0, args, rtol, atol, direction=1.0):
+    """Hairer's automatic initial step size (HINIT)."""
+
+    def norm(tree, scale):
+        sq = sum(
+            jnp.sum((l / s) ** 2)
+            for l, s in zip(
+                jax.tree_util.tree_leaves(tree), jax.tree_util.tree_leaves(scale)
+            )
+        )
+        n = sum(l.size for l in jax.tree_util.tree_leaves(tree))
+        return jnp.sqrt(sq / n)
+
+    scale = tree_map(lambda y: atol + rtol * jnp.abs(y), y0)
+    d0 = norm(y0, scale)
+    d1 = norm(f0, scale)
+    h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), 1e-6, 0.01 * d0 / d1)
+
+    y1 = tree_axpy(direction * h0, f0, y0)
+    f1 = rhs(t0 + direction * h0, y1, args)
+    d2 = norm(tree_map(jnp.subtract, f1, f0), scale) / h0
+    dm = jnp.maximum(d1, d2)
+    h1 = jnp.where(
+        dm <= 1e-15,
+        jnp.maximum(1e-6, h0 * 1e-3),
+        (0.01 / dm) ** 0.2,
+    )
+    return jnp.minimum(100.0 * h0, h1)
+
+
+def dopri5_solve(
+    rhs,
+    y0,
+    ts,
+    args=None,
+    *,
+    rtol: float = 1e-5,
+    atol: float = 1e-5,
+    max_steps: int = 16384,
+    first_step=None,
+):
+    """Integrate with adaptive DOPRI5, returning dense output at ``ts``.
+
+    Args:
+        rhs: ``(t, y, args) -> dy/dt`` over pytrees.
+        y0: state at ``ts[0]``.
+        ts: (T,) strictly increasing output times (may be traced values).
+        args: parameter pytree.
+        rtol, atol: tolerances for the scaled RMS error norm.
+        max_steps: hard cap on attempted steps (fixed-shape bound).
+        first_step: optional initial step size; automatic if None.
+
+    Returns:
+        (ys, stats) where ys has leaves of shape ``(T,) + leaf.shape`` and
+        stats is a dict with ``n_steps``, ``n_accepted``, ``ok``.
+    """
+    ts = jnp.asarray(ts)
+    num_out = ts.shape[0]
+    t0 = ts[0]
+    t_end = ts[-1]
+
+    f0 = rhs(t0, y0, args)
+    if first_step is None:
+        h_init = _initial_step(rhs, t0, y0, f0, args, rtol, atol)
+    else:
+        h_init = jnp.asarray(first_step, dtype=ts.dtype)
+    h_init = jnp.minimum(h_init, t_end - t0)
+
+    ys = tree_stack_buffer(y0, num_out)
+    ys = tree_buffer_set(ys, 0, y0)
+
+    def fill_outputs(carry, interp, t_new):
+        """Write every requested output time that falls inside this step."""
+        out_idx, ys = carry
+        eps = 1e-7 * jnp.maximum(jnp.abs(t_new), 1.0)
+
+        def cond(c):
+            i, _ = c
+            return (i < num_out) & (ts[jnp.minimum(i, num_out - 1)] <= t_new + eps)
+
+        def body(c):
+            i, ys = c
+            y_t = _dense_eval(interp, ts[i])
+            return i + 1, tree_buffer_set(ys, i, y_t)
+
+        return jax.lax.while_loop(cond, body, (out_idx, ys))
+
+    State = tuple  # (t, y, f, h, out_idx, ys, n_steps, n_accepted)
+
+    def cond_fn(s: State):
+        t, _, _, _, out_idx, _, n_steps, _ = s
+        return (out_idx < num_out) & (n_steps < max_steps)
+
+    def body_fn(s: State):
+        t, y, f, h, out_idx, ys, n_steps, n_acc = s
+        h = jnp.minimum(h, t_end - t)
+        y1, f1, err, interp = _step(rhs, t, h, y, f, args)
+        err_norm = tree_error_norm(err, y, y1, rtol, atol)
+        # guard NaN: treat as rejection with aggressive shrink
+        bad = ~jnp.isfinite(err_norm)
+        err_norm = jnp.where(bad, 2.0, err_norm)
+        accept = err_norm <= 1.0
+
+        factor = _SAFETY * jnp.power(jnp.maximum(err_norm, 1e-10), _ORDER_EXP)
+        factor = jnp.clip(factor, _MIN_FACTOR, _MAX_FACTOR)
+        factor = jnp.where(bad, _MIN_FACTOR, factor)
+        h_next = h * factor
+
+        t_new = t + h
+        out_idx_new, ys_new = fill_outputs((out_idx, ys), interp, t_new)
+
+        t = jnp.where(accept, t_new, t)
+        y = tree_where(accept, y1, y)
+        f = tree_where(accept, f1, f)
+        out_idx = jnp.where(accept, out_idx_new, out_idx)
+        ys = tree_where(accept, ys_new, ys)
+        return (t, y, f, h_next, out_idx, ys, n_steps + 1, n_acc + accept)
+
+    init = (t0, y0, f0, h_init, jnp.asarray(1), ys, jnp.asarray(0), jnp.asarray(0))
+    t, y, f, h, out_idx, ys, n_steps, n_acc = jax.lax.while_loop(
+        cond_fn, body_fn, init
+    )
+    stats = {
+        "n_steps": n_steps,
+        "n_accepted": n_acc,
+        "ok": out_idx >= num_out,
+    }
+    return ys, stats

@@ -1,0 +1,225 @@
+"""Numeric unit tests for the integrator core (SURVEY.md §4 test plan):
+
+- RK4 order-of-convergence on a nonlinear problem with known solution.
+- DOPRI5 dense output matches analytic solutions to the rtol=1e-5 bar
+  (the reference's solver accuracy setting, mode_sep/config.py:27-29).
+- Adjoint gradients agree with checkpointed backprop-through-RK4 gradients.
+- Euler–Maruyama statistics on a linear SDE (Ornstein–Uhlenbeck moments).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ananke_abm_tpu.ode import (
+    dopri5_solve,
+    euler_maruyama_solve,
+    odeint_adjoint,
+    rk4_solve,
+)
+
+jax.config.update("jax_enable_x64", False)
+
+
+def _logistic_rhs(t, y, args):
+    r = args["r"]
+    return r * y * (1.0 - y)
+
+
+def _logistic_exact(t, y0, r):
+    return 1.0 / (1.0 + (1.0 / y0 - 1.0) * np.exp(-r * t))
+
+
+class TestRK4:
+    def test_convergence_order(self):
+        """Halving the step size should reduce error ~16x (4th order)."""
+        y0 = jnp.array([0.1], dtype=jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+        ts = jnp.array([0.0, 2.0])
+        args = {"r": jnp.asarray(1.7)}
+        exact = _logistic_exact(2.0, 0.1, 1.7)
+
+        errs = []
+        for substeps in (8, 16, 32):
+            ys = rk4_solve(_logistic_rhs, y0, ts, args, substeps=substeps)
+            errs.append(abs(float(ys[-1][0]) - exact))
+        # observed order = log2(err ratio)
+        order1 = np.log2(errs[0] / errs[1])
+        order2 = np.log2(errs[1] / errs[2])
+        assert order1 > 3.5, f"expected ~4th order, got {order1:.2f}"
+        # later ratios may saturate at float32 precision; accept either
+        assert order2 > 3.0 or errs[2] < 1e-6
+
+    def test_multi_output_times(self):
+        y0 = jnp.array([0.25])
+        ts = jnp.linspace(0.0, 3.0, 7)
+        args = {"r": jnp.asarray(0.9)}
+        ys = rk4_solve(_logistic_rhs, y0, ts, args, substeps=32)
+        exact = _logistic_exact(np.asarray(ts), 0.25, 0.9)
+        np.testing.assert_allclose(np.asarray(ys[:, 0]), exact, rtol=1e-5, atol=1e-6)
+
+    def test_pytree_state(self):
+        y0 = {"a": jnp.ones((3,)), "b": jnp.zeros((2, 2))}
+        rhs = lambda t, y, args: {"a": -y["a"], "b": y["b"] * 0.0 + 1.0}
+        ts = jnp.array([0.0, 1.0])
+        ys = rk4_solve(rhs, y0, ts, None, substeps=64)
+        np.testing.assert_allclose(np.asarray(ys["a"][-1]), np.exp(-1.0) * np.ones(3), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(ys["b"][-1]), np.ones((2, 2)), rtol=1e-5)
+
+
+class TestDopri5:
+    def test_accuracy_rtol_1e5(self):
+        """North-star accuracy bar: match analytic trajectory at rtol 1e-5."""
+        y0 = jnp.array([0.1, 0.5, 0.9])
+        ts = jnp.linspace(0.0, 4.0, 9)
+        args = {"r": jnp.asarray(1.3)}
+        ys, stats = dopri5_solve(
+            _logistic_rhs, y0, ts, args, rtol=1e-5, atol=1e-7
+        )
+        assert bool(stats["ok"])
+        for i, y0i in enumerate([0.1, 0.5, 0.9]):
+            exact = _logistic_exact(np.asarray(ts), y0i, 1.3)
+            np.testing.assert_allclose(
+                np.asarray(ys[:, i]), exact, rtol=3e-5, atol=3e-6
+            )
+
+    def test_stiffish_oscillator(self):
+        """Harmonic oscillator: energy drift small, dense output accurate."""
+        omega = 5.0
+
+        def rhs(t, y, args):
+            p, v = y[..., 0], y[..., 1]
+            return jnp.stack([v, -(omega**2) * p], axis=-1)
+
+        y0 = jnp.array([1.0, 0.0])
+        ts = jnp.linspace(0.0, 2.0, 21)
+        ys, stats = dopri5_solve(rhs, y0, ts, None, rtol=1e-6, atol=1e-8)
+        assert bool(stats["ok"])
+        exact_p = np.cos(omega * np.asarray(ts))
+        np.testing.assert_allclose(np.asarray(ys[:, 0]), exact_p, atol=2e-4)
+
+    def test_adaptive_beats_fixed_budget(self):
+        """Adaptivity should place steps where dynamics are fast."""
+
+        def rhs(t, y, args):
+            return -50.0 * (y - jnp.cos(t))
+
+        y0 = jnp.array([0.0])
+        ts = jnp.array([0.0, 3.0])
+        ys, stats = dopri5_solve(rhs, y0, ts, None, rtol=1e-5, atol=1e-7)
+        assert bool(stats["ok"])
+        # exact solution of the linear ODE
+        lam = 50.0
+        t = 3.0
+        exact = (
+            lam**2 / (lam**2 + 1) * np.cos(t)
+            + lam / (lam**2 + 1) * np.sin(t)
+            - lam**2 / (lam**2 + 1) * np.exp(-lam * t)
+        )
+        assert abs(float(ys[-1, 0]) - exact) < 1e-4
+
+
+class TestAdjoint:
+    def test_gradient_agreement_with_backprop(self):
+        """Adjoint dopri5 grads vs checkpointed-backprop RK4 grads."""
+
+        def rhs(t, y, args):
+            W, b = args["W"], args["b"]
+            return jnp.tanh(y @ W + b) - 0.1 * y
+
+        key = jax.random.PRNGKey(0)
+        k1, k2, k3 = jax.random.split(key, 3)
+        D = 4
+        y0 = jax.random.normal(k1, (2, D)) * 0.3
+        args = {
+            "W": jax.random.normal(k2, (D, D)) * 0.4,
+            "b": jax.random.normal(k3, (D,)) * 0.1,
+        }
+        ts = jnp.linspace(0.0, 1.0, 5)
+
+        def loss_adjoint(y0, args):
+            ys = odeint_adjoint(rhs, y0, ts, args, rtol=1e-7, atol=1e-9)
+            return jnp.sum(ys[-1] ** 2) + 0.5 * jnp.sum(ys[2] ** 2)
+
+        def loss_rk4(y0, args):
+            ys = rk4_solve(rhs, y0, ts, args, substeps=64)
+            return jnp.sum(ys[-1] ** 2) + 0.5 * jnp.sum(ys[2] ** 2)
+
+        ga = jax.grad(loss_adjoint, argnums=(0, 1))(y0, args)
+        gb = jax.grad(loss_rk4, argnums=(0, 1))(y0, args)
+
+        np.testing.assert_allclose(np.asarray(ga[0]), np.asarray(gb[0]), rtol=2e-3, atol=2e-5)
+        for k in args:
+            np.testing.assert_allclose(
+                np.asarray(ga[1][k]), np.asarray(gb[1][k]), rtol=2e-3, atol=2e-5
+            )
+
+    def test_jit_and_vmap_compose(self):
+        def rhs(t, y, args):
+            return -args["k"] * y
+
+        ts = jnp.array([0.0, 1.0])
+
+        @jax.jit
+        def f(y0, k):
+            ys = odeint_adjoint(rhs, y0, ts, {"k": k}, rtol=1e-6, atol=1e-8)
+            return ys[-1]
+
+        y0 = jnp.ones((3,))
+        out = f(y0, jnp.asarray(2.0))
+        np.testing.assert_allclose(np.asarray(out), np.exp(-2.0), rtol=1e-5)
+
+        g = jax.grad(lambda k: jnp.sum(f(y0, k)))(jnp.asarray(2.0))
+        # d/dk [3*exp(-k)] = -3 exp(-k)
+        np.testing.assert_allclose(float(g), -3 * np.exp(-2.0), rtol=1e-3)
+
+
+class TestSDE:
+    def test_deterministic_limit(self):
+        """Zero diffusion must reduce to Euler ODE."""
+        drift = lambda t, y, args: -y
+        diff = lambda t, y, args: jnp.zeros_like(y)
+        y0 = jnp.ones((4,))
+        ts = jnp.linspace(0.0, 1.0, 5)
+        ys = euler_maruyama_solve(
+            drift, diff, y0, ts, jax.random.PRNGKey(0), substeps=100
+        )
+        np.testing.assert_allclose(
+            np.asarray(ys[-1]), np.exp(-1.0) * np.ones(4), rtol=2e-3
+        )
+
+    def test_ou_stationary_variance(self):
+        """OU process dy = -theta y dt + sigma dW: Var -> sigma^2/(2 theta)."""
+        theta, sigma = 2.0, 0.5
+        drift = lambda t, y, args: -theta * y
+        diff = lambda t, y, args: jnp.full_like(y, sigma)
+        n = 4096
+        y0 = jnp.zeros((n,))
+        ts = jnp.linspace(0.0, 4.0, 9)
+        ys = euler_maruyama_solve(
+            drift, diff, y0, ts, jax.random.PRNGKey(42), substeps=50
+        )
+        var = float(jnp.var(ys[-1]))
+        expected = sigma**2 / (2 * theta)
+        assert abs(var - expected) / expected < 0.15
+
+    def test_reproducible(self):
+        drift = lambda t, y, args: -y
+        diff = lambda t, y, args: jnp.ones_like(y) * 0.3
+        y0 = jnp.ones((8,))
+        ts = jnp.linspace(0.0, 1.0, 3)
+        a = euler_maruyama_solve(drift, diff, y0, ts, jax.random.PRNGKey(7), substeps=10)
+        b = euler_maruyama_solve(drift, diff, y0, ts, jax.random.PRNGKey(7), substeps=10)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_gradient_flows(self):
+        def loss(scale):
+            drift = lambda t, y, args: -y * args
+            diff = lambda t, y, args: jnp.ones_like(y) * 0.1
+            ys = euler_maruyama_solve(
+                drift, diff, jnp.ones((4,)), jnp.array([0.0, 1.0]),
+                jax.random.PRNGKey(0), args=scale, substeps=20,
+            )
+            return jnp.sum(ys[-1] ** 2)
+
+        g = jax.grad(loss)(jnp.asarray(1.0))
+        assert np.isfinite(float(g)) and float(g) != 0.0
