@@ -1,0 +1,50 @@
+"""Population metrics over (N, T) purpose grids — vectorized numpy.
+
+Same quantities as the reference metrics
+(src/ananke_abm/models/gen_schedule/evals/metrics.py:4-59), with the
+per-element Python loops replaced by bincount counting:
+- minutes_share (P,), tod_marginals (T, P)
+- joint bigram matrix (P, P) and row-conditional bigram
+- L1 distance between matrices
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def minutes_share(Y: np.ndarray, P: int) -> np.ndarray:
+    """Fraction of all person-minutes spent in each purpose. (P,)"""
+    counts = np.bincount(Y.ravel(), minlength=P).astype(np.float64)
+    return counts / Y.size
+
+
+def tod_marginals(Y: np.ndarray, P: int) -> np.ndarray:
+    """m[t, p] = Pr(y_t == p) across persons. (T, P)"""
+    N, T = Y.shape
+    flat = (np.arange(T)[None, :] * P + Y).ravel()
+    counts = np.bincount(flat, minlength=T * P).reshape(T, P)
+    return counts.astype(np.float64) / N
+
+
+def bigram_matrix(Y: np.ndarray, P: int) -> np.ndarray:
+    """Joint distribution of adjacent pairs, normalized over all pairs. (P,P)"""
+    a = Y[:, :-1].ravel()
+    b = Y[:, 1:].ravel()
+    counts = np.bincount(a * P + b, minlength=P * P).reshape(P, P)
+    M = counts.astype(np.float64)
+    z = M.sum()
+    return M / z if z > 0 else M
+
+
+def bigram_matrix_rowcond(Y: np.ndarray, P: int) -> np.ndarray:
+    """Row-conditional transition matrix P(y_{t+1}=j | y_t=i). (P,P)"""
+    a = Y[:, :-1].ravel()
+    b = Y[:, 1:].ravel()
+    counts = np.bincount(a * P + b, minlength=P * P).reshape(P, P)
+    B = counts.astype(np.float64)
+    rows = B.sum(axis=1, keepdims=True)
+    return np.divide(B, rows, out=np.zeros_like(B), where=rows > 0)
+
+
+def l1_distance(A: np.ndarray, B: np.ndarray) -> float:
+    return float(np.abs(A - B).sum())

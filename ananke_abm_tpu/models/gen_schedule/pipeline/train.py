@@ -1,0 +1,331 @@
+"""Schedule-VAE training.
+
+Behavior parity with the reference train pipeline
+(src/ananke_abm/models/gen_schedule/pipeline/train.py:34-290): composite
+loss CE + beta*KL (linear beta warmup over ``beta_warm_frac`` of epochs)
++ lambda_tv * total-variation + lambda_home * start/end-home loss
+[+ lambda_tod/lambda_presence PDS calibration terms for auto_pds]; AdamW
+with global-norm grad clip; best-by-val checkpoint on >0.003 improvement;
+early stop after ``patience`` stale epochs once past ``min_epochs``;
+{last, best_val} checkpoints embedding meta+cfg; per-epoch CSV log.
+
+TPU-first loop design: the whole (N, T) grid lives on device; an epoch is
+ONE jitted program — ``lax.scan`` over batches gathering shuffled rows by
+index, so there is no per-batch host->device transfer (the reference moves
+every batch across PCIe, train.py:130-133). The tail batch is padded with
+wrapped indices and masked out of every loss mean.
+"""
+from __future__ import annotations
+
+import functools
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ananke_abm_tpu.losses import (
+    cross_entropy_masked,
+    kl_gaussian,
+    presence_rate_loss,
+    start_end_home_loss,
+    time_of_day_marginal_loss,
+    time_total_variation,
+)
+from ananke_abm_tpu.models.gen_schedule.factory import build_model
+from ananke_abm_tpu.utils import (
+    ensure_dir,
+    load_checkpoint,
+    load_config,
+    save_checkpoint,
+    set_seed,
+)
+
+IMPROVEMENT_THRESHOLD = 0.003  # reference train.py:250
+
+
+def _resolve_splits_path(cfg: dict) -> str:
+    data = cfg["data"]
+    p = data.get("splits") or data.get("split_pt") or ""
+    if p.endswith(".pt"):  # reference-style config pointing at torch splits
+        p = p[: -len(".pt")] + ".npz"
+        if not p.endswith("_splits.npz"):
+            pass
+    if not p:
+        p = data["npz"].replace(".npz", "_splits.npz")
+    return p
+
+
+def make_loss_fn(model, home_idx, lambdas, pds_arrays):
+    """Build the composite masked loss. pds_arrays is None or a dict with
+    pds_features (P,T,D), m_tod (P,T), presence (P,)."""
+
+    def loss_fn(params, batch_y, mask, rng, beta, deterministic):
+        pds_features = (
+            pds_arrays["pds_features"] if pds_arrays is not None else None
+        )
+        logits, mu, logvar = model.apply(
+            {"params": params},
+            batch_y,
+            rng,
+            pds_features=pds_features,
+            deterministic=deterministic,
+            rngs={"dropout": jax.random.fold_in(rng, 1)},
+        )
+        ce = cross_entropy_masked(logits, batch_y, mask)
+        kl = kl_gaussian(mu, logvar, mask)
+        tv = time_total_variation(logits, mask)
+        home = start_end_home_loss(logits, home_idx, mask)
+        loss = (
+            ce
+            + beta * kl
+            + lambdas["tv"] * tv
+            + lambdas["home"] * home
+        )
+        comps = {"ce": ce, "kl": kl, "tv": tv, "home": home}
+        if pds_arrays is not None:
+            tod = time_of_day_marginal_loss(logits, pds_arrays["m_tod"], mask)
+            pres = presence_rate_loss(logits, pds_arrays["presence"], mask)
+            loss = loss + lambdas["tod"] * tod + lambdas["presence"] * pres
+            comps["tod"] = tod
+            comps["presence"] = pres
+        else:
+            comps["tod"] = jnp.zeros(())
+            comps["presence"] = jnp.zeros(())
+        comps["loss"] = loss
+        return loss, comps
+
+    return loss_fn
+
+
+def make_epoch_fns(model, optimizer, home_idx, lambdas, pds_arrays, batch_size):
+    loss_fn = make_loss_fn(model, home_idx, lambdas, pds_arrays)
+
+    @functools.partial(jax.jit, static_argnames=("n_batches",))
+    def train_epoch(params, opt_state, Y, key, beta, n_batches):
+        """One epoch: shuffle, scan over batches, sgd updates on device."""
+        n = Y.shape[0]
+        perm = jax.random.permutation(jax.random.fold_in(key, 0), n)
+        pad = n_batches * batch_size - n
+        idx = jnp.concatenate([perm, perm[: pad]]) if pad else perm
+        mask_full = jnp.concatenate(
+            [jnp.ones((n,), jnp.float32), jnp.zeros((pad,), jnp.float32)]
+        ) if pad else jnp.ones((n,), jnp.float32)
+
+        def step(carry, i):
+            params, opt_state = carry
+            bidx = jax.lax.dynamic_slice_in_dim(idx, i * batch_size, batch_size)
+            bmask = jax.lax.dynamic_slice_in_dim(
+                mask_full, i * batch_size, batch_size
+            )
+            batch = Y[bidx]
+            rng = jax.random.fold_in(key, i + 1)
+            grads, comps = jax.grad(loss_fn, has_aux=True)(
+                params, batch, bmask, rng, beta, False
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), comps
+
+        (params, opt_state), comps = jax.lax.scan(
+            step, (params, opt_state), jnp.arange(n_batches)
+        )
+        means = jax.tree_util.tree_map(jnp.mean, comps)
+        return params, opt_state, means
+
+    @functools.partial(jax.jit, static_argnames=("n_batches",))
+    def eval_epoch(params, Y, key, beta, n_batches):
+        n = Y.shape[0]
+        pad = n_batches * batch_size - n
+        idx = jnp.concatenate([jnp.arange(n), jnp.zeros((pad,), jnp.int32)]) if pad else jnp.arange(n)
+        mask_full = jnp.concatenate(
+            [jnp.ones((n,), jnp.float32), jnp.zeros((pad,), jnp.float32)]
+        ) if pad else jnp.ones((n,), jnp.float32)
+
+        def step(_, i):
+            bidx = jax.lax.dynamic_slice_in_dim(idx, i * batch_size, batch_size)
+            bmask = jax.lax.dynamic_slice_in_dim(
+                mask_full, i * batch_size, batch_size
+            )
+            rng = jax.random.fold_in(key, i + 1)
+            _, comps = loss_fn(params, Y[bidx], bmask, rng, beta, True)
+            # weight by valid count so epoch mean is exact over rows
+            w = jnp.sum(bmask)
+            return None, (comps, w)
+
+        _, (comps, w) = jax.lax.scan(step, None, jnp.arange(n_batches))
+        total_w = jnp.maximum(jnp.sum(w), 1.0)
+        means = jax.tree_util.tree_map(
+            lambda c: jnp.sum(c * w) / total_w, comps
+        )
+        return means
+
+    return train_epoch, eval_epoch
+
+
+def train(config, output_dir: str, seed: int = 123, resume: bool = False):
+    """Train a schedule VAE. ``config`` is a path or a dict."""
+    cfg = load_config(config) if isinstance(config, str) else config
+    base_key = set_seed(seed)
+
+    outdir = ensure_dir(output_dir)
+    ensure_dir(os.path.join(outdir, "checkpoints"))
+
+    data_npz = cfg["data"]["npz"]
+    with open(data_npz.replace(".npz", "_meta.json"), "r", encoding="utf-8") as f:
+        meta = json.load(f)
+    purpose_map = meta["purpose_map"]
+    home_idx = purpose_map.get("Home")
+    if home_idx is None:
+        raise ValueError("Purpose map must contain 'Home'.")
+
+    t_start = time.time()
+
+    Y_all = np.load(data_npz)["Y"].astype(np.int32)
+    splits = np.load(_resolve_splits_path(cfg))
+    Y_train = jnp.asarray(Y_all[splits["train_idx"]])
+    Y_val = jnp.asarray(Y_all[splits["val_idx"]])
+
+    model, pds_features = build_model(cfg, meta)
+
+    tr = cfg["train"]
+    batch_size = int(min(tr["batch_size"], max(1, Y_train.shape[0])))
+    lambdas = {
+        "tv": float(tr.get("lambda_tv", 0.0)),
+        "home": float(tr.get("lambda_home", 0.1)),
+        "tod": float(tr.get("lambda_tod", 0.0)),
+        "presence": float(tr.get("lambda_presence", 0.0)),
+    }
+
+    pds_arrays = None
+    if cfg["model"]["method"] == "auto_pds":
+        pds_npz = np.load(cfg["model"]["pds_path"])
+        pds_arrays = {
+            "pds_features": jnp.asarray(pds_features),
+            "m_tod": jnp.asarray(pds_npz["m_tod"], dtype=jnp.float32),
+            "presence": jnp.asarray(
+                pds_npz["presence_rate"], dtype=jnp.float32
+            ),
+        }
+
+    optimizer = optax.chain(
+        optax.clip_by_global_norm(float(tr.get("grad_clip", 5.0))),
+        optax.adamw(
+            float(tr["lr"]), weight_decay=float(tr.get("weight_decay", 0.0))
+        ),
+    )
+
+    # init
+    init_rng = jax.random.fold_in(base_key, 0)
+    dummy = jnp.zeros((2, meta["L"]), jnp.int32)
+    variables = model.init(
+        {"params": init_rng, "dropout": init_rng},
+        dummy,
+        init_rng,
+        pds_features=(
+            pds_arrays["pds_features"] if pds_arrays is not None else None
+        ),
+        deterministic=True,
+    )
+    params = variables["params"]
+    opt_state = optimizer.init(params)
+    start_epoch = 1
+
+    last_ckpt = os.path.join(outdir, "checkpoints", "last.ckpt")
+    best_ckpt = os.path.join(outdir, "checkpoints", "best_val.ckpt")
+    if resume and os.path.exists(last_ckpt):
+        obj = load_checkpoint(last_ckpt)
+        params = jax.tree_util.tree_map(jnp.asarray, obj["params"])
+        if "opt_state" in obj:
+            opt_state = jax.tree_util.tree_map(
+                lambda ref, saved: jnp.asarray(saved).astype(ref.dtype)
+                if hasattr(ref, "dtype")
+                else saved,
+                opt_state,
+                obj["opt_state"],
+            )
+        start_epoch = int(obj.get("epoch", 0)) + 1
+
+    train_epoch, eval_epoch = make_epoch_fns(
+        model, optimizer, home_idx, lambdas, pds_arrays, batch_size
+    )
+
+    num_epochs = int(tr["epochs"])
+    min_epochs = int(tr.get("min_epochs", num_epochs))
+    patience = int(tr.get("patience", 0))
+    warmup_epochs = max(1, int(num_epochs * float(tr.get("beta_warm_frac", 0.3))))
+    beta_target = float(tr.get("beta_target", 1.0))
+
+    n_tb = -(-Y_train.shape[0] // batch_size)
+    n_vb = max(1, -(-Y_val.shape[0] // batch_size))
+
+    best_val_loss = np.inf
+    wait = 0
+    logs = []
+    for epoch in range(start_epoch, num_epochs + 1):
+        beta = beta_target * min(1.0, epoch / warmup_epochs)
+        ekey = jax.random.fold_in(base_key, epoch)
+        params, opt_state, tr_m = train_epoch(
+            params, opt_state, Y_train, ekey, beta, n_tb
+        )
+        if Y_val.shape[0] > 0:
+            va_m = eval_epoch(params, Y_val, ekey, beta, n_vb)
+        else:
+            va_m = tr_m
+        tr_m = jax.device_get(tr_m)
+        va_m = jax.device_get(va_m)
+
+        ckpt_obj = {
+            "params": params,
+            "opt_state": opt_state,
+            "meta": meta,
+            "cfg": cfg,
+            "epoch": epoch,
+        }
+        save_checkpoint(ckpt_obj, last_ckpt)
+
+        logs.append(
+            {
+                "epoch": epoch,
+                "beta": beta,
+                **{f"train_{k}": float(v) for k, v in tr_m.items()},
+                **{f"val_{k}": float(v) for k, v in va_m.items()},
+            }
+        )
+
+        # reference semantics (train.py:249-253): past min_epochs, stop once
+        # `wait` reaches `patience` (patience=0 stops right at min_epochs)
+        wait += 1
+        if epoch >= min_epochs and wait >= patience:
+            print(f"No improvement for {patience} epochs, stopping.")
+            break
+        improvement = best_val_loss - float(va_m["loss"])
+        if improvement > IMPROVEMENT_THRESHOLD:
+            best_val_loss = float(va_m["loss"])
+            save_checkpoint(ckpt_obj, best_ckpt)
+            wait = 0
+
+    elapsed = time.time() - t_start
+    print(f"Training completed in {elapsed:.2f} seconds.")
+
+    if not os.path.exists(best_ckpt):
+        save_checkpoint(
+            {
+                "params": params,
+                "opt_state": opt_state,
+                "meta": meta,
+                "cfg": cfg,
+                "epoch": num_epochs,
+            },
+            best_ckpt,
+        )
+
+    import pandas as pd
+
+    pd.DataFrame(logs).to_csv(
+        os.path.join(outdir, "training_log.csv"), index=False
+    )
+    return {"best_val_loss": best_val_loss, "epochs_ran": len(logs), "seconds": elapsed}
