@@ -1,0 +1,171 @@
+"""GAT-ODE training on synthetic agent populations.
+
+One jitted train step: encode zones -> integrate agent dynamics ->
+decode -> masked CE vs observed zone grids, AdamW, all device-resident.
+Supports single-chip jit and the sharded multi-chip step in
+ananke_abm_tpu/parallel/sharded.py.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ananke_abm_tpu.data_generator.agent_trajectories import (
+    generate_agent_population,
+)
+from ananke_abm_tpu.models.gnn_embed.model import GATODE
+from ananke_abm_tpu.utils import ensure_dir, save_checkpoint
+
+
+@dataclasses.dataclass
+class GATODEConfig:
+    zone_dim: int = 64
+    agent_dim: int = 32
+    context_dim: int = 32
+    hidden_dim: int = 128
+    gat_heads: int = 4
+    gat_layers: int = 2
+    num_blocks: int = 2
+    method: str = "rk4"
+    substeps: int = 2
+    rtol: float = 1e-5
+    atol: float = 1e-5
+    lr: float = 1e-3
+    weight_decay: float = 1e-4
+    grad_clip: float = 1.0
+    batch_size: int = 4096
+    epochs: int = 10
+
+
+def build_model(config: GATODEConfig, num_zone_features: int, person_feat_dim: int):
+    return GATODE(
+        num_zone_features=num_zone_features,
+        person_feat_dim=person_feat_dim,
+        zone_dim=config.zone_dim,
+        agent_dim=config.agent_dim,
+        context_dim=config.context_dim,
+        hidden_dim=config.hidden_dim,
+        gat_heads=config.gat_heads,
+        gat_layers=config.gat_layers,
+        num_blocks=config.num_blocks,
+    )
+
+
+def init_params(model, config, data, batch_size, key):
+    return model.init(
+        {"params": key},
+        jnp.asarray(data["zone_features"]),
+        jnp.asarray(data["adj"]),
+        jnp.asarray(data["person_feats"][:batch_size]),
+        jnp.asarray(data["home_zone"][:batch_size]),
+        jnp.asarray(data["times"]),
+        ode_method=config.method,
+        substeps=config.substeps,
+    )["params"]
+
+
+def make_step_fns(model, optimizer, config, static):
+    zone_feats, adj, times = static
+
+    def loss_fn(params, pf, hz, targets):
+        logits, _ = model.apply(
+            {"params": params}, zone_feats, adj, pf, hz, times,
+            ode_method=config.method, substeps=config.substeps,
+            rtol=config.rtol, atol=config.atol,
+        )
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+        acc = jnp.mean(jnp.argmax(logits, -1) == targets)
+        return jnp.mean(nll), acc
+
+    @jax.jit
+    def train_step(params, opt_state, pf, hz, targets):
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, pf, hz, targets
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, acc
+
+    return train_step, jax.jit(loss_fn)
+
+
+def train(
+    outdir: str,
+    n_agents: int = 8192,
+    num_times: int = 48,
+    config: GATODEConfig | None = None,
+    seed: int = 0,
+    num_zones: int | None = None,
+):
+    config = config or GATODEConfig()
+    ensure_dir(outdir)
+    data = generate_agent_population(
+        n_agents, num_times=num_times, seed=seed, num_zones=num_zones
+    )
+
+    model = build_model(
+        config, data["zone_features"].shape[-1], data["person_feats"].shape[-1]
+    )
+    key = jax.random.PRNGKey(seed)
+    bsz = min(config.batch_size, n_agents)
+    params = init_params(model, config, data, bsz, key)
+    optimizer = optax.chain(
+        optax.clip_by_global_norm(config.grad_clip),
+        optax.adamw(config.lr, weight_decay=config.weight_decay),
+    )
+    opt_state = optimizer.init(params)
+
+    static = (
+        jnp.asarray(data["zone_features"]),
+        jnp.asarray(data["adj"]),
+        jnp.asarray(data["times"]),
+    )
+    train_step, _ = make_step_fns(model, optimizer, config, static)
+
+    pf = jnp.asarray(data["person_feats"])
+    hz = jnp.asarray(data["home_zone"])
+    tg = jnp.asarray(data["zone_ids"])
+    n_batches = max(1, n_agents // bsz)
+
+    t0 = time.time()
+    hist = []
+    for epoch in range(1, config.epochs + 1):
+        perm = np.random.default_rng(seed + epoch).permutation(n_agents)
+        ep_loss, ep_acc = 0.0, 0.0
+        for b in range(n_batches):
+            rows = jnp.asarray(perm[b * bsz : (b + 1) * bsz])
+            params, opt_state, loss, acc = train_step(
+                params, opt_state, pf[rows], hz[rows], tg[rows]
+            )
+            ep_loss += float(loss)
+            ep_acc += float(acc)
+        hist.append(
+            {"epoch": epoch, "loss": ep_loss / n_batches, "acc": ep_acc / n_batches}
+        )
+    elapsed = time.time() - t0
+
+    ckpt = os.path.join(outdir, "gatode_best.ckpt")
+    save_checkpoint(
+        {
+            "params": params,
+            "config": dataclasses.asdict(config),
+            "num_zones": int(data["zone_features"].shape[0]),
+            "num_times": num_times,
+            "history": hist,
+        },
+        ckpt,
+    )
+    return {
+        "final_loss": hist[-1]["loss"],
+        "final_acc": hist[-1]["acc"],
+        "seconds": elapsed,
+        "ckpt": ckpt,
+    }

@@ -1,0 +1,111 @@
+"""Sharded GAT-ODE training/rollout over the (agents x zones) mesh.
+
+Global-semantics code + sharding annotations; GSPMD inserts the
+collectives. Layout (BASELINE.json configs 4-5):
+- agent arrays (person feats, home ids, targets, agent states): leading
+  dim sharded over ``agents``;
+- zone embeddings: sharded over ``zones`` (the model axis);
+- the (N, Z) attention-score and logit matrices: sharded over both —
+  each device holds its (N/dp, Z/mp) tile; softmax/CE reductions over Z
+  become psums on the zone axis, inserted by the compiler from the
+  with_sharding_constraint annotations;
+- parameters: replicated; gradient reduction is the automatic psum over
+  the agent axis.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ananke_abm_tpu.parallel.mesh import AGENT_AXIS, ZONE_AXIS
+
+
+def _constraint(mesh, x, *axes):
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(*axes))
+    )
+
+
+def make_sharded_train_step(model, optimizer, config, mesh, static):
+    """Returns a jitted step(params, opt_state, pf, hz, targets) whose agent
+    inputs shard over the agent axis and whose (N, Z) intermediates tile
+    over the full mesh."""
+    zone_feats, adj, times = static
+
+    def loss_fn(params, pf, hz, targets):
+        zone_emb = model.apply(
+            {"params": params}, zone_feats, adj, method=model.encode_zones
+        )
+        zone_emb = _constraint(mesh, zone_emb, ZONE_AXIS)
+
+        x0, h = model.apply(
+            {"params": params}, pf, hz, zone_emb,
+            method=model.initial_state,
+        )
+        x0 = _constraint(mesh, x0, AGENT_AXIS)
+
+        from ananke_abm_tpu.ode import odeint
+
+        def rhs(t, x, args):
+            x = _constraint(mesh, x, AGENT_AXIS)
+            return model.apply(
+                {"params": params}, t, x, h, zone_emb, method=model.rhs
+            )
+
+        xs = odeint(
+            rhs, x0, times, method=config.method, substeps=config.substeps,
+            rtol=config.rtol, atol=config.atol,
+        )
+        xs = jnp.swapaxes(xs, 0, 1)  # (N, T, Da)
+        logits = model.apply(
+            {"params": params}, xs, zone_emb, method=model.decode
+        )
+        logits = _constraint(mesh, logits, AGENT_AXIS, None, ZONE_AXIS)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+        acc = jnp.mean(jnp.argmax(logits, -1) == targets)
+        return jnp.mean(nll), acc
+
+    rep = NamedSharding(mesh, P())
+    agent_sh = NamedSharding(mesh, P(AGENT_AXIS))
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(rep, rep, agent_sh, agent_sh, agent_sh),
+        out_shardings=(rep, rep, rep, rep),
+    )
+    def train_step(params, opt_state, pf, hz, targets):
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, pf, hz, targets
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, acc
+
+    return train_step
+
+
+def make_sharded_rollout(model, config, mesh, static):
+    """Forward-only integrate-then-decode, agent-sharded (inference path)."""
+    zone_feats, adj, times = static
+    rep = NamedSharding(mesh, P())
+    agent_sh = NamedSharding(mesh, P(AGENT_AXIS))
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(rep, agent_sh, agent_sh),
+        out_shardings=agent_sh,
+    )
+    def rollout(params, pf, hz):
+        logits, _ = model.apply(
+            {"params": params}, zone_feats, adj, pf, hz, times,
+            ode_method=config.method, substeps=config.substeps,
+            rtol=config.rtol, atol=config.atol,
+        )
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    return rollout

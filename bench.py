@@ -1,0 +1,182 @@
+"""Benchmark: flagship GAT-ODE rollout throughput (agent-trajectories/sec).
+
+BASELINE.json metric: "agent-trajectories/sec/chip at VISTA scale". The
+reference publishes no numbers (BASELINE.md), so the baseline denominator
+is self-measured: the same integrate-then-decode architecture implemented
+reference-style in torch on CPU (hand-rolled RK4 loop, the way torchdiffeq
+executes it), measured once and cached in ``BASELINE_SELF.json``.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BASELINE_CACHE = os.path.join(REPO, "BASELINE_SELF.json")
+
+# Workload: BASELINE config 2 — synthetic population, fixed-step RK4
+# forward-only, day horizon. Model dims = production defaults.
+N_AGENTS = 16384
+NUM_TIMES = 48  # 30-min output grid over 24h
+SUBSTEPS = 2  # RK4 substeps per interval -> 96 RK4 steps/day
+NUM_ZONES = 64
+BASELINE_AGENTS = 128  # torch-CPU baseline sample size (extrapolated)
+
+
+def measure_tpu() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from ananke_abm_tpu.data_generator.agent_trajectories import (
+        generate_agent_population,
+    )
+    from ananke_abm_tpu.models.gnn_embed.train import (
+        GATODEConfig,
+        build_model,
+        init_params,
+    )
+
+    config = GATODEConfig(substeps=SUBSTEPS)
+    data = generate_agent_population(
+        N_AGENTS, num_times=NUM_TIMES, seed=0, num_zones=NUM_ZONES
+    )
+    model = build_model(config, 7, 8)
+    params = init_params(model, config, data, min(N_AGENTS, 1024), jax.random.PRNGKey(0))
+
+    zone_feats = jnp.asarray(data["zone_features"])
+    adj = jnp.asarray(data["adj"])
+    times = jnp.asarray(data["times"])
+    pf = jnp.asarray(data["person_feats"])
+    hz = jnp.asarray(data["home_zone"])
+
+    @jax.jit
+    def rollout(params, pf, hz):
+        logits, _ = model.apply(
+            {"params": params}, zone_feats, adj, pf, hz, times,
+            ode_method="rk4", substeps=SUBSTEPS,
+        )
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    rollout(params, pf, hz).block_until_ready()  # compile
+    n_iter = 10
+    t0 = time.time()
+    for _ in range(n_iter):
+        rollout(params, pf, hz).block_until_ready()
+    dt = (time.time() - t0) / n_iter
+    return N_AGENTS / dt
+
+
+def measure_torch_cpu_baseline() -> float:
+    """Reference-style torch CPU implementation of the same rollout."""
+    import torch
+
+    torch.manual_seed(0)
+    Dz, Da, H, Z, F, P = 64, 32, 128, NUM_ZONES, 7, 8
+    T, S = NUM_TIMES, SUBSTEPS
+    N = BASELINE_AGENTS
+
+    from ananke_abm_tpu.data_generator.agent_trajectories import (
+        generate_agent_population,
+    )
+
+    data = generate_agent_population(N, num_times=T, seed=0, num_zones=Z)
+    zf = torch.tensor(data["zone_features"])
+    adj = torch.tensor(data["adj"])
+    pfeat = torch.tensor(data["person_feats"])
+    home = torch.tensor(data["home_zone"], dtype=torch.long)
+    times = torch.tensor(data["times"])
+
+    lin = lambda i, o: torch.nn.Linear(i, o)
+    gat_w = lin(F, Dz)
+    ctx_enc = torch.nn.Sequential(lin(P, H), torch.nn.ReLU(), lin(H, 32))
+    q_proj = lin(Da, Dz)
+    drift = torch.nn.Sequential(
+        lin(Da + Dz + 32 + 2, H), torch.nn.Tanh(), lin(H, H),
+        torch.nn.Tanh(), lin(H, Da),
+    )
+    init_proj = lin(Dz + 32, Da)
+    dec_proj = lin(Da, Dz)
+
+    with torch.no_grad():
+        # zone embeddings: masked mean aggregation stand-in for the GAT
+        ze = gat_w(zf)
+        ze = (adj @ ze) / adj.sum(1, keepdim=True)
+
+        h = ctx_enc(pfeat)
+        x = init_proj(torch.cat([ze[home], h], -1))
+
+        def rhs(t, x):
+            q = q_proj(x)
+            attn = torch.softmax(q @ ze.T / Dz**0.5, -1)
+            ctx = attn @ ze
+            tt = torch.tensor(t * 2 * torch.pi / 24)
+            tf = torch.stack([torch.sin(tt), torch.cos(tt)]).expand(
+                x.shape[0], 2
+            )
+            return drift(torch.cat([x, ctx, h, tf], -1))
+
+        t0 = time.time()
+        traj = [x]
+        for i in range(T - 1):
+            ta, tb = float(times[i]), float(times[i + 1])
+            dt = (tb - ta) / S
+            for s in range(S):
+                t = ta + s * dt
+                k1 = rhs(t, x)
+                k2 = rhs(t + dt / 2, x + dt / 2 * k1)
+                k3 = rhs(t + dt / 2, x + dt / 2 * k2)
+                k4 = rhs(t + dt, x + dt * k3)
+                x = x + dt / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
+            traj.append(x)
+        xs = torch.stack(traj, 1)
+        _ = torch.argmax(dec_proj(xs) @ ze.T, -1)
+        dt_total = time.time() - t0
+    return N / dt_total
+
+
+def get_baseline() -> float:
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)["torch_cpu_agents_per_s"]
+    val = measure_torch_cpu_baseline()
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump(
+            {
+                "torch_cpu_agents_per_s": val,
+                "workload": {
+                    "n_agents_sampled": BASELINE_AGENTS,
+                    "num_times": NUM_TIMES,
+                    "substeps": SUBSTEPS,
+                    "num_zones": NUM_ZONES,
+                },
+            },
+            f,
+            indent=2,
+        )
+    return val
+
+
+def main():
+    tpu = measure_tpu()
+    baseline = get_baseline()
+    print(
+        json.dumps(
+            {
+                "metric": "agent-trajectories/sec/chip (GAT-ODE day rollout, RK4 x96 steps, 64 zones)",
+                "value": round(tpu, 1),
+                "unit": "agents/s",
+                "vs_baseline": round(tpu / baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

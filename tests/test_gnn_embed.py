@@ -1,0 +1,152 @@
+"""GAT-ODE flagship: GAT properties, end-to-end training, and the sharded
+multi-chip step on the virtual 8-device CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from ananke_abm_tpu.data_generator.agent_trajectories import (
+    generate_agent_population,
+    synthetic_zone_world,
+)
+from ananke_abm_tpu.models.gnn_embed.gat import ZoneGAT
+from ananke_abm_tpu.models.gnn_embed.train import (
+    GATODEConfig,
+    build_model,
+    init_params,
+    make_step_fns,
+    train,
+)
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        zone_dim=16, agent_dim=8, context_dim=8, hidden_dim=16,
+        gat_heads=2, gat_layers=1, num_blocks=1,
+        substeps=1, batch_size=64, epochs=2,
+    )
+    base.update(kw)
+    return GATODEConfig(**base)
+
+
+class TestPopulation:
+    def test_generate_shapes(self):
+        d = generate_agent_population(100, num_times=24, seed=0)
+        assert d["zone_ids"].shape == (100, 24)
+        assert d["person_feats"].shape == (100, 8)
+        assert (d["zone_ids"][:, 0] == d["home_zone"]).all()
+        assert (d["zone_ids"][:, -1] == d["home_zone"]).all()
+
+    def test_synthetic_zone_world(self):
+        zf, adj, dist = synthetic_zone_world(50, seed=1)
+        assert zf.shape == (50, 7)
+        np.testing.assert_array_equal(adj, adj.T)
+        assert (np.diag(adj) == 1).all()
+        np.testing.assert_allclose(dist, dist.T, rtol=1e-5)
+
+    def test_large_world_population(self):
+        d = generate_agent_population(500, num_times=12, num_zones=40, seed=2)
+        assert d["zone_features"].shape == (40, 7)
+        assert d["zone_ids"].max() < 40
+
+
+class TestGAT:
+    def test_attention_respects_adjacency(self):
+        """Disconnected zones must not influence each other."""
+        Z, F = 6, 7
+        zf = np.random.default_rng(0).normal(size=(Z, F)).astype(np.float32)
+        # two disconnected cliques {0,1,2} and {3,4,5}
+        adj = np.zeros((Z, Z), np.float32)
+        adj[:3, :3] = 1.0
+        adj[3:, 3:] = 1.0
+        gat = ZoneGAT(features=8, heads=2, num_layers=1)
+        params = gat.init(jax.random.PRNGKey(0), jnp.asarray(zf), jnp.asarray(adj))
+        out1 = gat.apply(params, jnp.asarray(zf), jnp.asarray(adj))
+        # perturb second clique's features; first clique outputs unchanged
+        zf2 = zf.copy()
+        zf2[3:] += 10.0
+        out2 = gat.apply(params, jnp.asarray(zf2), jnp.asarray(adj))
+        np.testing.assert_allclose(
+            np.asarray(out1[:3]), np.asarray(out2[:3]), atol=1e-5
+        )
+        assert not np.allclose(np.asarray(out1[3:]), np.asarray(out2[3:]))
+
+
+class TestTraining:
+    def test_loss_decreases(self, tmp_path):
+        res = train(
+            str(tmp_path), n_agents=256, num_times=16,
+            config=tiny_cfg(epochs=8), seed=0,
+        )
+        assert np.isfinite(res["final_loss"])
+        from ananke_abm_tpu.utils import load_checkpoint
+
+        hist = load_checkpoint(res["ckpt"])["history"]
+        assert hist[-1]["loss"] < hist[0]["loss"], "training must reduce loss"
+
+    def test_dopri5_forward(self):
+        cfg = tiny_cfg(method="dopri5")
+        d = generate_agent_population(32, num_times=8, seed=3)
+        model = build_model(cfg, 7, 8)
+        key = jax.random.PRNGKey(0)
+        params = init_params(model, cfg, d, 32, key)
+        logits, xs = model.apply(
+            {"params": params},
+            jnp.asarray(d["zone_features"]), jnp.asarray(d["adj"]),
+            jnp.asarray(d["person_feats"]), jnp.asarray(d["home_zone"]),
+            jnp.asarray(d["times"]),
+            ode_method="dopri5",
+        )
+        assert logits.shape == (32, 8, 8)
+        assert np.all(np.isfinite(np.asarray(logits)))
+
+
+class TestSharded:
+    def test_sharded_step_8_devices(self, eight_devices):
+        from ananke_abm_tpu.parallel.mesh import make_mesh
+        from ananke_abm_tpu.parallel.sharded import (
+            make_sharded_rollout,
+            make_sharded_train_step,
+        )
+
+        mesh = make_mesh(8, zone_parallel=2)
+        assert mesh.devices.shape == (4, 2)
+
+        cfg = tiny_cfg()
+        d = generate_agent_population(64, num_times=8, num_zones=16, seed=4)
+        model = build_model(cfg, 7, 8)
+        key = jax.random.PRNGKey(0)
+        params = init_params(model, cfg, d, 64, key)
+        optimizer = optax.adamw(1e-3)
+        opt_state = optimizer.init(params)
+
+        static = (
+            jnp.asarray(d["zone_features"]),
+            jnp.asarray(d["adj"]),
+            jnp.asarray(d["times"]),
+        )
+        step = make_sharded_train_step(model, optimizer, cfg, mesh, static)
+        params2, opt_state, loss, acc = step(
+            params, opt_state,
+            jnp.asarray(d["person_feats"]),
+            jnp.asarray(d["home_zone"]),
+            jnp.asarray(d["zone_ids"]),
+        )
+        assert np.isfinite(float(loss))
+
+        # sharded == single-device result (same program, different layout)
+        tr_step, loss_fn = make_step_fns(model, optimizer, cfg, static)
+        loss_ref, _ = loss_fn(
+            params,
+            jnp.asarray(d["person_feats"]),
+            jnp.asarray(d["home_zone"]),
+            jnp.asarray(d["zone_ids"]),
+        )
+        np.testing.assert_allclose(float(loss), float(loss_ref), rtol=1e-4)
+
+        rollout = make_sharded_rollout(model, cfg, mesh, static)
+        y = rollout(
+            params2, jnp.asarray(d["person_feats"]), jnp.asarray(d["home_zone"])
+        )
+        assert y.shape == (64, 8)
