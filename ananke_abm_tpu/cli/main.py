@@ -1,0 +1,118 @@
+"""``ananke`` CLI (parity with the reference src/ananke_abm/cli/__init__.py:
+13-26 and run_models/*): traj-embed, gval-traj, visualize-combined-traj,
+info. In the reference snapshot traj-embed/gval-traj point at a missing
+module (SURVEY.md §2.8); here they are fully functional."""
+from __future__ import annotations
+
+import click
+
+
+@click.group()
+def main():
+    """Ananke ABM TPU — trajectory synthesis toolkit."""
+
+
+@main.command("traj-embed")
+@click.option("--activities-csv", type=click.Path(exists=True), required=True)
+@click.option("--purposes-csv", type=click.Path(exists=True), default=None)
+@click.option("--crf-mode", type=click.Choice(["linear", "semi"]),
+              default="linear", show_default=True)
+@click.option("--epochs", type=int, default=100, show_default=True)
+@click.option("--batch", "batch_size", type=int, default=32, show_default=True)
+@click.option("--lr", type=float, default=1e-3, show_default=True)
+@click.option("--val-ratio", type=float, default=0.1, show_default=True)
+@click.option("--outdir", type=click.Path(), default="runs/traj_embed",
+              show_default=True)
+@click.option("--vae-only", is_flag=True, default=False)
+@click.option("--semi-dmax-minutes", type=int, default=300, show_default=True)
+@click.option("--seed", type=int, default=0)
+def traj_embed(activities_csv, purposes_csv, crf_mode, epochs, batch_size,
+               lr, val_ratio, outdir, vae_only, semi_dmax_minutes, seed):
+    """Train the TrajEmbed model (full VAE+CRF or VAE-only)."""
+    from ananke_abm_tpu.models.traj_syn.pipeline.train_full import (
+        train_traj_embed,
+    )
+
+    res = train_traj_embed(
+        activities_csv, purposes_csv, epochs=epochs, batch_size=batch_size,
+        lr=lr, val_ratio=val_ratio, outdir=outdir, crf_mode=crf_mode,
+        seed=seed, vae_only=vae_only, semi_Dmax_minutes=semi_dmax_minutes,
+    )
+    click.echo(f"Best val loss {res['best_val_loss']:.4f}; ckpt {res['ckpt']}")
+
+
+@main.command("gval-traj")
+@click.option("--ckpt", type=click.Path(exists=True), required=True)
+@click.option("--num-gen", type=int, default=1000, show_default=True)
+@click.option("--gen-csv", type=click.Path(), required=True)
+@click.option("--val-csv", type=click.Path(exists=True), default=None)
+@click.option("--eval-step-minutes", type=int, default=5, show_default=True)
+@click.option("--crf-mode", type=click.Choice(["linear", "semi", "none"]),
+              default=None)
+@click.option("--semi-dmax-minutes", type=int, default=300, show_default=True)
+@click.option("--summary-json", type=click.Path(), default=None)
+@click.option("--use-samples/--no-use-samples", default=True, show_default=True)
+@click.option("--seed", type=int, default=0)
+def gval_traj(ckpt, num_gen, gen_csv, val_csv, eval_step_minutes, crf_mode,
+              semi_dmax_minutes, summary_json, use_samples, seed):
+    """Generate trajectories from a checkpoint and validate them."""
+    import json
+
+    from ananke_abm_tpu.models.traj_syn.pipeline.validate import gen_n_val_traj
+
+    summary = gen_n_val_traj(
+        ckpt, num_gen, gen_csv, val_csv, eval_step_minutes, crf_mode,
+        semi_dmax_minutes, summary_json, use_samples, seed,
+    )
+    click.echo(json.dumps(summary, indent=2))
+
+
+@main.command("visualize-combined-traj")
+@click.option("--trajectory-csv", type=click.Path(exists=True), required=True)
+@click.option("--outdir", type=click.Path(), required=True)
+@click.option("--grid-min", type=int, default=5, show_default=True)
+def visualize_combined_traj(trajectory_csv, outdir, grid_min):
+    """Buffer grid + stacked/zoomed/lunch figures from a trajectory CSV."""
+    import os
+
+    from ananke_abm_tpu.utils.traj_fig.figures import (
+        fig_primary_lunch_time,
+        fig_specific_trajs,
+        fig_stacked_traj,
+    )
+    from ananke_abm_tpu.utils.traj_fig.make_buffer_grid import make_buffer_grid
+
+    os.makedirs(outdir, exist_ok=True)
+    Y, pm, _ = make_buffer_grid(trajectory_csv, grid_min=grid_min)
+    fig_stacked_traj(Y, pm, os.path.join(outdir, "stacked_traj.png"), grid_min)
+    fig_specific_trajs(Y, pm, outdir, grid_min)
+    fig_primary_lunch_time(Y, pm, outdir, grid_min)
+    click.echo(f"Figures written to {outdir}")
+
+
+@main.command("make-purposes")
+@click.option("--activities-csv", type=click.Path(exists=True), required=True)
+@click.option("--out-csv", type=click.Path(), required=True)
+@click.option("--overrides", type=click.Path(exists=True), default=None)
+def make_purposes_cmd(activities_csv, out_csv, overrides):
+    """Build the purposes catalog from an activities CSV."""
+    from ananke_abm_tpu.utils.make_purposes import build_purposes_catalog
+
+    catalog = build_purposes_catalog(activities_csv, out_csv, overrides)
+    click.echo(f"Wrote {len(catalog)} purposes to {out_csv}")
+
+
+@main.command("info")
+def info():
+    """Version + backend information."""
+    import jax
+
+    import ananke_abm_tpu
+
+    click.echo(f"ananke_abm_tpu {ananke_abm_tpu.__version__}")
+    click.echo(f"jax {jax.__version__}, backend {jax.default_backend()}, "
+               f"{len(jax.devices())} device(s)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,265 @@
+"""Comparison-harness core: loading, grid checks, vectorized counting.
+
+Contract parity with the reference compare utils
+(src/ananke_abm/models/gen_schedule/compare/utils.py:13-301): npz+meta
+sidecar discovery (``<stem>_meta.json`` or ``<stem>.json``), strict
+(N, T)/grid/horizon consistency, counts->probs, union alignment, SRMSE
+(Kim & Bansal 2023 Eq. 13 and the scaled population-synthesis variant),
+n-gram and full-schedule counting.
+
+The reference counts with per-row Python dict loops (utils.py:255-301);
+here n-grams are encoded as base-P integer codes over sliding windows and
+counted with ``np.unique`` — O(N*T) in C at VISTA scale (42817 x 288).
+Dict-shaped outputs remain available for the detail CSVs.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Hashable, List, Optional, Tuple
+
+import numpy as np
+
+
+# ---------------------------------------------------------------- loading
+def _load_one_npz_with_meta(npz_path: str, meta_path: str, name: str) -> Dict:
+    arr = np.load(npz_path)
+    if "Y_generated" in arr:
+        Y = arr["Y_generated"].astype(np.int64)
+    elif "Y" in arr:
+        Y = arr["Y"].astype(np.int64)
+    else:
+        raise KeyError(f"{npz_path} must contain 'Y_generated' or 'Y'")
+    with open(meta_path, "r", encoding="utf-8") as f:
+        meta = json.load(f)
+    T_meta = meta.get("L", meta.get("num_time_bins"))
+    return {
+        "name": name,
+        "Y": Y,
+        "purpose_map": meta["purpose_map"],
+        "grid_min": meta.get("grid_min"),
+        "horizon_min": meta.get("horizon_min"),
+        "T": int(T_meta) if T_meta is not None else int(Y.shape[1]),
+    }
+
+
+def load_reference(ref_npz: str, ref_meta: str) -> Dict:
+    return _load_one_npz_with_meta(ref_npz, ref_meta, name="ref")
+
+
+def load_comparison_models(compare_dir: str) -> List[Dict]:
+    """Discover ``<model>.npz`` + ``<model>_meta.json``/``<model>.json``
+    pairs; enforce shared (N, T) across models."""
+    models = []
+    for fname in sorted(os.listdir(compare_dir)):
+        if not fname.endswith(".npz"):
+            continue
+        stem = os.path.splitext(fname)[0]
+        meta_path = None
+        for cand in (f"{stem}_meta.json", f"{stem}.json"):
+            p = os.path.join(compare_dir, cand)
+            if os.path.exists(p):
+                meta_path = p
+                break
+        if meta_path is None:
+            raise FileNotFoundError(
+                f"No meta json found for {fname} in {compare_dir}"
+            )
+        models.append(
+            _load_one_npz_with_meta(
+                os.path.join(compare_dir, fname), meta_path, name=stem
+            )
+        )
+    if not models:
+        raise ValueError(f"No .npz models found in {compare_dir}")
+    N0, T0 = models[0]["Y"].shape
+    for m in models[1:]:
+        N, T = m["Y"].shape
+        if T != T0:
+            raise AssertionError(
+                f"Time-bin mismatch: {models[0]['name']} T={T0}, {m['name']} T={T}"
+            )
+        if N != N0:
+            raise AssertionError(
+                f"Population mismatch: {models[0]['name']} N={N0}, {m['name']} N={N}"
+            )
+    return models
+
+
+def ensure_dir(path: str):
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def assert_same_temporal_grid(ref: Dict, models: List[Dict]) -> None:
+    for m in models:
+        if m["T"] != ref["T"]:
+            raise AssertionError(
+                f"Temporal mismatch: ref T={ref['T']}, model '{m['name']}' T={m['T']}."
+            )
+        for key in ("grid_min", "horizon_min"):
+            a, b = ref.get(key), m.get(key)
+            if a is not None and b is not None and a != b:
+                raise AssertionError(
+                    f"{key} mismatch: ref={a}, model '{m['name']}'={b}."
+                )
+
+
+# ---------------------------------------------- vectorized counting core
+def ngram_code_matrix(Y: np.ndarray, n: int, P: int) -> np.ndarray:
+    """(N, T-n+1) int64 base-P codes of all length-n windows."""
+    N, T = Y.shape
+    if n > T:
+        return np.zeros((N, 0), dtype=np.int64)
+    code = np.zeros((N, T - n + 1), dtype=np.int64)
+    for i in range(n):
+        code = code * P + Y[:, i : T - n + 1 + i]
+    return code
+
+
+def decode_ngram(code: int, n: int, P: int) -> Tuple[int, ...]:
+    out = []
+    for _ in range(n):
+        out.append(int(code % P))
+        code //= P
+    return tuple(reversed(out))
+
+
+def ngram_count_arrays(Y: np.ndarray, n: int, P: int):
+    """(codes (K,), counts (K,)) sorted by code."""
+    codes = ngram_code_matrix(Y, n, P).ravel()
+    return np.unique(codes, return_counts=True)
+
+
+def schedule_count_arrays(Y: np.ndarray):
+    """(unique_rows (U, T), counts (U,)) via np.unique over rows."""
+    return np.unique(Y, axis=0, return_counts=True)
+
+
+def align_count_arrays(codes_a, counts_a, codes_b, counts_b):
+    """Union-align two (codes, counts) pairs -> (keys, ca, cb)."""
+    keys = np.union1d(codes_a, codes_b)
+    ca = np.zeros(keys.shape[0], dtype=np.float64)
+    cb = np.zeros(keys.shape[0], dtype=np.float64)
+    ca[np.searchsorted(keys, codes_a)] = counts_a
+    cb[np.searchsorted(keys, codes_b)] = counts_b
+    return keys, ca, cb
+
+
+# ----------------------------------------- dict-compatible wrappers
+def ngram_counts(
+    Y: np.ndarray, n: Optional[int], as_schedule: bool = False
+) -> Dict[Tuple[int, ...], int]:
+    if Y.ndim != 2:
+        raise ValueError(f"Y must be 2D (N,T), got {Y.shape}")
+    if as_schedule:
+        rows, counts = schedule_count_arrays(Y)
+        return {
+            tuple(int(x) for x in r): int(c) for r, c in zip(rows, counts)
+        }
+    if n is None or n <= 0:
+        raise ValueError("n must be positive when as_schedule=False")
+    P = int(Y.max()) + 1 if Y.size else 1
+    codes, counts = ngram_count_arrays(Y, n, P)
+    return {decode_ngram(int(c), n, P): int(v) for c, v in zip(codes, counts)}
+
+
+def schedule_counts(Y: np.ndarray) -> Dict[Tuple[int, ...], int]:
+    return ngram_counts(Y, n=None, as_schedule=True)
+
+
+# ------------------------------------------------- probability helpers
+def counts_to_probs(
+    counts: Dict[Hashable, float], eps: float = 1e-12
+) -> Dict[Hashable, float]:
+    total = float(sum(counts.values()))
+    if total < eps:
+        return {k: 0.0 for k in counts}
+    return {k: float(v) / total for k, v in counts.items()}
+
+
+def align_distributions(probs_ref, probs_syn):
+    keys = sorted(set(probs_ref) | set(probs_syn))
+    if not keys:
+        return [], np.zeros(0), np.zeros(0)
+    p = np.array([probs_ref.get(k, 0.0) for k in keys])
+    q = np.array([probs_syn.get(k, 0.0) for k in keys])
+    return keys, p, q
+
+
+# --------------------------------------------------------------- SRMSE
+def compute_srmse_from_probs(p_ref, p_syn, eps: float = 1e-12) -> float:
+    """Kim & Bansal (2023) Eq. 13: RMSE over cells / mean reference prob."""
+    if p_ref.size == 0:
+        return 0.0
+    nb = len(p_ref)
+    rmse = np.sqrt(np.sum((p_syn - p_ref) ** 2) / max(nb, 1))
+    mean_ref = np.sum(p_ref) / max(nb, 1)
+    return 0.0 if mean_ref < eps else float(rmse / mean_ref)
+
+
+def compute_basic_srmse_from_probs(p_ref, p_syn, eps: float = 1e-12) -> float:
+    """Scaled variant: sqrt(sum (q-p)^2 / sum p^2)."""
+    if p_ref.size == 0:
+        return 0.0
+    num = float(np.sum((p_syn - p_ref) ** 2))
+    den = float(np.sum(p_ref**2))
+    return 0.0 if den < eps else float(np.sqrt(num / den))
+
+
+def srmse_from_count_arrays(ca: np.ndarray, cb: np.ndarray) -> float:
+    """SRMSE from union-aligned count vectors (normalize then Eq. 13)."""
+    pa = ca / ca.sum() if ca.sum() > 0 else ca
+    pb = cb / cb.sum() if cb.sum() > 0 else cb
+    return compute_srmse_from_probs(pa, pb)
+
+
+def compute_srmse_from_counts(counts_ref, counts_syn, eps=1e-12) -> float:
+    pr = counts_to_probs(counts_ref, eps)
+    ps = counts_to_probs(counts_syn, eps)
+    _, p, q = align_distributions(pr, ps)
+    return compute_srmse_from_probs(p, q, eps)
+
+
+# ----------------------------------------------------- entropy / gini
+def entropy_from_count_array(counts: np.ndarray, eps: float = 1e-12) -> float:
+    total = float(counts.sum())
+    if total < eps or counts.size == 0:
+        return 0.0
+    p = counts[counts > 0].astype(np.float64) / total
+    return float(-np.sum(p * np.log(p)))
+
+
+def gini_from_count_array(counts: np.ndarray, eps: float = 1e-12) -> float:
+    """Gini coefficient of the count distribution over cells."""
+    if counts.size == 0:
+        return 0.0
+    x = np.sort(counts.astype(np.float64))
+    total = x.sum()
+    if total < eps:
+        return 0.0
+    n = x.size
+    cum = np.cumsum(x)
+    return float((n + 1 - 2 * np.sum(cum) / total) / n)
+
+
+# ------------------------------------------ run-length segmentation
+def segments_run_length(Y: np.ndarray):
+    """Vectorized run-length segmentation of every row.
+
+    Returns (person (S,), purpose (S,), length (S,)) over all segments of
+    constant purpose, in row-major order.
+    """
+    N, T = Y.shape
+    change = np.ones((N, T), dtype=bool)
+    change[:, 1:] = Y[:, 1:] != Y[:, :-1]
+    person_idx, start_t = np.nonzero(change)
+    purpose = Y[person_idx, start_t]
+    # segment end: next start within the same person, else T
+    flat_starts = person_idx * T + start_t
+    next_flat = np.empty_like(flat_starts)
+    next_flat[:-1] = flat_starts[1:]
+    next_flat[-1] = N * T
+    same_person = (next_flat // T) == person_idx
+    end_t = np.where(same_person, next_flat % T, T)
+    return person_idx, purpose, (end_t - start_t)

@@ -1,0 +1,128 @@
+"""Trajectory share figures (reference utils/traj_fig/fig_stacked_traj.py,
+fig_specific_trajs.py, fig_primary_lunch_time.py): proportional stacked
+area over time with a fixed 7-purpose palette; zoomed line plots for
+primary and discretionary purposes; a 10:00-14:00 lunch-window zoom."""
+from __future__ import annotations
+
+import os
+from typing import Dict
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+import numpy as np
+
+# fixed palette for the canonical 7 purposes (stable across figures)
+PURPOSE_PALETTE = {
+    "Home": "#4c72b0",
+    "Work": "#dd8452",
+    "Education": "#55a868",
+    "Shopping": "#c44e52",
+    "Social": "#8172b3",
+    "Accompanying": "#937860",
+    "Other": "#8c8c8c",
+}
+_FALLBACK = ["#1f77b4", "#ff7f0e", "#2ca02c", "#d62728", "#9467bd",
+             "#8c564b", "#7f7f7f", "#bcbd22", "#17becf"]
+
+
+def _colors(names):
+    return [
+        PURPOSE_PALETTE.get(n, _FALLBACK[i % len(_FALLBACK)])
+        for i, n in enumerate(names)
+    ]
+
+
+def _shares(Y: np.ndarray, P: int) -> np.ndarray:
+    """(T, P) per-bin purpose shares across persons."""
+    N, T = Y.shape
+    flat = (np.arange(T)[None, :] * P + Y).ravel()
+    counts = np.bincount(flat, minlength=T * P).reshape(T, P)
+    return counts / max(N, 1)
+
+
+def fig_stacked_traj(Y, purpose_map: Dict[str, int], out_png: str,
+                     grid_min: int = 5):
+    names = sorted(purpose_map, key=purpose_map.get)
+    shares = _shares(Y, len(names))  # (T, P)
+    hours = np.arange(Y.shape[1]) * grid_min / 60.0
+    fig, ax = plt.subplots(figsize=(11, 5))
+    ax.stackplot(
+        hours, shares.T, labels=names, colors=_colors(names), alpha=0.9
+    )
+    ax.set_xlabel("hour of day")
+    ax.set_ylabel("share of population")
+    ax.set_xlim(hours[0], hours[-1])
+    ax.set_ylim(0, 1)
+    ax.legend(loc="upper right", fontsize=8, ncols=2)
+    ax.set_title("Population activity shares over the day")
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=120)
+    plt.close(fig)
+    return out_png
+
+
+def fig_specific_trajs(Y, purpose_map: Dict[str, int], outdir: str,
+                       grid_min: int = 5):
+    """Zoomed line plots: primary (Work/Education) and discretionary
+    (Social/Shopping/Accompanying) probability curves, auto-zoomed y."""
+    os.makedirs(outdir, exist_ok=True)
+    names = sorted(purpose_map, key=purpose_map.get)
+    shares = _shares(Y, len(names))
+    hours = np.arange(Y.shape[1]) * grid_min / 60.0
+    groups = {
+        "primary": [p for p in ("Work", "Education") if p in purpose_map],
+        "discretionary": [
+            p for p in ("Social", "Shopping", "Accompanying")
+            if p in purpose_map
+        ],
+    }
+    outs = []
+    for gname, members in groups.items():
+        if not members:
+            continue
+        fig, ax = plt.subplots(figsize=(9, 4))
+        top = 0.0
+        for p in members:
+            y = shares[:, purpose_map[p]]
+            ax.plot(hours, y, label=p, color=PURPOSE_PALETTE.get(p))
+            top = max(top, float(y.max()))
+        ax.set_ylim(0, max(top * 1.15, 1e-3))
+        ax.set_xlabel("hour of day")
+        ax.set_ylabel("share")
+        ax.legend(fontsize=8)
+        ax.set_title(f"{gname} activity shares (zoomed)")
+        fig.tight_layout()
+        out = os.path.join(outdir, f"traj_{gname}.png")
+        fig.savefig(out, dpi=120)
+        plt.close(fig)
+        outs.append(out)
+    return outs
+
+
+def fig_primary_lunch_time(Y, purpose_map: Dict[str, int], outdir: str,
+                           grid_min: int = 5):
+    """Zoomed stacked plots 10:00-14:00 for Work and Education."""
+    os.makedirs(outdir, exist_ok=True)
+    names = sorted(purpose_map, key=purpose_map.get)
+    shares = _shares(Y, len(names))
+    hours = np.arange(Y.shape[1]) * grid_min / 60.0
+    window = (hours >= 10.0) & (hours <= 14.0)
+    outs = []
+    for p in ("Work", "Education"):
+        if p not in purpose_map:
+            continue
+        fig, ax = plt.subplots(figsize=(7, 4))
+        y = shares[window, purpose_map[p]]
+        ax.fill_between(hours[window], y, color=PURPOSE_PALETTE.get(p), alpha=0.7)
+        ax.plot(hours[window], y, color=PURPOSE_PALETTE.get(p))
+        ax.set_xlabel("hour of day")
+        ax.set_ylabel("share")
+        ax.set_title(f"{p} share around lunch (10:00-14:00)")
+        fig.tight_layout()
+        out = os.path.join(outdir, f"lunch_{p}.png")
+        fig.savefig(out, dpi=120)
+        plt.close(fig)
+        outs.append(out)
+    return outs

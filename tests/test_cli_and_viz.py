@@ -1,0 +1,251 @@
+"""CLI surface + viz + exporter smoke tests (the acceptance checklist of
+SURVEY.md §7.4: both console script groups with the documented commands)."""
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from click.testing import CliRunner
+
+from ananke_abm_tpu.cli.main import main as ananke_main
+from ananke_abm_tpu.cli.rgen_schedule import main as rgen_main
+from ananke_abm_tpu.data_generator.population import (
+    generate_population_activities,
+)
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    df = generate_population_activities(64, seed=5)
+    df.to_csv(os.path.join(d, "acts.csv"), index=False)
+    return d
+
+
+class TestRgenScheduleCLI:
+    def test_command_list(self):
+        runner = CliRunner()
+        res = runner.invoke(rgen_main, ["--help"])
+        assert res.exit_code == 0
+        for cmd in (
+            "prepare", "fit", "sample-population", "eval-population",
+            "viz-population", "compute-pds", "prepare-crf-data",
+            "train-crf", "compare-samples", "metric-tables", "plot-overview",
+        ):
+            assert cmd in res.output
+
+    def test_full_cli_workflow(self, workdir):
+        runner = CliRunner()
+        acts = str(workdir / "acts.csv")
+        grid = str(workdir / "data" / "grid.npz")
+
+        r = runner.invoke(rgen_main, [
+            "prepare", "--activities", acts, "--grid", "30",
+            "--out", grid, "--val-frac", "0.2", "--seed", "1",
+        ])
+        assert r.exit_code == 0, r.output
+
+        cfg = {
+            "data": {"npz": grid},
+            "train": {
+                "epochs": 2, "min_epochs": 2, "patience": 0,
+                "batch_size": 32, "lr": 1e-3, "weight_decay": 0.0,
+                "grad_clip": 1.0, "beta_target": 1.0,
+                "beta_warm_frac": 0.5, "lambda_tv": 0.0, "lambda_home": 0.1,
+            },
+            "model": {
+                "method": "baseline_cnn", "z_dim": 4, "emb_dim": 16,
+                "cnn_channels": [16], "cnn_kernel": 3, "cnn_dropout": 0.1,
+            },
+        }
+        cfg_path = str(workdir / "cfg.json")
+        with open(cfg_path, "w") as f:
+            json.dump(cfg, f)
+        rundir = str(workdir / "run")
+        r = runner.invoke(rgen_main, [
+            "fit", "--config", cfg_path, "--output-dir", rundir, "--seed", "1",
+        ])
+        assert r.exit_code == 0, r.output
+        ckpt = os.path.join(rundir, "checkpoints", "best_val.ckpt")
+
+        # compute-pds
+        r = runner.invoke(rgen_main, [
+            "compute-pds", "--grid", grid, "--out", str(workdir / "pds"),
+            "--grid-min", "30",
+            "--purpose-json", grid.replace(".npz", "_purpose_map.json"),
+        ])
+        assert r.exit_code == 0, r.output
+        assert os.path.exists(str(workdir / "pds_pds.npz"))
+
+        # sample
+        prefix = str(workdir / "samples" / "s")
+        r = runner.invoke(rgen_main, [
+            "sample-population", "--ckpt", ckpt, "--num-samples", "40",
+            "--outprefix", prefix, "--seed", "2", "--csv-max-persons", "5",
+        ])
+        assert r.exit_code == 0, r.output
+
+        # prepare-crf-data + train-crf
+        crfdir = str(workdir / "crf")
+        r = runner.invoke(rgen_main, [
+            "prepare-crf-data", "--vae_ckpt", ckpt,
+            "--splits", grid.replace(".npz", "_splits.npz"),
+            "--outdir", crfdir, "--batch_size", "32",
+        ])
+        assert r.exit_code == 0, r.output
+        crf_cfg = {
+            "crf": {
+                "train_npz": os.path.join(crfdir, "crf_train.npz"),
+                "val_npz": os.path.join(crfdir, "crf_val.npz"),
+                "save_path": os.path.join(crfdir, "crf_linear.ckpt"),
+                "meta_json": os.path.join(crfdir, "crf_meta.json"),
+                "num_epochs": 2, "batch_size": 16, "lr": 1e-2,
+                "weight_decay": 1e-4, "log_every": 1,
+            }
+        }
+        crf_cfg_path = str(workdir / "crf_cfg.json")
+        with open(crf_cfg_path, "w") as f:
+            json.dump(crf_cfg, f)
+        r = runner.invoke(rgen_main, ["train-crf", "--cfg", crf_cfg_path])
+        assert r.exit_code == 0, r.output
+
+        # CRF-decoded constrained sampling
+        prefix2 = str(workdir / "samples" / "s_crf")
+        r = runner.invoke(rgen_main, [
+            "sample-population", "--ckpt", ckpt, "--num-samples", "30",
+            "--outprefix", prefix2, "--decode-mode", "crf",
+            "--crf-path", crf_cfg["crf"]["save_path"], "--enforce-nonhome",
+        ])
+        assert r.exit_code == 0, r.output
+        Y2 = np.load(prefix2 + ".npz")["Y_generated"]
+        with open(grid.replace(".npz", "_meta.json")) as f:
+            home = json.load(f)["purpose_map"]["Home"]
+        assert not (Y2 == home).all(axis=1).any()
+
+        # eval + viz
+        r = runner.invoke(rgen_main, [
+            "eval-population", "--samples", prefix + ".npz",
+            "--samples-meta", prefix + "_meta.json",
+            "--reference", grid, "--out-json", str(workdir / "report.json"),
+        ])
+        assert r.exit_code == 0, r.output
+        r = runner.invoke(rgen_main, [
+            "viz-population", "--samples", prefix + ".npz",
+            "--samples-meta", prefix + "_meta.json",
+            "--outdir", str(workdir / "viz"), "--reference", grid,
+        ])
+        assert r.exit_code == 0, r.output
+        assert os.path.exists(str(workdir / "viz" / "minutes_share.png"))
+
+        # compare-samples + metric-tables + plot-overview
+        r = runner.invoke(rgen_main, [
+            "compare-samples", "--sample", f"argmax={prefix}",
+            "--sample", f"crf={prefix2}",
+            "--reference", grid, "--outdir", str(workdir / "cmp"),
+        ])
+        assert r.exit_code == 0, r.output
+        assert os.path.exists(str(workdir / "cmp" / "comparison_aggregate.csv"))
+
+        # metric-tables needs a compare dir with npz+meta
+        cdir = workdir / "cmp_models"
+        cdir.mkdir()
+        import shutil
+
+        for name, pfx in (("argmax", prefix), ("crf", prefix2)):
+            Ys = np.load(pfx + ".npz")["Y_generated"][:30]
+            np.savez(str(cdir / f"{name}.npz"), Y_generated=Ys)
+            shutil.copy(pfx + "_meta.json", str(cdir / f"{name}_meta.json"))
+        r = runner.invoke(rgen_main, [
+            "metric-tables", "--ref-npz", grid,
+            "--ref-meta", grid.replace(".npz", "_meta.json"),
+            "--compare-dir", str(cdir), "--outdir", str(workdir / "tables"),
+        ])
+        assert r.exit_code == 0, r.output
+        assert os.path.exists(str(workdir / "tables" / "srmse_schedule.csv"))
+
+        r = runner.invoke(rgen_main, [
+            "plot-overview", "--ref-npz", grid,
+            "--ref-meta", grid.replace(".npz", "_meta.json"),
+            "--compare-dir", str(cdir), "--outdir", str(workdir / "overview"),
+        ])
+        assert r.exit_code == 0, r.output
+        assert os.path.exists(
+            str(workdir / "overview" / "lorenz_gini_overview.png")
+        )
+
+
+class TestAnankeCLI:
+    def test_command_list(self):
+        runner = CliRunner()
+        res = runner.invoke(ananke_main, ["--help"])
+        assert res.exit_code == 0
+        for cmd in ("traj-embed", "gval-traj", "visualize-combined-traj",
+                    "info", "make-purposes"):
+            assert cmd in res.output
+
+    def test_info(self):
+        res = CliRunner().invoke(ananke_main, ["info"])
+        assert res.exit_code == 0
+        assert "ananke_abm_tpu" in res.output
+
+    def test_visualize_combined_traj(self, workdir):
+        res = CliRunner().invoke(ananke_main, [
+            "visualize-combined-traj",
+            "--trajectory-csv", str(workdir / "acts.csv"),
+            "--outdir", str(workdir / "trajfig"), "--grid-min", "30",
+        ])
+        assert res.exit_code == 0, res.output
+        assert os.path.exists(str(workdir / "trajfig" / "stacked_traj.png"))
+
+    def test_make_purposes(self, workdir):
+        res = CliRunner().invoke(ananke_main, [
+            "make-purposes", "--activities-csv", str(workdir / "acts.csv"),
+            "--out-csv", str(workdir / "purposes.csv"),
+        ])
+        assert res.exit_code == 0, res.output
+
+
+class TestDataGenerator:
+    def test_export_csvs_roundtrip(self, tmp_path):
+        from ananke_abm_tpu.data_generator.export_csvs import (
+            write_mock_world_csvs,
+        )
+        from ananke_abm_tpu.models.mode_sep.data import load_trajectory_csvs
+
+        paths = write_mock_world_csvs(str(tmp_path))
+        for k in ("periods.csv", "snaps.csv", "zones.csv", "dist_mat.csv",
+                  "persons.csv", "segments.csv", "id_maps.json"):
+            assert os.path.exists(paths[k])
+        # the exported family loads through the strict validator
+        people, shared = load_trajectory_csvs(
+            paths["periods.csv"], paths["snaps.csv"], paths["zones.csv"],
+            paths["persons.csv"], paths["dist_mat.csv"],
+        )
+        assert len(people) == 2
+        assert shared.id_maps.Z == 8
+        assert shared.zone_features is not None
+
+    def test_analyze_transitions(self):
+        from ananke_abm_tpu.data_generator.analyze_transitions import (
+            analyze_transitions,
+        )
+
+        out = analyze_transitions(verbose=False)
+        assert len(out["purpose_transitions"]) > 0
+        assert out["forbidden"] == []
+
+    def test_load_and_visualize(self, tmp_path):
+        from ananke_abm_tpu.data_generator.data_visualization import (
+            plot_persona_trajectories,
+            plot_zone_graph,
+        )
+        from ananke_abm_tpu.data_generator.load_data import load_mock_data
+
+        data = load_mock_data()
+        assert len(data["trajectories"]) == 2
+        assert data["adjacency"].shape == (8, 8)
+        p = plot_zone_graph(str(tmp_path / "zones.png"))
+        assert os.path.exists(p)
+        outs = plot_persona_trajectories(str(tmp_path))
+        assert len(outs) == 2

@@ -1,0 +1,165 @@
+"""Compare harness: vectorized counting vs naive loops, SRMSE forms,
+segmentation, and the full metric-tables run on synthetic data."""
+import itertools
+import json
+import os
+
+import numpy as np
+import pytest
+
+from ananke_abm_tpu.models.gen_schedule.compare.utils import (
+    align_count_arrays,
+    compute_basic_srmse_from_probs,
+    compute_srmse_from_counts,
+    compute_srmse_from_probs,
+    entropy_from_count_array,
+    gini_from_count_array,
+    ngram_count_arrays,
+    ngram_counts,
+    schedule_counts,
+    segments_run_length,
+)
+
+
+class TestCounting:
+    def test_ngram_counts_match_naive(self):
+        rng = np.random.default_rng(0)
+        Y = rng.integers(0, 4, size=(30, 12))
+        for n in (1, 2, 3, 4):
+            got = ngram_counts(Y, n)
+            naive = {}
+            for row in Y:
+                for t in range(12 - n + 1):
+                    k = tuple(int(x) for x in row[t : t + n])
+                    naive[k] = naive.get(k, 0) + 1
+            assert got == naive
+
+    def test_schedule_counts(self):
+        Y = np.array([[0, 1], [0, 1], [1, 1]])
+        c = schedule_counts(Y)
+        assert c == {(0, 1): 2, (1, 1): 1}
+
+    def test_segments_run_length(self):
+        Y = np.array([[0, 0, 1, 1, 1, 0], [2, 2, 2, 2, 2, 2]])
+        person, purpose, length = segments_run_length(Y)
+        np.testing.assert_array_equal(person, [0, 0, 0, 1])
+        np.testing.assert_array_equal(purpose, [0, 1, 0, 2])
+        np.testing.assert_array_equal(length, [2, 3, 1, 6])
+
+
+class TestSRMSE:
+    def test_zero_for_identical(self):
+        Y = np.random.default_rng(1).integers(0, 3, size=(20, 10))
+        c = ngram_counts(Y, 2)
+        assert compute_srmse_from_counts(c, c) == pytest.approx(0.0)
+
+    def test_known_value(self):
+        p = np.array([0.5, 0.5])
+        q = np.array([1.0, 0.0])
+        # Eq13: rmse = sqrt(0.25+0.25)/sqrt(2) = 0.5; mean_ref = 0.5 -> 1.0
+        assert compute_srmse_from_probs(p, q) == pytest.approx(1.0)
+        # scaled: sqrt(0.5 / 0.5) = 1.0
+        assert compute_basic_srmse_from_probs(p, q) == pytest.approx(1.0)
+
+    def test_align_count_arrays(self):
+        keys, ca, cb = align_count_arrays(
+            np.array([1, 3]), np.array([10, 5]),
+            np.array([2, 3]), np.array([7, 2]),
+        )
+        np.testing.assert_array_equal(keys, [1, 2, 3])
+        np.testing.assert_array_equal(ca, [10, 0, 5])
+        np.testing.assert_array_equal(cb, [0, 7, 2])
+
+
+class TestDiversityStats:
+    def test_entropy_uniform(self):
+        c = np.array([5, 5, 5, 5])
+        assert entropy_from_count_array(c) == pytest.approx(np.log(4))
+
+    def test_gini_extremes(self):
+        assert gini_from_count_array(np.array([3, 3, 3])) == pytest.approx(0.0)
+        g = gini_from_count_array(np.array([0, 0, 0, 100]))
+        assert g == pytest.approx(0.75, abs=0.01)
+
+
+class TestMetricTables:
+    def test_full_run(self, tmp_path):
+        from ananke_abm_tpu.models.gen_schedule.compare.tables import (
+            metric_tables,
+        )
+
+        rng = np.random.default_rng(2)
+        pm = {"Home": 0, "Shopping": 1, "Work": 2}
+        T, N = 24, 60
+
+        def make_pop(seed):
+            r = np.random.default_rng(seed)
+            Y = np.zeros((N, T), dtype=np.int64)
+            start = r.integers(4, 8, N)
+            end = r.integers(14, 20, N)
+            for i in range(N):
+                Y[i, start[i] : end[i]] = 2
+                if r.random() < 0.4:
+                    Y[i, end[i] : end[i] + 2] = 1
+            return Y
+
+        meta = {"purpose_map": pm, "grid_min": 60, "horizon_min": 1440, "L": T}
+        ref_npz = str(tmp_path / "ref.npz")
+        np.savez(ref_npz, Y=make_pop(0))
+        with open(str(tmp_path / "ref_meta.json"), "w") as f:
+            json.dump(meta, f)
+
+        cdir = tmp_path / "models"
+        cdir.mkdir()
+        for name, seed in (("model_a", 1), ("model_b", 2)):
+            np.savez(str(cdir / f"{name}.npz"), Y_generated=make_pop(seed))
+            with open(str(cdir / f"{name}_meta.json"), "w") as f:
+                json.dump(meta, f)
+
+        outdir = str(tmp_path / "tables")
+        ran = metric_tables(
+            ref_npz, str(tmp_path / "ref_meta.json"), str(cdir), outdir
+        )
+        assert len(ran) >= 10
+        expected_files = [
+            "minutes_share_levels.csv", "minutes_share_abs_error.csv",
+            "tod_jsd.csv", "bigram_L1.csv",
+            "srmse_schedule.csv", "srmse_bigram.csv", "srmse_trigram.csv",
+            "srmse_quadgram.csv",
+            "tod_jsd_macro.csv", "tod_jsd_weighted.csv", "tod_jsd_detail_n1.csv",
+            "duration_jsd_macro_n1.csv", "duration_jsd_n1.csv",
+            "duration_jsd_macro_n2.csv",
+            "diversity_schedules.csv", "diversity_ngram_n1.csv",
+            "raw_cells_counts.csv", "raw_counts_schedule_confirmation.csv",
+            "raw_counts_home_patterns.csv",
+        ]
+        for fn in expected_files:
+            assert os.path.exists(os.path.join(outdir, fn)), fn
+
+        # sanity: identical model vs itself -> srmse 0 rows exist
+        import pandas as pd
+
+        srmse = pd.read_csv(os.path.join(outdir, "srmse_schedule.csv"))
+        assert (srmse[srmse.model == "ref"].srmse == 0).all()
+        hp = pd.read_csv(os.path.join(outdir, "raw_counts_home_patterns.csv"))
+        assert set(hp.model) == {"ref", "model_a", "model_b"}
+
+    def test_grid_mismatch_raises(self, tmp_path):
+        from ananke_abm_tpu.models.gen_schedule.compare.tables import (
+            metric_tables,
+        )
+
+        pm = {"Home": 0, "Work": 1}
+        np.savez(str(tmp_path / "ref.npz"), Y=np.zeros((4, 10), np.int64))
+        with open(str(tmp_path / "ref_meta.json"), "w") as f:
+            json.dump({"purpose_map": pm, "grid_min": 5, "L": 10}, f)
+        cdir = tmp_path / "m"
+        cdir.mkdir()
+        np.savez(str(cdir / "x.npz"), Y_generated=np.zeros((4, 8), np.int64))
+        with open(str(cdir / "x_meta.json"), "w") as f:
+            json.dump({"purpose_map": pm, "grid_min": 5, "L": 8}, f)
+        with pytest.raises(AssertionError, match="Temporal mismatch"):
+            metric_tables(
+                str(tmp_path / "ref.npz"), str(tmp_path / "ref_meta.json"),
+                str(cdir), str(tmp_path / "out"),
+            )

@@ -1,0 +1,130 @@
+"""Semi-CRF recursions vs brute-force segmentation enumeration."""
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ananke_abm_tpu.ops.semi_crf import (
+    semicrf_decode,
+    semicrf_log_partition,
+    semicrf_nll,
+    semicrf_path_score,
+)
+
+
+def _enumerate_segmentations(T, P, D):
+    """All (purpose, duration) sequences covering T with no self-repeat."""
+
+    def rec(remaining, prev_p):
+        if remaining == 0:
+            yield []
+            return
+        for d in range(1, min(D, remaining) + 1):
+            for p in range(P):
+                if p == prev_p:
+                    continue
+                for rest in rec(remaining - d, p):
+                    yield [(p, d)] + rest
+
+    return list(rec(T, -1))
+
+
+def _score_np(u, dur, A, segs):
+    t = 0
+    s = 0.0
+    prev = None
+    for (p, d) in segs:
+        s += u[t : t + d, p].sum() + dur[p, d - 1]
+        if prev is not None:
+            s += A[prev, p]
+        prev = p
+        t += d
+    return s
+
+
+def _instance(key, B=2, T=5, P=3, D=3):
+    k1, k2, k3 = jax.random.split(key, 3)
+    u = np.array(jax.random.normal(k1, (B, T, P)))
+    dur = np.array(jax.random.normal(k2, (P, D)) * 0.5)
+    A = np.array(jax.random.normal(k3, (P, P)) * 0.5)
+    return u, dur, A
+
+
+class TestLogPartition:
+    def test_matches_brute_force(self):
+        u, dur, A = _instance(jax.random.PRNGKey(0))
+        B, T, P = u.shape
+        D = dur.shape[1]
+        logZ = np.asarray(
+            semicrf_log_partition(
+                jnp.asarray(u), jnp.asarray(dur), jnp.asarray(A)
+            )
+        )
+        segs = _enumerate_segmentations(T, P, D)
+        assert len(segs) > 10
+        for b in range(B):
+            scores = [_score_np(u[b], dur, A, s) for s in segs]
+            expected = np.log(np.sum(np.exp(np.array(scores))))
+            np.testing.assert_allclose(logZ[b], expected, rtol=1e-4)
+
+
+class TestDecode:
+    def test_matches_brute_force(self):
+        u, dur, A = _instance(jax.random.PRNGKey(1), B=3, T=6, P=3, D=3)
+        labels = np.asarray(
+            semicrf_decode(jnp.asarray(u), jnp.asarray(dur), jnp.asarray(A))
+        )
+        segs = _enumerate_segmentations(6, 3, 3)
+        for b in range(3):
+            best = max(segs, key=lambda s: _score_np(u[b], dur, A, s))
+            dense = []
+            for (p, d) in best:
+                dense.extend([p] * d)
+            np.testing.assert_array_equal(labels[b], dense)
+
+    def test_duration_cap_respected(self):
+        """With Dmax=2, no decoded segment may exceed 2 bins."""
+        u, dur, A = _instance(jax.random.PRNGKey(2), B=4, T=8, P=3, D=2)
+        u[:, :, 0] += 5.0  # strongly favor purpose 0 everywhere
+        labels = np.asarray(
+            semicrf_decode(jnp.asarray(u), jnp.asarray(dur), jnp.asarray(A))
+        )
+        for b in range(4):
+            run = 1
+            for t in range(1, 8):
+                if labels[b, t] == labels[b, t - 1]:
+                    run += 1
+                    assert run <= 2, f"segment longer than Dmax: {labels[b]}"
+                else:
+                    run = 1
+
+
+class TestNLL:
+    def test_path_score_matches_manual(self):
+        u, dur, A = _instance(jax.random.PRNGKey(3), B=1, T=5, P=3, D=3)
+        labels = np.array([[0, 0, 1, 1, 2]])
+        got = float(
+            semicrf_path_score(
+                jnp.asarray(u), jnp.asarray(labels), jnp.asarray(dur),
+                jnp.asarray(A),
+            )[0]
+        )
+        want = _score_np(u[0], dur, A, [(0, 2), (1, 2), (2, 1)])
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_nll_positive_and_differentiable(self):
+        u, dur, A = _instance(jax.random.PRNGKey(4))
+        labels = jnp.asarray(np.array([[0, 1, 1, 2, 0], [1, 1, 0, 0, 2]]))
+
+        def loss(dur, A):
+            return semicrf_nll(jnp.asarray(u), labels, dur, A)
+
+        nll = float(loss(jnp.asarray(dur), jnp.asarray(A)))
+        assert nll > 0
+        g1, g2 = jax.grad(loss, argnums=(0, 1))(
+            jnp.asarray(dur), jnp.asarray(A)
+        )
+        assert np.all(np.isfinite(np.asarray(g1)))
+        assert np.all(np.isfinite(np.asarray(g2)))
