@@ -1,0 +1,143 @@
+"""Pallas fused RHS kernel vs the flax model, and segment ops vs dense."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ananke_abm_tpu.data_generator.agent_trajectories import (
+    generate_agent_population,
+)
+from ananke_abm_tpu.models.gnn_embed.train import (
+    GATODEConfig,
+    build_model,
+    init_params,
+)
+from ananke_abm_tpu.ops.pallas.fused_rhs import (
+    drift_params_from_gatode,
+    fused_drift_rhs,
+)
+from ananke_abm_tpu.ops.segment import (
+    edge_softmax_attention,
+    gat_edge_layer,
+    person_zone_segment_sum,
+    segment_softmax,
+)
+
+
+class TestFusedRHS:
+    def test_matches_model_rhs(self):
+        cfg = GATODEConfig(
+            zone_dim=16, agent_dim=8, context_dim=8, hidden_dim=16,
+            gat_heads=2, gat_layers=1, num_blocks=1, substeps=1,
+        )
+        d = generate_agent_population(100, num_times=6, num_zones=12, seed=0)
+        model = build_model(cfg, 7, 8)
+        key = jax.random.PRNGKey(0)
+        params = init_params(model, cfg, d, 100, key)
+
+        zone_emb = model.apply(
+            {"params": params}, jnp.asarray(d["zone_features"]),
+            jnp.asarray(d["adj"]), method=model.encode_zones,
+        )
+        x0, h = model.apply(
+            {"params": params}, jnp.asarray(d["person_feats"]),
+            jnp.asarray(d["home_zone"]), zone_emb,
+            method=model.initial_state,
+        )
+        t = jnp.asarray(3.7)
+        want = model.apply(
+            {"params": params}, t, x0, h, zone_emb, method=model.rhs
+        )
+
+        tfeat = jnp.stack(
+            [jnp.sin(t * 2 * jnp.pi / 24), jnp.cos(t * 2 * jnp.pi / 24)]
+        )
+        got = fused_drift_rhs(
+            x0, h, zone_emb, tfeat,
+            *drift_params_from_gatode(params),
+            interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
+        )
+
+    def test_non_tile_multiple_agents(self):
+        """N not a multiple of the tile size pads and truncates correctly."""
+        cfg = GATODEConfig(
+            zone_dim=16, agent_dim=8, context_dim=8, hidden_dim=16,
+            gat_heads=2, gat_layers=1, num_blocks=1, substeps=1,
+        )
+        d = generate_agent_population(700, num_times=4, num_zones=8, seed=1)
+        model = build_model(cfg, 7, 8)
+        params = init_params(model, cfg, d, 700, jax.random.PRNGKey(0))
+        zone_emb = model.apply(
+            {"params": params}, jnp.asarray(d["zone_features"]),
+            jnp.asarray(d["adj"]), method=model.encode_zones,
+        )
+        x0, h = model.apply(
+            {"params": params}, jnp.asarray(d["person_feats"]),
+            jnp.asarray(d["home_zone"]), zone_emb,
+            method=model.initial_state,
+        )
+        t = jnp.asarray(12.0)
+        want = model.apply(
+            {"params": params}, t, x0, h, zone_emb, method=model.rhs
+        )
+        tfeat = jnp.stack(
+            [jnp.sin(t * 2 * jnp.pi / 24), jnp.cos(t * 2 * jnp.pi / 24)]
+        )
+        got = fused_drift_rhs(
+            x0, h, zone_emb, tfeat,
+            *drift_params_from_gatode(params), interpret=True,
+        )
+        assert got.shape == (700, 8)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
+        )
+
+
+class TestSegmentOps:
+    def test_segment_softmax_sums_to_one(self):
+        scores = jnp.asarray(np.random.default_rng(0).normal(size=20))
+        seg = jnp.asarray(np.random.default_rng(1).integers(0, 5, 20))
+        sm = segment_softmax(scores, seg, 5)
+        sums = jax.ops.segment_sum(sm, seg, num_segments=5)
+        present = np.unique(np.asarray(seg))
+        np.testing.assert_allclose(np.asarray(sums)[present], 1.0, rtol=1e-5)
+
+    def test_edge_softmax_attention_matches_dense(self):
+        """Full bipartite edge list == dense softmax attention."""
+        rng = np.random.default_rng(2)
+        Nn, D = 4, 3
+        values = rng.normal(size=(Nn * Nn, D)).astype(np.float32)
+        scores = rng.normal(size=Nn * Nn).astype(np.float32)
+        dst = np.repeat(np.arange(Nn), Nn)
+        out = edge_softmax_attention(
+            jnp.asarray(values), jnp.asarray(scores), jnp.asarray(dst), Nn
+        )
+        S = scores.reshape(Nn, Nn)
+        A = np.exp(S - S.max(1, keepdims=True))
+        A /= A.sum(1, keepdims=True)
+        want = np.einsum("ne,ned->nd", A, values.reshape(Nn, Nn, D))
+        np.testing.assert_allclose(np.asarray(out), want, rtol=1e-5)
+
+    def test_gat_edge_layer_runs(self):
+        rng = np.random.default_rng(3)
+        Z, F, D = 6, 5, 4
+        h = jnp.asarray(rng.normal(size=(Z, F)).astype(np.float32))
+        src = jnp.asarray([0, 1, 2, 3, 4, 5, 0, 2])
+        dst = jnp.asarray([1, 0, 3, 2, 5, 4, 2, 0])
+        W = jnp.asarray(rng.normal(size=(F, D)).astype(np.float32))
+        a1 = jnp.asarray(rng.normal(size=D).astype(np.float32))
+        a2 = jnp.asarray(rng.normal(size=D).astype(np.float32))
+        out = gat_edge_layer(h, src, dst, W, a1, a2)
+        assert out.shape == (Z, D)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_person_zone_segment_sum(self):
+        vals = jnp.ones((10, 2))
+        zones = jnp.asarray([0, 0, 1, 2, 2, 2, 3, 3, 3, 3])
+        out = person_zone_segment_sum(vals, zones, 5)
+        np.testing.assert_array_equal(
+            np.asarray(out[:, 0]), [2, 1, 3, 4, 0]
+        )
