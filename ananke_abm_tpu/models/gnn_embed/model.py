@@ -142,6 +142,7 @@ class GATODE(nn.Module):
         xs = odeint(
             rhs, x0, times,
             method=ode_method, substeps=substeps, rtol=rtol, atol=atol,
+            adjoint=False,  # flax closure holds the params (see mode_sep)
         )  # (T, N, Da)
         xs = jnp.swapaxes(xs, 0, 1)
         logits = self.decode(xs, zone_emb)

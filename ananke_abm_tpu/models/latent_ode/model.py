@@ -190,6 +190,11 @@ class GenerativeODE(nn.Module):
                     rhs, y0, times,
                     method=c.ode_method, rtol=c.rtol, atol=c.atol,
                     substeps=c.rk4_substeps,
+                    # params live in the flax closure -> the adjoint
+                    # custom_vjp cannot see them; dopri5 here is
+                    # forward-only (training uses SDE/RK4 backprop, or
+                    # ode_components.ode_block_solve for adjoint)
+                    adjoint=False,
                 )
             ys = jnp.swapaxes(ys, 0, 1)  # (B, T, D)
 

@@ -157,6 +157,11 @@ class ModeSepModel(nn.Module):
                 rtol=c.rtol,
                 atol=c.atol,
                 substeps=c.rk4_substeps,
+                # params live in the flax closure -> the adjoint custom_vjp
+                # cannot see them; adaptive dopri5 here is forward-only
+                # (training uses checkpointed-RK4/SDE, or ode_components.
+                # ode_block_solve which threads params via args)
+                adjoint=False,
             )
         ys = jnp.swapaxes(ys, 0, 1)  # (B, T, 2E+H)
         p_t, v_t, _ = jnp.split(ys, [E, 2 * E], axis=-1)

@@ -58,7 +58,7 @@ def make_sharded_train_step(model, optimizer, config, mesh, static):
 
         xs = odeint(
             rhs, x0, times, method=config.method, substeps=config.substeps,
-            rtol=config.rtol, atol=config.atol,
+            rtol=config.rtol, atol=config.atol, adjoint=False,
         )
         xs = jnp.swapaxes(xs, 0, 1)  # (N, T, Da)
         logits = model.apply(
