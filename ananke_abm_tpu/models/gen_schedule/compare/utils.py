@@ -244,6 +244,16 @@ def gini_from_count_array(counts: np.ndarray, eps: float = 1e-12) -> float:
 
 
 # ------------------------------------------ run-length segmentation
+def segments_run_length_fast(Y: np.ndarray):
+    """Run-length segmentation via the native C++ kernel when built,
+    falling back to the numpy prefix trick (identical outputs)."""
+    from ananke_abm_tpu.ops import native  # lazy: avoids import cycle
+
+    if native.available():
+        return native.run_length_segments(Y)
+    return segments_run_length(Y)
+
+
 def segments_run_length(Y: np.ndarray):
     """Vectorized run-length segmentation of every row.
 

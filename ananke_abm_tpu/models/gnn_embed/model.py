@@ -26,11 +26,17 @@ from ananke_abm_tpu.ode import odeint
 
 
 class AgentDrift(nn.Module):
-    """dx/dt = f([x, ctx, h, sin t, cos t]) with residual MLP."""
+    """dx/dt = f([x, ctx, h, sin t, cos t]) with residual MLP.
+
+    ``dtype`` is the computation dtype: bfloat16 feeds the MXU at full
+    rate while params stay float32; the returned derivative is cast back
+    to float32 so integrator state/accumulation stays full precision.
+    """
 
     agent_dim: int
     hidden_dim: int
     num_blocks: int = 2
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, ctx, h, t):
@@ -38,14 +44,16 @@ class AgentDrift(nn.Module):
         sin_t = jnp.broadcast_to(jnp.sin(t * 2 * jnp.pi / 24.0), (n, 1))
         cos_t = jnp.broadcast_to(jnp.cos(t * 2 * jnp.pi / 24.0), (n, 1))
         z = jnp.concatenate([x, ctx, h, sin_t, cos_t], axis=-1)
-        z = nn.Dense(self.hidden_dim)(z)
+        z = z.astype(self.dtype)
+        z = nn.Dense(self.hidden_dim, dtype=self.dtype)(z)
         z = nn.tanh(z)
         for _ in range(self.num_blocks):
-            r = nn.Dense(self.hidden_dim)(z)
+            r = nn.Dense(self.hidden_dim, dtype=self.dtype)(z)
             r = nn.tanh(r)
-            r = nn.Dense(self.hidden_dim)(r)
+            r = nn.Dense(self.hidden_dim, dtype=self.dtype)(r)
             z = nn.tanh(z + r)
-        return nn.Dense(self.agent_dim)(z)
+        out = nn.Dense(self.agent_dim, dtype=self.dtype)(z)
+        return out.astype(jnp.float32)
 
 
 class GATODE(nn.Module):
@@ -61,6 +69,7 @@ class GATODE(nn.Module):
     gat_layers: int = 2
     num_blocks: int = 2
     attn_temp: float = 1.0
+    compute_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.zone_gat = ZoneGAT(
@@ -76,6 +85,7 @@ class GATODE(nn.Module):
             agent_dim=self.agent_dim,
             hidden_dim=self.hidden_dim,
             num_blocks=self.num_blocks,
+            dtype=self.compute_dtype,
         )
         self.init_proj = nn.Dense(self.agent_dim)
         self.decode_proj = nn.Dense(self.zone_dim, use_bias=False)
@@ -85,13 +95,15 @@ class GATODE(nn.Module):
 
     def zone_attention(self, x, zone_emb):
         """Bipartite person->zone attention. x: (N, Da) -> ctx (N, Dz)."""
-        q = self.query_proj(x)  # (N, Dz)
+        dt = self.compute_dtype
+        q = self.query_proj(x).astype(dt)  # (N, Dz)
+        ze = zone_emb.astype(dt)
         scores = jnp.einsum(
-            "nd,zd->nz", q, zone_emb, preferred_element_type=jnp.float32
+            "nd,zd->nz", q, ze, preferred_element_type=jnp.float32
         ) / (self.attn_temp * jnp.sqrt(float(zone_emb.shape[-1])))
-        attn = jax.nn.softmax(scores, axis=-1)
+        attn = jax.nn.softmax(scores, axis=-1).astype(dt)
         return jnp.einsum(
-            "nz,zd->nd", attn, zone_emb, preferred_element_type=jnp.float32
+            "nz,zd->nd", attn, ze, preferred_element_type=jnp.float32
         )
 
     def initial_state(self, person_feats, home_zone_ids, zone_emb):

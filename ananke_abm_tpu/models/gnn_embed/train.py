@@ -42,6 +42,7 @@ class GATODEConfig:
     grad_clip: float = 1.0
     batch_size: int = 4096
     epochs: int = 10
+    compute_dtype: str = "float32"  # "bfloat16" feeds the MXU at full rate
 
 
 def build_model(config: GATODEConfig, num_zone_features: int, person_feat_dim: int):
@@ -55,6 +56,9 @@ def build_model(config: GATODEConfig, num_zone_features: int, person_feat_dim: i
         gat_heads=config.gat_heads,
         gat_layers=config.gat_layers,
         num_blocks=config.num_blocks,
+        compute_dtype=jnp.bfloat16
+        if config.compute_dtype == "bfloat16"
+        else jnp.float32,
     )
 
 

@@ -23,7 +23,7 @@ BASELINE_CACHE = os.path.join(REPO, "BASELINE_SELF.json")
 
 # Workload: BASELINE config 2 — synthetic population, fixed-step RK4
 # forward-only, day horizon. Model dims = production defaults.
-N_AGENTS = 16384
+N_AGENTS = 65536  # throughput sweet spot on v5e: logits buffer stays < 1GB
 NUM_TIMES = 48  # 30-min output grid over 24h
 SUBSTEPS = 2  # RK4 substeps per interval -> 96 RK4 steps/day
 NUM_ZONES = 64
