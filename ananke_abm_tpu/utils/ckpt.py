@@ -39,3 +39,29 @@ def save_checkpoint(obj: dict, path: str):
 def load_checkpoint(path: str) -> dict:
     with open(path, "rb") as f:
         return pickle.load(f)
+
+
+class AsyncCheckpointer:
+    """Orbax-style asynchronous checkpointing (SURVEY.md §5): device->host
+    transfer happens on the caller thread (cheap, and required before the
+    arrays can be mutated by the next step), the disk write runs on a
+    background thread so training never blocks on IO. ``wait()`` joins the
+    in-flight write; a new save waits for the previous one first."""
+
+    def __init__(self):
+        self._thread = None
+
+    def save(self, obj: dict, path: str):
+        import threading
+
+        self.wait()
+        host_obj = _to_host(obj)
+        self._thread = threading.Thread(
+            target=save_checkpoint, args=(host_obj, path), daemon=True
+        )
+        self._thread.start()
+
+    def wait(self):
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None

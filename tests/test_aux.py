@@ -118,3 +118,17 @@ class TestODEBlock:
         )
         assert float(jnp.abs(g_x0).max()) > 0
         assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+
+
+class TestAsyncCheckpointer:
+    def test_async_save_and_reload(self, tmp_path):
+        from ananke_abm_tpu.utils.ckpt import AsyncCheckpointer, load_checkpoint
+
+        ck = AsyncCheckpointer()
+        p = str(tmp_path / "a.ckpt")
+        for step in range(3):
+            ck.save({"step": step, "x": jnp.ones((4,)) * step}, p)
+        ck.wait()
+        obj = load_checkpoint(p)
+        assert obj["step"] == 2
+        np.testing.assert_array_equal(obj["x"], np.ones(4) * 2)
