@@ -7,9 +7,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import List
 
-import numpy as np
 import pandas as pd
 
 from ananke_abm_tpu.data_generator.mock_world import (

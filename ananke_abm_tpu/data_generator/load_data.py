@@ -3,7 +3,6 @@ timelines -> trajectories dict + people/zones DataFrames + adjacency with
 self loops."""
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 
 from ananke_abm_tpu.data_generator.mock_world import (

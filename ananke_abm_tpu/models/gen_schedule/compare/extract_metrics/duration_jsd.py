@@ -17,7 +17,6 @@ import numpy as np
 
 from ananke_abm_tpu.losses.jsd import jsd
 from ananke_abm_tpu.models.gen_schedule.compare.utils import (
-    decode_ngram,
     ensure_dir,
     segments_run_length,
 )

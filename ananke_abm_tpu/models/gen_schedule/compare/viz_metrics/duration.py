@@ -9,7 +9,6 @@ import matplotlib
 
 matplotlib.use("Agg")
 import matplotlib.pyplot as plt
-import numpy as np
 
 from ananke_abm_tpu.models.gen_schedule.compare.utils import (
     segments_run_length,

@@ -17,7 +17,6 @@ TPU-first design:
 """
 from __future__ import annotations
 
-import functools
 import json
 import os
 import time

@@ -8,7 +8,6 @@ ananke_abm_tpu/parallel/sharded.py.
 from __future__ import annotations
 
 import dataclasses
-import functools
 import os
 import time
 

@@ -13,8 +13,6 @@ shape — no per-step host work, no recompiles.
 from __future__ import annotations
 
 import dataclasses
-import functools
-import json
 import os
 import time
 

@@ -37,6 +37,7 @@ def generate_trajectories(
     use_samples: bool = True,
     crf_mode: str | None = None,
     semi_Dmax_minutes: int | None = None,
+    enforce_nonhome: bool = False,
 ):
     """Returns (Y (num_gen, L) int labels, meta dict)."""
     obj = load_checkpoint(ckpt_path)
@@ -84,6 +85,10 @@ def generate_trajectories(
                 dur = jnp.pad(dur, ((0, 0), (0, pad)), constant_values=-1e9)
             return semicrf_decode(logits, dur, cp["A"])
         u = logits + cp.get("bias", jnp.zeros(P))[None, None, :]
+        if enforce_nonhome and "Home" in purpose_map:
+            return viterbi_decode_no_all_home(
+                u, cp["A"], purpose_map["Home"]
+            )
         return viterbi_decode(u, cp["A"])
 
     key = jax.random.PRNGKey(seed)

@@ -26,7 +26,6 @@ from ananke_abm_tpu.ode.tree import (
     tree_map,
     tree_stack_buffer,
     tree_where,
-    tree_zeros_like,
 )
 
 # Dormand–Prince 5(4) tableau.

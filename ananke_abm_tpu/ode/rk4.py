@@ -10,8 +10,6 @@ long horizons (the "scan-remat" design from SURVEY.md §5).
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
