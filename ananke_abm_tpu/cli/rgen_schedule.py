@@ -33,11 +33,18 @@ def prepare(activities, grid, out, val_frac, seed):
 @click.option("--seed", type=int, default=123)
 @click.option("--resume", is_flag=True, default=False,
               help="Restore params/opt state from last.ckpt and continue.")
-def fit(config, output_dir, seed, resume):
+@click.option("--data-parallel", is_flag=True, default=False,
+              help="Shard batches over all attached devices (agents axis).")
+def fit(config, output_dir, seed, resume, data_parallel):
     """Train a schedule VAE from a YAML/JSON config."""
     from ananke_abm_tpu.models.gen_schedule.pipeline.train import train
 
-    train(config, output_dir, seed, resume=resume)
+    mesh = None
+    if data_parallel:
+        from ananke_abm_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(zone_parallel=1)
+    train(config, output_dir, seed, resume=resume, mesh=mesh)
     click.echo(f"Training complete in {output_dir}")
 
 

@@ -101,8 +101,28 @@ def make_loss_fn(model, home_idx, lambdas, pds_arrays):
     return loss_fn
 
 
-def make_epoch_fns(model, optimizer, home_idx, lambdas, pds_arrays, batch_size):
+def make_epoch_fns(
+    model, optimizer, home_idx, lambdas, pds_arrays, batch_size, mesh=None
+):
+    """``mesh``: optional (agents x zones) Mesh for data-parallel training —
+    the gathered batch shards its leading (agent) axis across the mesh;
+    params stay replicated and GSPMD inserts the gradient psum. The grid
+    array Y is small (VISTA scale: 42817 x 288 int32 = 49 MB) so it stays
+    replicated."""
     loss_fn = make_loss_fn(model, home_idx, lambdas, pds_arrays)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ananke_abm_tpu.parallel.mesh import AGENT_AXIS
+
+        def shard_rows(x):
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P(AGENT_AXIS))
+            )
+    else:
+        def shard_rows(x):
+            return x
 
     @functools.partial(jax.jit, static_argnames=("n_batches",))
     def train_epoch(params, opt_state, Y, key, beta, n_batches):
@@ -118,10 +138,10 @@ def make_epoch_fns(model, optimizer, home_idx, lambdas, pds_arrays, batch_size):
         def step(carry, i):
             params, opt_state = carry
             bidx = jax.lax.dynamic_slice_in_dim(idx, i * batch_size, batch_size)
-            bmask = jax.lax.dynamic_slice_in_dim(
-                mask_full, i * batch_size, batch_size
+            bmask = shard_rows(
+                jax.lax.dynamic_slice_in_dim(mask_full, i * batch_size, batch_size)
             )
-            batch = Y[bidx]
+            batch = shard_rows(Y[bidx])
             rng = jax.random.fold_in(key, i + 1)
             grads, comps = jax.grad(loss_fn, has_aux=True)(
                 params, batch, bmask, rng, beta, False
@@ -166,8 +186,10 @@ def make_epoch_fns(model, optimizer, home_idx, lambdas, pds_arrays, batch_size):
     return train_epoch, eval_epoch
 
 
-def train(config, output_dir: str, seed: int = 123, resume: bool = False):
-    """Train a schedule VAE. ``config`` is a path or a dict."""
+def train(config, output_dir: str, seed: int = 123, resume: bool = False,
+          mesh=None):
+    """Train a schedule VAE. ``config`` is a path or a dict. ``mesh``
+    enables data-parallel batch sharding (see make_epoch_fns)."""
     cfg = load_config(config) if isinstance(config, str) else config
     base_key = set_seed(seed)
 
@@ -250,7 +272,8 @@ def train(config, output_dir: str, seed: int = 123, resume: bool = False):
         start_epoch = int(obj.get("epoch", 0)) + 1
 
     train_epoch, eval_epoch = make_epoch_fns(
-        model, optimizer, home_idx, lambdas, pds_arrays, batch_size
+        model, optimizer, home_idx, lambdas, pds_arrays, batch_size,
+        mesh=mesh,
     )
 
     num_epochs = int(tr["epochs"])
