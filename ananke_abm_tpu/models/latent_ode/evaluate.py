@@ -47,6 +47,44 @@ def evaluate(
             "n_events": int(len(s["times"])),
         }
 
+    # per-person stochastic rollouts vs ground truth (zone/purpose/mode
+    # subplots, reference evaluate.py:61-133)
+    if make_plots:
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            for i, pid in enumerate(person_ids):
+                s = get_person_sample(pid, engine.config)
+                fig, axes = plt.subplots(3, 1, figsize=(10, 8), sharex=True)
+                panels = (
+                    ("zone", preds["zones"][i], s["times"], s["trajectory_y"]),
+                    ("purpose", preds["purposes"][i], s["times"],
+                     s["target_purpose_ids"]),
+                    ("mode", preds["modes"][i], s["times"], s["target_mode_ids"]),
+                )
+                for ax, (name, samples_arr, gt_t, gt_v) in zip(axes, panels):
+                    for k in range(samples_arr.shape[0]):
+                        ax.step(times, samples_arr[k], where="post",
+                                alpha=0.5, lw=0.9,
+                                label="sample" if k == 0 else None)
+                    ax.scatter(gt_t, gt_v, color="black", s=22, zorder=3,
+                               label="ground truth")
+                    ax.set_ylabel(name)
+                    ax.legend(fontsize=7, loc="upper right")
+                axes[-1].set_xlabel("hour of day")
+                fig.suptitle(f"{s['person_name']}: stochastic rollouts vs GT")
+                fig.tight_layout()
+                fig.savefig(
+                    os.path.join(outdir, f"rollout_{s['person_name']}.png"),
+                    dpi=110,
+                )
+                plt.close(fig)
+        except ImportError:
+            pass
+
     # loss-history plot if available
     hist_path = os.path.join(os.path.dirname(ckpt_path), "loss_history.npz")
     if make_plots and os.path.exists(hist_path):
