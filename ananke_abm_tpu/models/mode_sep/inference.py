@@ -111,4 +111,29 @@ def run_inference(
         pred_emb=emb_d,
         person_ids=np.array([p.person_id for p in people]),
     )
+
+    # per-person trajectory PNGs (reference inference.py writes these too)
+    try:
+        from ananke_abm_tpu.models.mode_sep.viz import plot_person_trajectory
+
+        table = np.asarray(params["class_table"])
+        for i, p in enumerate(people):
+            v_abs = np.linalg.norm(v_d[i], axis=-1)
+            emb_dist = np.linalg.norm(
+                emb_d[i][:, None, :] - table[None, :, :], axis=-1
+            ).min(-1)
+            plot_person_trajectory(
+                dense_times,
+                logits_d[i].argmax(-1),
+                shared.zone_names,
+                os.path.join(outdir, f"trajectory_{p.person_name}.png"),
+                v_abs=v_abs,
+                emb_dist=emb_dist,
+                stay_intervals=p.stay_segments,
+                tau_stay=config.tau_stay_embed,
+                v_band=(config.v_min_move, config.v_max_move),
+                title=f"{p.person_name} dense rollout",
+            )
+    except ImportError:
+        pass
     return pred_df

@@ -245,3 +245,57 @@ class TestEndToEnd:
         }
         result = train(cfg, os.path.join(root, "run_rnn"), seed=1)
         assert result["epochs_ran"] == 1
+
+
+class TestAutoPDS:
+    def test_phase2_auto_pds_end_to_end(self, tmp_path):
+        """compute-pds -> fit auto_pds (with ToD/presence losses) -> sample."""
+        import json
+
+        from ananke_abm_tpu.data_generator.population import (
+            generate_population_activities,
+        )
+        from ananke_abm_tpu.dataio.rasterize import prepare_from_csv
+        from ananke_abm_tpu.models.gen_schedule.pds import compute_pds
+        from ananke_abm_tpu.models.gen_schedule.pipeline.sample import sample
+        from ananke_abm_tpu.models.gen_schedule.pipeline.train import train
+
+        csv = str(tmp_path / "a.csv")
+        generate_population_activities(80, seed=4).to_csv(csv, index=False)
+        grid = str(tmp_path / "g.npz")
+        prepare_from_csv(csv, grid, grid_min=60, val_frac=0.2, seed=1)
+        compute_pds(
+            grid, str(tmp_path / "p"), grid_min=60,
+            purpose_json=grid.replace(".npz", "_purpose_map.json"),
+        )
+        cfg = {
+            "data": {"npz": grid},
+            "train": {
+                "epochs": 2, "min_epochs": 2, "patience": 0,
+                "batch_size": 32, "lr": 1e-3, "weight_decay": 1e-4,
+                "grad_clip": 5.0, "beta_target": 1.0, "beta_warm_frac": 0.5,
+                "lambda_tv": 0.02, "lambda_home": 0.2,
+                "lambda_tod": 0.3, "lambda_presence": 0.3,
+            },
+            "model": {
+                "method": "auto_pds", "z_dim": 4, "emb_dim": 16,
+                "cnn_channels": [16], "cnn_kernel": 3, "cnn_dropout": 0.1,
+                "pds_path": str(tmp_path / "p_pds.npz"),
+            },
+        }
+        out = str(tmp_path / "run")
+        res = train(cfg, out, seed=1)
+        assert res["epochs_ran"] == 2
+        import pandas as pd
+
+        log = pd.read_csv(os.path.join(out, "training_log.csv"))
+        assert (log["train_tod"] > 0).all()  # PDS losses active
+        assert (log["train_presence"] > 0).all()
+
+        prefix = str(tmp_path / "s")
+        sample(
+            os.path.join(out, "checkpoints", "best_val.ckpt"),
+            num_samples=20, outprefix=prefix, seed=3,
+        )
+        with open(prefix + "_meta.json") as f:
+            assert json.load(f)["pds_method"] == "auto_pds"
