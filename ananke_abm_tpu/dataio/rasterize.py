@@ -73,6 +73,21 @@ def rasterize_frame(
     nominal = start // grid_min
     bins = np.maximum(1, -(-dur // grid_min))  # ceil
 
+    pid = df[PURPOSE_COL].map(purpose_map).to_numpy(dtype=np.int64)
+
+    # native fast path: one linear C pass over the sorted activities
+    # (numpy prefix-recurrence fallback below; outputs are identical —
+    # tests cross-check the two)
+    from ananke_abm_tpu.ops import native as _native
+
+    Y_native = _native.rasterize_fill(
+        person_row, nominal, bins, pid, n_persons, L
+    )
+    if Y_native is not None:
+        home_idx = purpose_map.get(HOME_NAME, 0)
+        Y_native = ensure_homebound(Y_native, home_idx, copy=False)
+        return Y_native, uniq_pers.tolist()
+
     # prefix recurrence per person: start_i = max(nominal_i, end_{i-1})
     # end_i = start_i + bins_i (pre-clip). Closed form via grouped cummax.
     s = pd.Series(persid)
@@ -88,10 +103,6 @@ def rasterize_frame(
     lengths = b_c - a_c
     valid = lengths > 0
 
-    pid = (
-        df[PURPOSE_COL].map(purpose_map).to_numpy(dtype=np.int64)
-    )
-
     Y = np.zeros((n_persons, L), dtype=np.int64)
     if valid.any():
         av, lv, rows, pv = a_c[valid], lengths[valid], person_row[valid], pid[valid]
@@ -103,11 +114,13 @@ def rasterize_frame(
         Y.reshape(-1)[np.repeat(starts_flat, lv) + offsets] = np.repeat(pv, lv)
 
     home_idx = purpose_map.get(HOME_NAME, 0)
-    Y = ensure_homebound(Y, home_idx)
+    Y = ensure_homebound(Y, home_idx, copy=False)
     return Y, uniq_pers.tolist()
 
 
-def ensure_homebound(Y: np.ndarray, home_idx: int, buffer_size: int = 1):
+def ensure_homebound(
+    Y: np.ndarray, home_idx: int, buffer_size: int = 1, copy: bool = True
+):
     """Vectorized home-bound post-process (reference
     _ensure_homebound_postprocess, rasterize.py:69-135).
 
@@ -115,8 +128,11 @@ def ensure_homebound(Y: np.ndarray, home_idx: int, buffer_size: int = 1):
     Home run immediately before it is longer than ``buffer_size``, shift
     the trailing run back by ``buffer_size`` bins and fill the end with
     Home; otherwise force the final ``buffer_size`` bins to Home.
+    ``copy=False`` mutates Y in place (used on freshly built grids — at
+    1M x 288 the defensive copy alone is 2+ GB of traffic).
     """
-    Y = Y.copy()
+    if copy:
+        Y = Y.copy()
     N, L = Y.shape
     bad = Y[:, -1] != home_idx
     if not bad.any():

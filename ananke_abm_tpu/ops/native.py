@@ -61,6 +61,8 @@ def _load():
     lib.tod_counts.restype = None
     lib.ngram_start_hist.argtypes = [p64, i64, i64, i64, i64, p64]
     lib.ngram_start_hist.restype = None
+    lib.rasterize_fill.argtypes = [p64, p64, p64, p64, i64, i64, p64]
+    lib.rasterize_fill.restype = None
     _lib = lib
     return _lib
 
@@ -140,3 +142,22 @@ def ngram_start_hist_dense(Y: np.ndarray, n: int, P: int) -> np.ndarray:
     t_idx = np.tile(np.arange(Tn), N)
     np.add.at(hist, (codes.ravel(), t_idx), 1)
     return hist
+
+
+def rasterize_fill(person_row, nominal, bins, pid, n_persons, L):
+    """Native monotone push-forward rasterization. Returns (n_persons, L)
+    int64 or None when the native lib is unavailable (caller falls back to
+    the numpy prefix-recurrence path)."""
+    lib = _load()
+    if lib is None:
+        return None
+    person_row = np.ascontiguousarray(person_row, dtype=np.int64)
+    nominal = np.ascontiguousarray(nominal, dtype=np.int64)
+    bins = np.ascontiguousarray(bins, dtype=np.int64)
+    pid = np.ascontiguousarray(pid, dtype=np.int64)
+    Y = np.zeros((n_persons, L), dtype=np.int64)
+    lib.rasterize_fill(
+        person_row, nominal, bins, pid, person_row.shape[0], L,
+        Y.reshape(-1),
+    )
+    return Y

@@ -91,3 +91,36 @@ void ngram_start_hist(const int64_t* Y, int64_t N, int64_t T, int64_t n,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Rasterizer core: monotone push-forward bin assignment + interval fill.
+// Inputs are per-activity arrays sorted by (person, stopno):
+//   person_row: row index of the activity's person (0..n_persons-1)
+//   nominal:    starttime // grid_min
+//   bins:       ceil(duration / grid_min), >= 1
+//   pid:        purpose id
+// Y: (n_persons * L) int64, pre-zeroed.
+void rasterize_fill(const int64_t* person_row, const int64_t* nominal,
+                    const int64_t* bins, const int64_t* pid,
+                    int64_t n_acts, int64_t L, int64_t* Y) {
+    int64_t prev_person = -1;
+    int64_t next_free = 0;
+    for (int64_t i = 0; i < n_acts; ++i) {
+        const int64_t r = person_row[i];
+        if (r != prev_person) {
+            prev_person = r;
+            next_free = 0;
+        }
+        int64_t a = nominal[i] > next_free ? nominal[i] : next_free;
+        if (a >= L) continue;  // truncated past the horizon
+        int64_t b = a + bins[i];
+        if (b > L) b = L;
+        int64_t* row = Y + r * L;
+        const int64_t p = pid[i];
+        for (int64_t t = a; t < b; ++t) row[t] = p;
+        next_free = b;
+    }
+}
+
+}  // extern "C"

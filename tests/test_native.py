@@ -60,3 +60,29 @@ class TestNative:
         native.run_length_segments(Yb)
         dt = time.time() - t0
         assert dt < 10.0, f"native counting too slow: {dt:.1f}s"
+
+    def test_rasterize_fill_matches_numpy(self):
+        """Native rasterizer == numpy prefix-recurrence path."""
+        import pandas as pd
+
+        from ananke_abm_tpu.data_generator.population import (
+            generate_population_activities,
+        )
+        from ananke_abm_tpu.dataio.rasterize import (
+            build_purpose_map,
+            rasterize_frame,
+        )
+        from ananke_abm_tpu.ops import native as nat
+
+        df = generate_population_activities(200, seed=6)
+        pm = build_purpose_map(df["purpose"])
+        Y_fast, _ = rasterize_frame(df, pm, grid_min=15)
+
+        # force the numpy path by monkeypatching availability
+        orig = nat.rasterize_fill
+        try:
+            nat.rasterize_fill = lambda *a, **k: None
+            Y_np, _ = rasterize_frame(df, pm, grid_min=15)
+        finally:
+            nat.rasterize_fill = orig
+        np.testing.assert_array_equal(Y_fast, Y_np)
