@@ -52,8 +52,6 @@ def _resolve_splits_path(cfg: dict) -> str:
     p = data.get("splits") or data.get("split_pt") or ""
     if p.endswith(".pt"):  # reference-style config pointing at torch splits
         p = p[: -len(".pt")] + ".npz"
-        if not p.endswith("_splits.npz"):
-            pass
     if not p:
         p = data["npz"].replace(".npz", "_splits.npz")
     return p

@@ -106,16 +106,13 @@ def semicrf_path_score(unaries_btp, labels_bt, dur_scores_pd, A_pp):
     trans = trans.at[:, 0].set(0.0)
     trans_score = trans.sum(axis=1)
 
-    # duration score per segment: distance between consecutive starts
+    # duration score per segment: each frame maps to its segment's start
+    # position (running max of start positions), then frames scatter-add
+    # onto that start to get per-segment lengths
     pos = jnp.arange(T)[None, :]
-    start_pos = jnp.where(is_start, pos, -1)
-    last_start = jax.lax.associative_scan(
+    seg_id = jax.lax.associative_scan(
         jnp.maximum, jnp.where(is_start, pos, -1), axis=1
     )
-    # segment length at each start = next start - this start
-    # compute via scanning from the right: for each start position, the
-    # run length is count of frames with the same last_start
-    seg_id = last_start  # (B, T) the start position of the frame's segment
     ones = jnp.ones_like(labels_bt)
     # length of each segment: scatter-add frames onto their start position
     lengths = jnp.zeros((B, T), unaries_btp.dtype)
