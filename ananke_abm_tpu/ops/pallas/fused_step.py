@@ -1,0 +1,213 @@
+"""Full RK4 step of the GAT-ODE as ONE Pallas kernel, bf16 MXU compute.
+
+Motivation (measured, CLAUDE.md): at production dims the XLA-fused RHS runs
+at ~60% of f32 MXU peak and is compute-bound; flax-level bf16 was a wash
+because XLA scatters converts around every op. This kernel owns the
+conversion points instead: weights are pre-converted to bf16 once per
+solve, each agent tile is converted on load, all eight matmuls per stage
+run bf16 x bf16 -> f32 on the MXU, and the state update accumulates in
+f32. One kernel per step also keeps all four stages' intermediates in
+VMEM — x is read from HBM once and written once per full RK4 step instead
+of once per stage.
+
+Matches ``GATODE.rhs`` with num_blocks=1, attn_temp=1.0 (the same contract
+as ops/pallas/fused_rhs.py).
+
+Measured crossover (TPU v5e): at the default small dims (Da=32, Dz=64,
+hidden=128) XLA's fusion still wins (~20%); at MXU-aligned dims (Da=128,
+Dz=128, hidden=256, Z=512) this kernel is ~35% FASTER than the XLA f32
+path (2539 vs 3418 us per 32k-agent RK4 step) with ~7e-4 relative
+deviation. Rule of thumb: use the kernel when the contraction dims reach
+the 128-lane tile.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_N = 1024
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def pack_weights_bf16(params):
+    """GATODE flax params -> bf16 weight tuple for the kernel
+    (num_blocks == 1)."""
+    d = params["drift"]
+    to = lambda x: jnp.asarray(x, jnp.bfloat16)
+    return (
+        to(params["query_proj"]["kernel"]),
+        to(d["Dense_0"]["kernel"]), to(d["Dense_0"]["bias"]),
+        to(d["Dense_1"]["kernel"]), to(d["Dense_1"]["bias"]),
+        to(d["Dense_2"]["kernel"]), to(d["Dense_2"]["bias"]),
+        to(d["Dense_3"]["kernel"]), to(d["Dense_3"]["bias"]),
+    )
+
+
+def rk4_step_fused(
+    x, h, zone_emb_bf16, weights_bf16, t0, dt, *, interpret=None
+):
+    """One RK4 step x(t0) -> x(t0 + dt) for the GAT-ODE drift.
+
+    x: (N, Da) f32; h: (N, H) f32; zone_emb_bf16: (Z, Dz) bf16;
+    weights_bf16: tuple from :func:`pack_weights_bf16`; t0, dt: scalars.
+    Returns (N, Da) f32.
+    """
+    N, Da = x.shape
+    Z, Dz = zone_emb_bf16.shape
+    H = h.shape[1]
+    (Wq, W1, b1, Wr1, br1, Wr2, br2, W3, b3) = weights_bf16
+    if interpret is None:
+        interpret = not _on_tpu()
+
+    n_tiles = -(-N // TILE_N)
+    pad = n_tiles * TILE_N - N
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+        h = jnp.pad(h, ((0, pad), (0, 0)))
+
+    scale = np.float32(1.0 / np.sqrt(float(Dz)))
+    # RK4 stage times as sin/cos features, precomputed host-side per step
+    stage_t = jnp.stack([t0, t0 + dt / 2, t0 + dt / 2, t0 + dt])
+    ang = stage_t * (2 * np.pi / 24.0)
+    tfeat = jnp.stack([jnp.sin(ang), jnp.cos(ang)], axis=-1)  # (4, 2)
+    tfeat = tfeat.astype(jnp.bfloat16)
+    dt32 = jnp.asarray(dt, jnp.float32)
+
+    def kernel(x_ref, h_ref, ze_ref, tf_ref, dt_ref,
+               wq_ref, w1_ref, b1_ref, wr1_ref, br1_ref,
+               wr2_ref, br2_ref, w3_ref, b3_ref, out_ref):
+        x0 = x_ref[:]  # (TILE_N, Da) f32
+        hb = h_ref[:].astype(jnp.bfloat16)
+        ze = ze_ref[:]  # bf16
+        step = dt_ref[0]
+
+        def rhs(xs, stage):
+            xb = xs.astype(jnp.bfloat16)
+            q = jnp.dot(xb, wq_ref[:], preferred_element_type=jnp.float32)
+            scores = (
+                jnp.dot(
+                    q.astype(jnp.bfloat16), ze.T,
+                    preferred_element_type=jnp.float32,
+                )
+                * scale
+            )
+            attn = jax.nn.softmax(scores, axis=-1).astype(jnp.bfloat16)
+            ctx = jnp.dot(attn, ze, preferred_element_type=jnp.float32)
+            tf = jnp.broadcast_to(tf_ref[stage][None, :], (xb.shape[0], 2))
+            feats = jnp.concatenate(
+                [xb, ctx.astype(jnp.bfloat16), hb, tf], axis=-1
+            )
+            z = jnp.tanh(
+                jnp.dot(feats, w1_ref[:], preferred_element_type=jnp.float32)
+                + b1_ref[:].astype(jnp.float32)
+            )
+            r = jnp.tanh(
+                jnp.dot(
+                    z.astype(jnp.bfloat16), wr1_ref[:],
+                    preferred_element_type=jnp.float32,
+                )
+                + br1_ref[:].astype(jnp.float32)
+            )
+            r = (
+                jnp.dot(
+                    r.astype(jnp.bfloat16), wr2_ref[:],
+                    preferred_element_type=jnp.float32,
+                )
+                + br2_ref[:].astype(jnp.float32)
+            )
+            z = jnp.tanh(z + r)
+            return (
+                jnp.dot(
+                    z.astype(jnp.bfloat16), w3_ref[:],
+                    preferred_element_type=jnp.float32,
+                )
+                + b3_ref[:].astype(jnp.float32)
+            )
+
+        k1 = rhs(x0, 0)
+        k2 = rhs(x0 + (step * 0.5) * k1, 1)
+        k3 = rhs(x0 + (step * 0.5) * k2, 2)
+        k4 = rhs(x0 + step * k3, 3)
+        out_ref[:] = x0 + (step / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+
+    def rep(arr):
+        shape = arr.shape
+        if len(shape) == 1:
+            return pl.BlockSpec(shape, lambda i: (0,), memory_space=pltpu.VMEM)
+        return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((TILE_N, Da), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_N, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            rep(zone_emb_bf16),
+            rep(tfeat),
+            pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
+            rep(Wq), rep(W1), rep(b1), rep(Wr1), rep(br1),
+            rep(Wr2), rep(br2), rep(W3), rep(b3),
+        ],
+        out_specs=pl.BlockSpec(
+            (TILE_N, Da), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * TILE_N, Da), jnp.float32),
+        interpret=interpret,
+    )(
+        x, h, zone_emb_bf16, tfeat, dt32[None],
+        Wq, W1, b1, Wr1, br1, Wr2, br2, W3, b3,
+    )
+    return out[:N]
+
+
+def make_pallas_rollout(model, params, zone_feats, adj, times, substeps=2):
+    """Jitted decoded rollout driven by the fused bf16 RK4 step kernel.
+    Returns rollout(person_feats, home_zone_ids) -> (N, T) int32 ids."""
+    zone_emb = model.apply(
+        {"params": params}, zone_feats, adj, method=model.encode_zones
+    )
+    ze_bf16 = zone_emb.astype(jnp.bfloat16)
+    weights = pack_weights_bf16(params)
+
+    @jax.jit
+    def rollout(person_feats, home_zone_ids):
+        x0, h = model.apply(
+            {"params": params}, person_feats, home_zone_ids, zone_emb,
+            method=model.initial_state,
+        )
+
+        def decode_ids(x):
+            logits = model.apply(
+                {"params": params}, x, zone_emb, method=model.decode
+            )
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+        def interval(x, t0t1):
+            t0, t1 = t0t1
+            dt = (t1 - t0) / substeps
+
+            def sub(i, x):
+                return rk4_step_fused(
+                    x, h, ze_bf16, weights, t0 + i * dt, dt
+                )
+
+            x = jax.lax.fori_loop(0, substeps, sub, x)
+            return x, decode_ids(x)
+
+        y0 = decode_ids(x0)
+        _, tail = jax.lax.scan(interval, x0, (times[:-1], times[1:]))
+        ids = jnp.concatenate([y0[None], tail], axis=0)
+        return jnp.swapaxes(ids, 0, 1)
+
+    return rollout

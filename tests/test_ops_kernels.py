@@ -141,3 +141,45 @@ class TestSegmentOps:
         np.testing.assert_array_equal(
             np.asarray(out[:, 0]), [2, 1, 3, 4, 0]
         )
+
+
+class TestFusedStep:
+    def test_full_rk4_step_matches_f32(self):
+        """bf16 fused-step kernel == f32 RK4 step within bf16 tolerance."""
+        from ananke_abm_tpu.ode.rk4 import _rk4_step
+        from ananke_abm_tpu.ops.pallas.fused_step import (
+            pack_weights_bf16,
+            rk4_step_fused,
+        )
+
+        cfg = GATODEConfig(
+            num_blocks=1, substeps=1, zone_dim=16, agent_dim=8,
+            context_dim=8, hidden_dim=16, gat_heads=2, gat_layers=1,
+        )
+        model = build_model(cfg, 7, 8)
+        d = generate_agent_population(70, num_times=4, num_zones=12, seed=0)
+        params = init_params(model, cfg, d, 70, jax.random.PRNGKey(0))
+        ze = model.apply(
+            {"params": params}, jnp.asarray(d["zone_features"]),
+            jnp.asarray(d["adj"]), method=model.encode_zones,
+        )
+        x0, h = model.apply(
+            {"params": params}, jnp.asarray(d["person_feats"]),
+            jnp.asarray(d["home_zone"]), ze, method=model.initial_state,
+        )
+        w = pack_weights_bf16(params)
+        got = rk4_step_fused(
+            x0, h, ze.astype(jnp.bfloat16), w,
+            jnp.asarray(2.0), jnp.asarray(0.5), interpret=True,
+        )
+        want = _rk4_step(
+            lambda t, y, a: model.apply(
+                {"params": params}, t, y, h, ze, method=model.rhs
+            ),
+            jnp.asarray(2.0), jnp.asarray(0.5), x0, None,
+        )
+        rel = float(
+            jnp.max(jnp.abs(got - want)) / jnp.max(jnp.abs(want))
+        )
+        assert got.shape == (70, 8)
+        assert rel < 0.05, f"bf16 deviation too large: {rel}"
