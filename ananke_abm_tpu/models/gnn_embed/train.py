@@ -172,3 +172,55 @@ def train(
         "seconds": elapsed,
         "ckpt": ckpt,
     }
+
+
+def make_adjoint_step_fns(model, optimizer, config, static):
+    """Training step whose integration uses adaptive DOPRI5 with
+    continuous-adjoint gradients (BASELINE config 3: "adaptive dopri5 +
+    adjoint gradients through the GAT dynamics").
+
+    The flax params are threaded through the solver's differentiable
+    ``args`` (NOT closure-captured — see CLAUDE.md), so the custom_vjp
+    propagates cotangents into the drift/attention weights; zone embeddings
+    and contexts ride along in args and receive gradients the same way.
+    """
+    from ananke_abm_tpu.ode import odeint_adjoint
+
+    zone_feats, adj, times = static
+
+    def rhs(t, x, args):
+        params, h, zone_emb = args
+        return model.apply(
+            {"params": params}, t, x, h, zone_emb, method=model.rhs
+        )
+
+    def loss_fn(params, pf, hz, targets):
+        zone_emb = model.apply(
+            {"params": params}, zone_feats, adj, method=model.encode_zones
+        )
+        x0, h = model.apply(
+            {"params": params}, pf, hz, zone_emb, method=model.initial_state
+        )
+        xs = odeint_adjoint(
+            rhs, x0, times, (params, h, zone_emb),
+            rtol=config.rtol, atol=config.atol,
+        )
+        xs = jnp.swapaxes(xs, 0, 1)
+        logits = model.apply(
+            {"params": params}, xs, zone_emb, method=model.decode
+        )
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+        acc = jnp.mean(jnp.argmax(logits, -1) == targets)
+        return jnp.mean(nll), acc
+
+    @jax.jit
+    def train_step(params, opt_state, pf, hz, targets):
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, pf, hz, targets
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, acc
+
+    return train_step, jax.jit(loss_fn)

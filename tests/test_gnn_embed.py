@@ -187,3 +187,72 @@ class TestDataParallelVAE:
 
         log = pd.read_csv(str(tmp_path / "run" / "training_log.csv"))
         assert log["train_loss"].iloc[-1] < log["train_loss"].iloc[0]
+
+
+class TestAdjointTraining:
+    def test_adjoint_gradients_match_rk4(self):
+        """DOPRI5+adjoint training gradients agree with checkpointed-RK4
+        backprop through the full GAT-ODE (BASELINE config 3)."""
+        from ananke_abm_tpu.models.gnn_embed.train import (
+            make_adjoint_step_fns,
+            make_step_fns,
+        )
+
+        cfg = tiny_cfg(substeps=48, rtol=1e-7, atol=1e-9)
+        d = generate_agent_population(32, num_times=5, num_zones=10, seed=7)
+        model = build_model(cfg, 7, 8)
+        params = init_params(model, cfg, d, 32, jax.random.PRNGKey(0))
+        optimizer = optax.adamw(1e-3)
+        static = (
+            jnp.asarray(d["zone_features"]),
+            jnp.asarray(d["adj"]),
+            jnp.asarray(d["times"]),
+        )
+        pf = jnp.asarray(d["person_feats"])
+        hz = jnp.asarray(d["home_zone"])
+        tg = jnp.asarray(d["zone_ids"])
+
+        _, adj_loss = make_adjoint_step_fns(model, optimizer, cfg, static)
+        _, rk4_loss = make_step_fns(model, optimizer, cfg, static)
+
+        g_adj = jax.grad(lambda p: adj_loss(p, pf, hz, tg)[0])(params)
+        g_rk4 = jax.grad(lambda p: rk4_loss(p, pf, hz, tg)[0])(params)
+
+        flat_a = jnp.concatenate(
+            [l.ravel() for l in jax.tree_util.tree_leaves(g_adj)]
+        )
+        flat_r = jnp.concatenate(
+            [l.ravel() for l in jax.tree_util.tree_leaves(g_rk4)]
+        )
+        assert float(jnp.abs(flat_a).max()) > 0, "gradients must be nonzero"
+        cos = jnp.dot(flat_a, flat_r) / (
+            jnp.linalg.norm(flat_a) * jnp.linalg.norm(flat_r)
+        )
+        assert float(cos) > 0.999, f"gradient cosine {float(cos)}"
+        rel = jnp.linalg.norm(flat_a - flat_r) / jnp.linalg.norm(flat_r)
+        assert float(rel) < 0.02, f"relative gradient error {float(rel)}"
+
+    def test_adjoint_training_reduces_loss(self):
+        from ananke_abm_tpu.models.gnn_embed.train import (
+            make_adjoint_step_fns,
+        )
+
+        cfg = tiny_cfg(rtol=1e-4, atol=1e-6)
+        d = generate_agent_population(64, num_times=5, num_zones=10, seed=8)
+        model = build_model(cfg, 7, 8)
+        params = init_params(model, cfg, d, 64, jax.random.PRNGKey(0))
+        optimizer = optax.adamw(3e-3)
+        opt_state = optimizer.init(params)
+        static = (
+            jnp.asarray(d["zone_features"]),
+            jnp.asarray(d["adj"]),
+            jnp.asarray(d["times"]),
+        )
+        pf = jnp.asarray(d["person_feats"])
+        hz = jnp.asarray(d["home_zone"])
+        tg = jnp.asarray(d["zone_ids"])
+        step, loss_fn = make_adjoint_step_fns(model, optimizer, cfg, static)
+        l0 = float(loss_fn(params, pf, hz, tg)[0])
+        for _ in range(8):
+            params, opt_state, loss, acc = step(params, opt_state, pf, hz, tg)
+        assert float(loss) < l0, "adjoint training must reduce loss"
