@@ -29,7 +29,7 @@ from ananke_abm_tpu.models.gen_schedule.crf.model import crf_decode
 from ananke_abm_tpu.models.gen_schedule.factory import build_model
 from ananke_abm_tpu.utils import load_checkpoint
 
-CHUNK = 1024
+DEFAULT_CHUNK = 1024
 
 
 def decode_person_to_segments(seq_row, person_id, grid_minutes, inv_map):
@@ -76,6 +76,7 @@ def sample(
     crf_path: str | None = None,
     enforce_nonhome: bool = False,
     reject_all_home: bool = False,
+    chunk_size: int | None = None,
 ):
     obj = load_checkpoint(ckpt_path)
     cfg, meta = obj["cfg"], obj["meta"]
@@ -88,6 +89,12 @@ def sample(
     z_dim = cfg["model"]["z_dim"]
     P = len(purpose_map)
     home_idx = purpose_map.get("Home")
+
+    # adaptive chunking: large requests use bigger device batches so the
+    # host loop dispatches ~100x fewer programs (the reference fixes 1024)
+    if chunk_size is None:
+        chunk_size = DEFAULT_CHUNK if num_samples <= 16384 else 8192
+    CHUNK = int(chunk_size)
 
     t0 = time.time()
     model, pds_features = build_model(cfg, meta)

@@ -15,9 +15,60 @@ import jax.numpy as jnp
 from ananke_abm_tpu.ode.rk4 import _rk4_step
 
 
-def make_decoded_rollout(model, config, zone_feats, adj, times):
+def _pallas_eligible(config, expected_n=None) -> bool:
+    """The fused bf16 step kernel wins (measured, ops/pallas/fused_step.py)
+    when contraction dims reach the 128-lane MXU tile, OR at large agent
+    counts where the XLA path becomes HBM-bound: at 1M agents the kernel's
+    grid-pipelined (auto double-buffered) tiles run 2.4x faster than XLA
+    (974k vs 412k agents/s on v5e) with 99.98% decode agreement."""
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        on_tpu = False
+    if not (on_tpu and config.num_blocks == 1):
+        return False
+    aligned = (
+        config.agent_dim % 128 == 0
+        and config.zone_dim % 128 == 0
+        and config.hidden_dim % 128 == 0
+    )
+    large_n = expected_n is not None and expected_n >= 131072
+    return aligned or large_n
+
+
+def make_decoded_rollout(model, config, zone_feats, adj, times,
+                         use_pallas: str | bool = "auto",
+                         expected_n: int | None = None):
     """Returns jitted ``rollout(params, person_feats, home_zone_ids) ->
-    (N, T) int32 zone ids`` with decode fused into the integration scan."""
+    (N, T) int32 zone ids`` with decode fused into the integration scan.
+
+    ``use_pallas``: "auto" selects the fused bf16 RK4-step Pallas kernel
+    when the model dims are MXU-aligned on a TPU (where it measures ~35%
+    faster than the XLA path); True forces it; False forces XLA.
+    """
+    if use_pallas == "auto":
+        use_pallas = _pallas_eligible(config, expected_n)
+    if use_pallas:
+        from ananke_abm_tpu.ops.pallas.fused_step import make_pallas_rollout
+
+        def factory(params):
+            return make_pallas_rollout(
+                model, params, zone_feats, adj, times,
+                substeps=config.substeps,
+            )
+
+        # wrap to the (params, pf, hz) signature
+        cache = {}
+
+        def rollout(params, person_feats, home_zone_ids):
+            key = id(params)
+            if key not in cache:
+                cache.clear()
+                cache[key] = factory(params)
+            return cache[key](person_feats, home_zone_ids)
+
+        return rollout
+
     substeps = config.substeps
 
     @jax.jit
