@@ -21,12 +21,15 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_CACHE = os.path.join(REPO, "BASELINE_SELF.json")
 
-# Workload: BASELINE config 2 — synthetic population, fixed-step RK4
-# forward-only, day horizon. Model dims = production defaults.
-N_AGENTS = 65536  # throughput sweet spot on v5e: logits buffer stays < 1GB
+# Workload: BASELINE config 5 scale — 1M-agent synthetic population,
+# fixed-step RK4 day rollout, integrate-and-decode, single chip. Serving
+# path: the fused bf16 Pallas step kernel with grid-pipelined agent tiles
+# (models/gnn_embed/rollout.py picks it automatically at this N).
+N_AGENTS = 1_048_576
 NUM_TIMES = 48  # 30-min output grid over 24h
 SUBSTEPS = 2  # RK4 substeps per interval -> 96 RK4 steps/day
 NUM_ZONES = 64
+NUM_BLOCKS = 1  # drift residual blocks (kernel contract)
 BASELINE_AGENTS = 128  # torch-CPU baseline sample size (extrapolated)
 
 
@@ -43,7 +46,9 @@ def measure_tpu() -> float:
         init_params,
     )
 
-    config = GATODEConfig(substeps=SUBSTEPS)
+    from ananke_abm_tpu.models.gnn_embed.rollout import make_decoded_rollout
+
+    config = GATODEConfig(substeps=SUBSTEPS, num_blocks=NUM_BLOCKS)
     data = generate_agent_population(
         N_AGENTS, num_times=NUM_TIMES, seed=0, num_zones=NUM_ZONES
     )
@@ -56,16 +61,13 @@ def measure_tpu() -> float:
     pf = jnp.asarray(data["person_feats"])
     hz = jnp.asarray(data["home_zone"])
 
-    @jax.jit
-    def rollout(params, pf, hz):
-        logits, _ = model.apply(
-            {"params": params}, zone_feats, adj, pf, hz, times,
-            ode_method="rk4", substeps=SUBSTEPS,
-        )
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    rollout = make_decoded_rollout(
+        model, config, zone_feats, adj, times,
+        use_pallas="auto", expected_n=N_AGENTS,
+    )
 
     rollout(params, pf, hz).block_until_ready()  # compile
-    n_iter = 10
+    n_iter = 5
     t0 = time.time()
     for _ in range(n_iter):
         rollout(params, pf, hz).block_until_ready()
@@ -97,10 +99,16 @@ def measure_torch_cpu_baseline() -> float:
     gat_w = lin(F, Dz)
     ctx_enc = torch.nn.Sequential(lin(P, H), torch.nn.ReLU(), lin(H, 32))
     q_proj = lin(Da, Dz)
-    drift = torch.nn.Sequential(
-        lin(Da + Dz + 32 + 2, H), torch.nn.Tanh(), lin(H, H),
-        torch.nn.Tanh(), lin(H, Da),
+    # drift matches the TPU model's num_blocks=1 residual MLP (4 matmuls)
+    d_in, d_b1, d_b2, d_out = (
+        lin(Da + Dz + 32 + 2, H), lin(H, H), lin(H, H), lin(H, Da),
     )
+
+    def drift(f):
+        z = torch.tanh(d_in(f))
+        r = d_b2(torch.tanh(d_b1(z)))
+        return d_out(torch.tanh(z + r))
+
     init_proj = lin(Dz + 32, Da)
     dec_proj = lin(Da, Dz)
 
@@ -169,7 +177,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "agent-trajectories/sec/chip (GAT-ODE day rollout, RK4 x96 steps, 64 zones)",
+                "metric": "agent-trajectories/sec/chip (1M-agent GAT-ODE day rollout, RK4 x96 steps, 64 zones, fused bf16 Pallas step)",
                 "value": round(tpu, 1),
                 "unit": "agents/s",
                 "vs_baseline": round(tpu / baseline, 2),
