@@ -44,7 +44,7 @@ def prepare_crf_data(
     key = jax.random.PRNGKey(seed)
 
     @jax.jit
-    def forward(batch, rng):
+    def forward(params, batch, rng):
         logits, _, _ = model.apply(
             {"params": params},
             batch,
@@ -62,7 +62,7 @@ def prepare_crf_data(
             pad = batch_size - batch.shape[0]
             if pad:
                 batch = np.concatenate([batch, batch[:1].repeat(pad, 0)], 0)
-            u = forward(jnp.asarray(batch), jax.random.fold_in(key, i))
+            u = forward(params, jnp.asarray(batch), jax.random.fold_in(key, i))
             chunks_u.append(np.asarray(u)[: batch_size - pad if pad else batch_size])
         return np.concatenate(chunks_u, axis=0), Y
 

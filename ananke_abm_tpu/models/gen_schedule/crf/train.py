@@ -59,15 +59,18 @@ def train_crf(cfg: dict, seed: int = 0, log_every: int | None = None):
 
     n_tb = U_train.shape[0] // batch_size  # drop remainder within epoch
 
+    # data tensors are explicit jit arguments — closing over them would
+    # bake multi-hundred-MB constants into the compiled program (and blow
+    # up remote-compile payloads at VISTA scale)
     @functools.partial(jax.jit, static_argnames=("n_batches",))
-    def train_epoch(params, opt_state, ekey, n_batches):
-        perm = jax.random.permutation(ekey, U_train.shape[0])
+    def train_epoch(params, opt_state, U, Y, ekey, n_batches):
+        perm = jax.random.permutation(ekey, U.shape[0])
 
         def step(carry, i):
             params, opt_state = carry
             bidx = jax.lax.dynamic_slice_in_dim(perm, i * batch_size, batch_size)
             loss, grads = jax.value_and_grad(crf_nll_loss)(
-                params, U_train[bidx], Y_train[bidx]
+                params, U[bidx], Y[bidx]
             )
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -79,8 +82,8 @@ def train_crf(cfg: dict, seed: int = 0, log_every: int | None = None):
         return params, opt_state, jnp.mean(losses)
 
     @jax.jit
-    def val_nll(params):
-        return crf_nll_loss(params, U_val, Y_val)
+    def val_nll(params, U, Y):
+        return crf_nll_loss(params, U, Y)
 
     save_path = c["save_path"]
     d = os.path.dirname(save_path)
@@ -91,9 +94,14 @@ def train_crf(cfg: dict, seed: int = 0, log_every: int | None = None):
     t0 = time.time()
     for epoch in range(1, num_epochs + 1):
         params, opt_state, tr_loss = train_epoch(
-            params, opt_state, jax.random.fold_in(key, epoch), max(1, n_tb)
+            params, opt_state, U_train, Y_train,
+            jax.random.fold_in(key, epoch), max(1, n_tb),
         )
-        mean_val = float(val_nll(params)) if U_val.shape[0] else float(tr_loss)
+        mean_val = (
+            float(val_nll(params, U_val, Y_val))
+            if U_val.shape[0]
+            else float(tr_loss)
+        )
 
         if epoch % log_every == 0 or epoch in (1, num_epochs):
             print(

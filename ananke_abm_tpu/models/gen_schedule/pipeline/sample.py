@@ -116,7 +116,7 @@ def sample(
         raise ValueError(f"Unknown decode_mode: {decode_mode}")
 
     @jax.jit
-    def chunk_fn(rng):
+    def chunk_fn(params, crf_params, rng):
         z = jax.random.normal(rng, (CHUNK, z_dim))
         u = model.apply(
             {"params": params}, z, pds, method=lambda m, z, p: m.decode(z, p)
@@ -152,7 +152,9 @@ def sample(
     remaining = num_samples
     it = 0
     while remaining > 0:
-        y, keep, cnt, mean, m2, zs, zq = chunk_fn(jax.random.fold_in(key, it))
+        y, keep, cnt, mean, m2, zs, zq = chunk_fn(
+            params, crf_params, jax.random.fold_in(key, it)
+        )
         it += 1
         keep_np = np.asarray(keep)
         n_keep = int(keep_np.sum())

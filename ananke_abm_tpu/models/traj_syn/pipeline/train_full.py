@@ -165,8 +165,8 @@ def train_traj_embed(
     n_tb = max(1, -(-Y_train.shape[0] // bsz))
 
     @functools.partial(jax.jit, static_argnames=("n_batches",))
-    def train_epoch(all_params, opt_state, key, beta, n_batches):
-        n = Y_train.shape[0]
+    def train_epoch(all_params, opt_state, Y, key, beta, n_batches):
+        n = Y.shape[0]
         perm = jax.random.permutation(jax.random.fold_in(key, 0), n)
         pad = n_batches * bsz - n
         idx = jnp.concatenate([perm, perm[:pad]]) if pad else perm
@@ -180,7 +180,7 @@ def train_traj_embed(
             bidx = jax.lax.dynamic_slice_in_dim(idx, i * bsz, bsz)
             bmask = jax.lax.dynamic_slice_in_dim(mask_full, i * bsz, bsz)
             grads, comps = jax.grad(loss_fn, has_aux=True)(
-                all_params, Y_train[bidx], bmask,
+                all_params, Y[bidx], bmask,
                 jax.random.fold_in(key, i + 1), beta, False,
             )
             updates, opt_state = optimizer.update(grads, opt_state, all_params)
@@ -193,11 +193,9 @@ def train_traj_embed(
         return all_params, opt_state, jax.tree_util.tree_map(jnp.mean, comps)
 
     @jax.jit
-    def val_loss(all_params, key, beta):
-        if Y_val.shape[0] == 0:
-            return jnp.zeros(())
-        mask = jnp.ones(Y_val.shape[0])
-        loss, _ = loss_fn(all_params, Y_val, mask, key, beta, True)
+    def val_loss(all_params, Y, key, beta):
+        mask = jnp.ones(Y.shape[0])
+        loss, _ = loss_fn(all_params, Y, mask, key, beta, True)
         return loss
 
     meta = {
@@ -217,10 +215,11 @@ def train_traj_embed(
         beta = cfg.beta_target * min(1.0, epoch / warmup)
         ekey = jax.random.fold_in(key, 1000 + epoch)
         all_params, opt_state, comps = train_epoch(
-            all_params, opt_state, ekey, beta, n_tb
+            all_params, opt_state, Y_train, ekey, beta, n_tb
         )
-        vl = float(val_loss(all_params, ekey, beta))
-        if Y_val.shape[0] == 0:
+        if Y_val.shape[0] > 0:
+            vl = float(val_loss(all_params, Y_val, ekey, beta))
+        else:
             vl = float(comps["loss"])
         logs.append({"epoch": epoch, "val_loss": vl,
                      **{k: float(v) for k, v in comps.items()}})
