@@ -2,6 +2,7 @@
 from ananke_abm_tpu.losses.schedule import (
     cross_entropy_masked,
     kl_gaussian,
+    minutes_share_loss,
     presence_rate_loss,
     start_end_home_loss,
     time_of_day_marginal_loss,
@@ -15,6 +16,7 @@ __all__ = [
     "start_end_home_loss",
     "time_of_day_marginal_loss",
     "presence_rate_loss",
+    "minutes_share_loss",
     "cross_entropy_masked",
     "jsd",
 ]

@@ -84,3 +84,20 @@ def presence_rate_loss(logits_btp, presence_emp_p, mask=None):
         )
     diff = batch_presence - presence_emp_p
     return jnp.mean(diff * diff)
+
+
+def minutes_share_loss(logits_btp, share_emp_p, mask=None):
+    """MSE between the batch's expected minutes share per purpose (softmax
+    probabilities averaged over batch and time) and the empirical share.
+    Implements the ``lambda_share`` calibration knob that the reference's
+    phase2 configs declare but never wire up (phase2.yaml lambda_share)."""
+    probs = jax.nn.softmax(logits_btp, axis=-1)  # (B, T, P)
+    if mask is None:
+        share = probs.mean(axis=(0, 1))
+    else:
+        w = mask.astype(probs.dtype)[:, None, None]
+        share = jnp.sum(probs * w, axis=(0, 1)) / (
+            jnp.maximum(jnp.sum(w), 1.0) * probs.shape[1]
+        )
+    diff = share - share_emp_p
+    return jnp.mean(diff * diff)

@@ -30,6 +30,7 @@ import optax
 from ananke_abm_tpu.losses import (
     cross_entropy_masked,
     kl_gaussian,
+    minutes_share_loss,
     presence_rate_loss,
     start_end_home_loss,
     time_of_day_marginal_loss,
@@ -90,9 +91,18 @@ def make_loss_fn(model, home_idx, lambdas, pds_arrays):
             loss = loss + lambdas["tod"] * tod + lambdas["presence"] * pres
             comps["tod"] = tod
             comps["presence"] = pres
+            if lambdas.get("share", 0.0) > 0.0:
+                shr = minutes_share_loss(
+                    logits, pds_arrays["share_emp"], mask
+                )
+                loss = loss + lambdas["share"] * shr
+                comps["share"] = shr
+            else:
+                comps["share"] = jnp.zeros(())
         else:
             comps["tod"] = jnp.zeros(())
             comps["presence"] = jnp.zeros(())
+            comps["share"] = jnp.zeros(())
         comps["loss"] = loss
         return loss, comps
 
@@ -218,17 +228,21 @@ def train(config, output_dir: str, seed: int = 123, resume: bool = False,
         "home": float(tr.get("lambda_home", 0.1)),
         "tod": float(tr.get("lambda_tod", 0.0)),
         "presence": float(tr.get("lambda_presence", 0.0)),
+        "share": float(tr.get("lambda_share", 0.0)),
     }
 
     pds_arrays = None
     if cfg["model"]["method"] == "auto_pds":
         pds_npz = np.load(cfg["model"]["pds_path"])
+        m_tod = jnp.asarray(pds_npz["m_tod"], dtype=jnp.float32)
         pds_arrays = {
             "pds_features": jnp.asarray(pds_features),
-            "m_tod": jnp.asarray(pds_npz["m_tod"], dtype=jnp.float32),
+            "m_tod": m_tod,
             "presence": jnp.asarray(
                 pds_npz["presence_rate"], dtype=jnp.float32
             ),
+            # empirical minutes share = time-mean of the ToD marginal
+            "share_emp": m_tod.mean(axis=1),
         }
 
     optimizer = optax.chain(

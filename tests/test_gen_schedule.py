@@ -299,3 +299,43 @@ class TestAutoPDS:
         )
         with open(prefix + "_meta.json") as f:
             assert json.load(f)["pds_method"] == "auto_pds"
+
+    def test_lambda_share_loss_active(self, tmp_path):
+        """lambda_share wires the minutes-share calibration term."""
+        from ananke_abm_tpu.data_generator.population import (
+            generate_population_activities,
+        )
+        from ananke_abm_tpu.dataio.rasterize import prepare_from_csv
+        from ananke_abm_tpu.models.gen_schedule.pds import compute_pds
+        from ananke_abm_tpu.models.gen_schedule.pipeline.train import train
+
+        csv = str(tmp_path / "a.csv")
+        generate_population_activities(60, seed=9).to_csv(csv, index=False)
+        grid = str(tmp_path / "g.npz")
+        prepare_from_csv(csv, grid, grid_min=60, val_frac=0.2, seed=1)
+        compute_pds(
+            grid, str(tmp_path / "p"), grid_min=60,
+            purpose_json=grid.replace(".npz", "_purpose_map.json"),
+        )
+        cfg = {
+            "data": {"npz": grid},
+            "train": {
+                "epochs": 1, "min_epochs": 1, "patience": 0,
+                "batch_size": 32, "lr": 1e-3, "weight_decay": 0.0,
+                "grad_clip": 1.0, "beta_target": 1.0, "beta_warm_frac": 1.0,
+                "lambda_tv": 0.0, "lambda_home": 0.0,
+                "lambda_tod": 0.1, "lambda_presence": 0.1,
+                "lambda_share": 0.3,
+            },
+            "model": {
+                "method": "auto_pds", "z_dim": 4, "emb_dim": 16,
+                "cnn_channels": [16], "cnn_kernel": 3, "cnn_dropout": 0.0,
+                "pds_path": str(tmp_path / "p_pds.npz"),
+            },
+        }
+        train(cfg, str(tmp_path / "run"), seed=1)
+        import pandas as pd
+
+        log = pd.read_csv(str(tmp_path / "run" / "training_log.csv"))
+        assert "train_share" in log.columns
+        assert (log["train_share"] > 0).all()
