@@ -38,41 +38,32 @@ def _pallas_eligible(config, expected_n=None) -> bool:
 
 def make_decoded_rollout(model, config, zone_feats, adj, times,
                          use_pallas: str | bool = "auto",
-                         expected_n: int | None = None):
+                         expected_n: int | None = None,
+                         mesh=None):
     """Returns jitted ``rollout(params, person_feats, home_zone_ids) ->
     (N, T) int32 zone ids`` with decode fused into the integration scan.
 
     ``use_pallas``: "auto" selects the fused bf16 RK4-step Pallas kernel
     when the model dims are MXU-aligned on a TPU (where it measures ~35%
     faster than the XLA path); True forces it; False forces XLA.
+
+    ``mesh``: an (agents, zones) `jax.sharding.Mesh`; agent arrays shard
+    over the ``agents`` axis (Pallas path via shard_map, XLA path via
+    GSPMD in/out shardings), params replicated.
     """
     if use_pallas == "auto":
         use_pallas = _pallas_eligible(config, expected_n)
     if use_pallas:
         from ananke_abm_tpu.ops.pallas.fused_step import make_pallas_rollout
 
-        def factory(params):
-            return make_pallas_rollout(
-                model, params, zone_feats, adj, times,
-                substeps=config.substeps,
-            )
-
-        # wrap to the (params, pf, hz) signature
-        cache = {}
-
-        def rollout(params, person_feats, home_zone_ids):
-            key = id(params)
-            if key not in cache:
-                cache.clear()
-                cache[key] = factory(params)
-            return cache[key](person_feats, home_zone_ids)
-
-        return rollout
+        return make_pallas_rollout(
+            model, zone_feats, adj, times,
+            substeps=config.substeps, mesh=mesh,
+        )
 
     substeps = config.substeps
 
-    @jax.jit
-    def rollout(params, person_feats, home_zone_ids):
+    def rollout_body(params, person_feats, home_zone_ids):
         zone_emb = model.apply(
             {"params": params}, zone_feats, adj, method=model.encode_zones
         )
@@ -109,4 +100,13 @@ def make_decoded_rollout(model, config, zone_feats, adj, times,
         ids = jnp.concatenate([y0_ids[None], ids_tail], axis=0)  # (T, N)
         return jnp.swapaxes(ids, 0, 1)
 
-    return rollout
+    if mesh is None:
+        return jax.jit(rollout_body)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ananke_abm_tpu.parallel.mesh import AGENT_AXIS
+
+    rep = NamedSharding(mesh, P())
+    ag = NamedSharding(mesh, P(AGENT_AXIS))
+    return jax.jit(rollout_body, in_shardings=(rep, ag, ag), out_shardings=ag)

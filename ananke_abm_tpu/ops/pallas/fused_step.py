@@ -171,17 +171,27 @@ def rk4_step_fused(
     return out[:N]
 
 
-def make_pallas_rollout(model, params, zone_feats, adj, times, substeps=2):
+def make_pallas_rollout(model, zone_feats, adj, times, substeps=2, mesh=None):
     """Jitted decoded rollout driven by the fused bf16 RK4 step kernel.
-    Returns rollout(person_feats, home_zone_ids) -> (N, T) int32 ids."""
-    zone_emb = model.apply(
-        {"params": params}, zone_feats, adj, method=model.encode_zones
-    )
-    ze_bf16 = zone_emb.astype(jnp.bfloat16)
-    weights = pack_weights_bf16(params)
 
-    @jax.jit
-    def rollout(person_feats, home_zone_ids):
+    Returns ``rollout(params, person_feats, home_zone_ids) -> (N, T) int32``.
+    Params are explicit call arguments — never baked into the compiled
+    program — so one compiled rollout serves any checkpoint and updated
+    params take effect immediately (weight packing + zone encode happen
+    inside the jit; their cost is amortized over the T-step scan).
+
+    With ``mesh``, the whole rollout body runs under ``shard_map`` over the
+    ``agents`` axis (params / zone embeddings / packed weights replicated,
+    agent arrays sharded), so the Pallas serving path composes with the
+    multi-chip mesh instead of falling back to the slower XLA program.
+    """
+
+    def body(params, person_feats, home_zone_ids):
+        zone_emb = model.apply(
+            {"params": params}, zone_feats, adj, method=model.encode_zones
+        )
+        ze_bf16 = zone_emb.astype(jnp.bfloat16)
+        weights = pack_weights_bf16(params)
         x0, h = model.apply(
             {"params": params}, person_feats, home_zone_ids, zone_emb,
             method=model.initial_state,
@@ -210,4 +220,20 @@ def make_pallas_rollout(model, params, zone_feats, adj, times, substeps=2):
         ids = jnp.concatenate([y0[None], tail], axis=0)
         return jnp.swapaxes(ids, 0, 1)
 
-    return rollout
+    if mesh is None:
+        return jax.jit(body)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ananke_abm_tpu.parallel.mesh import AGENT_AXIS
+
+    sharded = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(AGENT_AXIS), P(AGENT_AXIS)),
+        out_specs=P(AGENT_AXIS),
+        check_vma=False,
+    )
+    rep = NamedSharding(mesh, P())
+    ag = NamedSharding(mesh, P(AGENT_AXIS))
+    return jax.jit(sharded, in_shardings=(rep, ag, ag), out_shardings=ag)

@@ -38,3 +38,68 @@ def test_fused_matches_unfused():
     unfused = np.asarray(jnp.argmax(logits, -1))
     np.testing.assert_array_equal(fused, unfused)
     assert fused.shape == (128, 10)
+
+
+def _tiny_setup(n_agents=128, num_times=10, num_zones=12):
+    cfg = GATODEConfig(
+        zone_dim=16, agent_dim=8, context_dim=8, hidden_dim=16,
+        gat_heads=2, gat_layers=1, num_blocks=1, substeps=2,
+    )
+    d = generate_agent_population(
+        n_agents, num_times=num_times, num_zones=num_zones, seed=0
+    )
+    model = build_model(cfg, 7, 8)
+    params = init_params(model, cfg, d, n_agents, jax.random.PRNGKey(0))
+    arrays = (
+        jnp.asarray(d["zone_features"]), jnp.asarray(d["adj"]),
+        jnp.asarray(d["times"]), jnp.asarray(d["person_feats"]),
+        jnp.asarray(d["home_zone"]),
+    )
+    return cfg, model, params, arrays
+
+
+def test_pallas_rollout_under_mesh_matches_single_device(eight_devices):
+    """The fused-kernel serving path must compose with the agent mesh
+    (VERDICT r1 item 2): shard_map'd Pallas decode == single-device."""
+    from ananke_abm_tpu.parallel.mesh import make_mesh
+
+    cfg, model, params, (zf, adj, times, pf, hz) = _tiny_setup()
+    mesh = make_mesh(8, zone_parallel=2)
+
+    single = make_decoded_rollout(model, cfg, zf, adj, times, use_pallas=True)
+    sharded = make_decoded_rollout(
+        model, cfg, zf, adj, times, use_pallas=True, mesh=mesh
+    )
+    ref = np.asarray(single(params, pf, hz))
+    got = np.asarray(sharded(params, pf, hz))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_xla_rollout_under_mesh_matches_single_device(eight_devices):
+    from ananke_abm_tpu.parallel.mesh import make_mesh
+
+    cfg, model, params, (zf, adj, times, pf, hz) = _tiny_setup()
+    mesh = make_mesh(8, zone_parallel=2)
+
+    single = make_decoded_rollout(model, cfg, zf, adj, times, use_pallas=False)
+    sharded = make_decoded_rollout(
+        model, cfg, zf, adj, times, use_pallas=False, mesh=mesh
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sharded(params, pf, hz)), np.asarray(single(params, pf, hz))
+    )
+
+
+def test_pallas_rollout_sees_updated_params():
+    """Params are jit arguments, not baked constants: updating them must
+    change the output with no re-factory (regression for the id()-keyed
+    cache that could serve stale weights)."""
+    cfg, model, params, (zf, adj, times, pf, hz) = _tiny_setup(n_agents=64)
+    rollout = make_decoded_rollout(model, cfg, zf, adj, times, use_pallas=True)
+    out0 = np.asarray(rollout(params, pf, hz))
+
+    perturbed = jax.tree_util.tree_map(
+        lambda x: x + 0.5 * jnp.ones_like(x), params
+    )
+    out1 = np.asarray(rollout(perturbed, pf, hz))
+    assert (out0 != out1).any(), "updated params did not change the rollout"
