@@ -27,10 +27,28 @@ from ananke_abm_tpu.models.gen_schedule.crf.model import (
 from ananke_abm_tpu.utils import save_checkpoint
 
 
-def train_crf(cfg: dict, seed: int = 0, log_every: int | None = None):
+def train_crf(cfg: dict, seed: int = 0, log_every: int | None = None,
+              mesh=None):
     """cfg carries the reference crf_config.yaml's ``crf`` section keys:
     train_npz, val_npz, save_path, meta_json, num_epochs, batch_size, lr,
-    weight_decay, log_every."""
+    weight_decay, log_every.
+
+    ``mesh``: optional (agents x zones) Mesh — gathered (U, Y) batches
+    shard their row axis over the agent axis (data parallel; params
+    replicated, gradient psum inserted by GSPMD)."""
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P_
+
+        from ananke_abm_tpu.parallel.mesh import AGENT_AXIS
+
+        def shard_rows(x):
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P_(AGENT_AXIS))
+            )
+    else:
+        def shard_rows(x):
+            return x
+
     c = cfg["crf"] if "crf" in cfg else cfg
     with open(c["meta_json"], "r", encoding="utf-8") as f:
         crf_meta = json.load(f)
@@ -70,7 +88,7 @@ def train_crf(cfg: dict, seed: int = 0, log_every: int | None = None):
             params, opt_state = carry
             bidx = jax.lax.dynamic_slice_in_dim(perm, i * batch_size, batch_size)
             loss, grads = jax.value_and_grad(crf_nll_loss)(
-                params, U[bidx], Y[bidx]
+                params, shard_rows(U[bidx]), shard_rows(Y[bidx])
             )
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -83,7 +101,7 @@ def train_crf(cfg: dict, seed: int = 0, log_every: int | None = None):
 
     @jax.jit
     def val_nll(params, U, Y):
-        return crf_nll_loss(params, U, Y)
+        return crf_nll_loss(params, shard_rows(U), shard_rows(Y))
 
     save_path = c["save_path"]
     d = os.path.dirname(save_path)

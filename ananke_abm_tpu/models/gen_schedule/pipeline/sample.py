@@ -77,7 +77,12 @@ def sample(
     enforce_nonhome: bool = False,
     reject_all_home: bool = False,
     chunk_size: int | None = None,
+    mesh=None,
 ):
+    """``mesh``: optional (agents x zones) Mesh — each chunk's batch axis
+    shards over the agent axis (params replicated, GSPMD collectives for
+    the summary reductions); the chunk size rounds up to a multiple of the
+    agent-axis size so shards stay even."""
     obj = load_checkpoint(ckpt_path)
     cfg, meta = obj["cfg"], obj["meta"]
     purpose_map = meta["purpose_map"]
@@ -95,6 +100,24 @@ def sample(
     if chunk_size is None:
         chunk_size = DEFAULT_CHUNK if num_samples <= 16384 else 8192
     CHUNK = int(chunk_size)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P_
+
+        from ananke_abm_tpu.parallel.mesh import AGENT_AXIS
+
+        n_agent_devices = dict(
+            zip(mesh.axis_names, mesh.devices.shape)
+        )[AGENT_AXIS]
+        CHUNK = -(-CHUNK // n_agent_devices) * n_agent_devices
+
+        def shard_rows(x):
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P_(AGENT_AXIS))
+            )
+    else:
+        def shard_rows(x):
+            return x
 
     t0 = time.time()
     model, pds_features = build_model(cfg, meta)
@@ -117,7 +140,7 @@ def sample(
 
     @jax.jit
     def chunk_fn(params, crf_params, rng):
-        z = jax.random.normal(rng, (CHUNK, z_dim))
+        z = shard_rows(jax.random.normal(rng, (CHUNK, z_dim)))
         u = model.apply(
             {"params": params}, z, pds, method=lambda m, z, p: m.decode(z, p)
         )  # (CHUNK, T, P)

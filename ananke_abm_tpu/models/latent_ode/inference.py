@@ -35,6 +35,18 @@ from ananke_abm_tpu.models.latent_ode.train import (
 from ananke_abm_tpu.utils import load_checkpoint
 
 
+# batch-dict arrays whose leading axis is the person axis (shardable over
+# the mesh's agent axis); everything else (t_unified, zone tables, the
+# distance matrix) stays replicated
+PERSON_AXIS_KEYS = (
+    "person_features", "home_zone_ids", "work_zone_ids",
+    "initial_purpose_features", "initial_mode_features",
+    "y_loc_dense", "y_purp_dense", "y_mode_dense",
+    "y_purp_feat_dense", "y_mode_feat_dense", "loss_mask",
+    "prev_real_indices", "next_real_indices", "importance_weights",
+)
+
+
 def _cfg_from_dict(d: dict) -> GenerativeODEConfig:
     fields = {f.name for f in dataclasses.fields(GenerativeODEConfig)}
     d = {k: v for k, v in d.items() if k in fields}
@@ -44,8 +56,31 @@ def _cfg_from_dict(d: dict) -> GenerativeODEConfig:
 
 
 class BatchedInferenceEngine:
-    def __init__(self, ckpt_path: str, person_ids=(1, 2)):
+    def __init__(self, ckpt_path: str, person_ids=(1, 2), mesh=None):
+        """``mesh``: optional (agents x zones) Mesh — the person axis of
+        every batch array shards over the agent axis; params replicated."""
         obj = load_checkpoint(ckpt_path)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P_
+
+            from ananke_abm_tpu.parallel.mesh import AGENT_AXIS
+
+            person_keys = frozenset(PERSON_AXIS_KEYS)
+            sh = NamedSharding(mesh, P_(AGENT_AXIS))
+
+            def _shard_batch(b):
+                return {
+                    k: (
+                        jax.lax.with_sharding_constraint(v, sh)
+                        if k in person_keys
+                        else v
+                    )
+                    for k, v in b.items()
+                }
+        else:
+            def _shard_batch(b):
+                return b
+        self._shard_batch = _shard_batch
         self.config = _cfg_from_dict(obj["config"])
         self.person_ids = list(person_ids)
         samples = [get_person_sample(p, self.config) for p in self.person_ids]
@@ -66,6 +101,7 @@ class BatchedInferenceEngine:
         def _sample_many(params, b, key, times, num_samples):
             bb = dict(b)
             bb["t_unified"] = times
+            bb = self._shard_batch(bb)
 
             def one(rng):
                 out = self._forward(params, bb, rng)
@@ -111,7 +147,7 @@ class BatchedInferenceEngine:
 
         @jax.jit
         def run(params, b, rng):
-            out = self._forward(params, b, rng)
+            out = self._forward(params, self._shard_batch(b), rng)
             return jnp.argmax(out[0], -1)
 
         for bs in batch_sizes:

@@ -11,6 +11,10 @@ class CRFConfig:
     semi_Dmax_minutes: int = 300  # max segment duration for semi-CRF
     grid_min: int = 5
     enforce_nonhome: bool = False
+    # semi mode: exact likelihood of gold grids with runs > Dmax via the
+    # self-transition marginal (ops/semi_crf.py::semicrf_gold_log_marginal).
+    # False = legacy clip-scored bound with no-self-transition decoding.
+    exact_long: bool = True
 
     @property
     def Dmax_bins(self) -> int:

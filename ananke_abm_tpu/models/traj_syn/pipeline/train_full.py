@@ -150,10 +150,14 @@ def train_traj_embed(
         if "crf" in all_params:
             cp = all_params["crf"]
             if crf_mode == "semi":
-                nll = semicrf_nll(logits, batch, cp["dur"], cp["A"])
+                nll = semicrf_nll(
+                    logits, batch, cp["dur"], cp["A"], mask_b=mask,
+                    exact_long=crf_cfg.exact_long,
+                )
             else:
                 nll = crf_nll(
-                    logits + cp["bias"][None, None, :], batch, cp["A"]
+                    logits + cp["bias"][None, None, :], batch, cp["A"],
+                    mask_b=mask,
                 )
             loss = loss + cfg.lambda_crf * nll
             comps["crf_nll"] = nll

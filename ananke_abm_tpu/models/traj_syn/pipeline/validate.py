@@ -83,7 +83,8 @@ def generate_trajectories(
             pad = Dmax_bins - dur.shape[1]
             if pad > 0:
                 dur = jnp.pad(dur, ((0, 0), (0, pad)), constant_values=-1e9)
-            return semicrf_decode(logits, dur, cp["A"])
+            allow_self = bool(obj.get("crf_cfg", {}).get("exact_long", True))
+            return semicrf_decode(logits, dur, cp["A"], allow_self=allow_self)
         u = logits + cp.get("bias", jnp.zeros(P))[None, None, :]
         if enforce_nonhome and "Home" in purpose_map:
             return viterbi_decode_no_all_home(

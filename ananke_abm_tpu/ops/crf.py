@@ -49,11 +49,17 @@ def crf_path_score(unaries_btp, labels_bt, A_pp):
     return unary + pair
 
 
-def crf_nll(unaries_btp, labels_bt, A_pp):
-    """Mean negative log-likelihood over the batch (reference crf_nll_batch)."""
+def crf_nll(unaries_btp, labels_bt, A_pp, mask_b=None):
+    """Mean negative log-likelihood over the batch (reference crf_nll_batch).
+
+    ``mask_b``: optional (B,) row weights — padded tail-batch rows get 0
+    so wrapped duplicates don't double-count in the gradient."""
     logZ = crf_log_partition(unaries_btp, A_pp)
     gold = crf_path_score(unaries_btp, labels_bt, A_pp)
-    return jnp.mean(logZ - gold)
+    per_row = logZ - gold
+    if mask_b is None:
+        return jnp.mean(per_row)
+    return jnp.sum(per_row * mask_b) / jnp.maximum(jnp.sum(mask_b), 1.0)
 
 
 def crf_marginals(unaries_btp, A_pp):

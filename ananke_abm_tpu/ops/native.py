@@ -71,9 +71,22 @@ def available() -> bool:
     return _load() is not None
 
 
+def _check_labels(Y: np.ndarray, P: int) -> None:
+    """Reject out-of-range labels before dispatch: the C kernels index
+    dense accumulators by raw label value, so a label >= P (or negative)
+    in an externally supplied grid would write out of bounds. One uniform
+    ValueError for both the native and numpy paths."""
+    if Y.size and (Y.min() < 0 or Y.max() >= P):
+        raise ValueError(
+            f"labels out of range: expected 0 <= Y < {P}, "
+            f"got [{Y.min()}, {Y.max()}]"
+        )
+
+
 def count_ngrams_dense(Y: np.ndarray, n: int, P: int) -> np.ndarray:
     """Dense (P^n,) count table of base-P n-gram codes. Native or numpy."""
     Y = np.ascontiguousarray(Y, dtype=np.int64)
+    _check_labels(Y, P)
     N, T = Y.shape
     size = P**n
     lib = _load()
@@ -113,6 +126,7 @@ def run_length_segments(Y: np.ndarray):
 def tod_counts(Y: np.ndarray, P: int) -> np.ndarray:
     """(T, P) occupancy counts. Native or numpy bincount."""
     Y = np.ascontiguousarray(Y, dtype=np.int64)
+    _check_labels(Y, P)
     N, T = Y.shape
     lib = _load()
     if lib is not None:
@@ -126,6 +140,7 @@ def tod_counts(Y: np.ndarray, P: int) -> np.ndarray:
 def ngram_start_hist_dense(Y: np.ndarray, n: int, P: int) -> np.ndarray:
     """(P^n, T-n+1) start-time histograms of every n-gram code."""
     Y = np.ascontiguousarray(Y, dtype=np.int64)
+    _check_labels(Y, P)
     N, T = Y.shape
     Tn = T - n + 1
     lib = _load()

@@ -35,7 +35,7 @@ def _segment_scores_from_cumsum(U_cumsum, t, d_arange, D):
     return jnp.swapaxes(end[:, None, :] - start_vals, 0, 1)  # (D, B, P)
 
 
-def _prep(unaries_btp, dur_scores_pd, A_pp):
+def _prep(unaries_btp, dur_scores_pd, A_pp, allow_self=False):
     B, T, P = unaries_btp.shape
     D = dur_scores_pd.shape[1]
     U_cumsum = jnp.concatenate(
@@ -45,13 +45,23 @@ def _prep(unaries_btp, dur_scores_pd, A_pp):
         ],
         axis=1,
     )
-    A_noself = jnp.where(jnp.eye(P, dtype=bool), NEG_INF, A_pp)
-    return B, T, P, D, U_cumsum, A_noself
+    if allow_self:
+        A_eff = A_pp
+    else:
+        A_eff = jnp.where(jnp.eye(P, dtype=bool), NEG_INF, A_pp)
+    return B, T, P, D, U_cumsum, A_eff
 
 
-def semicrf_log_partition(unaries_btp, dur_scores_pd, A_pp):
-    """log Z over all valid segmentations. Returns (B,)."""
-    B, T, P, D, U_cumsum, A_ns = _prep(unaries_btp, dur_scores_pd, A_pp)
+def semicrf_log_partition(unaries_btp, dur_scores_pd, A_pp, allow_self=False):
+    """log Z over all valid segmentations. Returns (B,).
+
+    ``allow_self``: permit same-purpose adjacent segments (scored by the
+    diagonal of A). Required by the exact-likelihood mode, where dense
+    label runs longer than Dmax are covered by chains of self-transiting
+    capped segments."""
+    B, T, P, D, U_cumsum, A_ns = _prep(
+        unaries_btp, dur_scores_pd, A_pp, allow_self
+    )
     d_ar = jnp.arange(D)
 
     def step(carry, t):
@@ -132,21 +142,108 @@ def semicrf_path_score(unaries_btp, labels_bt, dur_scores_pd, A_pp):
     return unary_score + trans_score + dur_score
 
 
-def semicrf_nll(unaries_btp, labels_bt, dur_scores_pd, A_pp):
-    """Mean NLL of the gold segmentations. Gold durations longer than D are
-    not representable; clip-scored (documented behavioral bound)."""
-    logZ = semicrf_log_partition(unaries_btp, dur_scores_pd, A_pp)
-    gold = semicrf_path_score(unaries_btp, labels_bt, dur_scores_pd, A_pp)
-    return jnp.mean(logZ - gold)
+def semicrf_gold_log_marginal(unaries_btp, labels_bt, dur_scores_pd, A_pp):
+    """log-sum of scores of ALL segmentations whose dense projection equals
+    the gold label grid (self-transitions allowed). Returns (B,).
+
+    This is the exact numerator of the capped-duration likelihood: a gold
+    run longer than Dmax is covered by chains of <=Dmax segments joined by
+    self-transitions, so its probability is finite and exact — unlike the
+    clip-scored bound (semicrf_path_score with clipped durations).
+    Normalize against ``semicrf_log_partition(..., allow_self=True)``.
+
+    Constrained forward: alpha[t] sums segmentations of labels[:, :t+1]
+    ending a segment at t; a segment [s..t] is admissible iff the gold
+    labels are constant on it (s >= run_start[t]) and its duration <= D.
+    O(T * D) per row, a lax.scan with a (D, B) ring of alpha history.
+    """
+    B, T, P = unaries_btp.shape
+    D = dur_scores_pd.shape[1]
+
+    gy = jnp.take_along_axis(unaries_btp, labels_bt[..., None], -1)[..., 0]
+    G = jnp.concatenate(
+        [jnp.zeros((B, 1), unaries_btp.dtype), jnp.cumsum(gy, axis=1)], axis=1
+    )  # (B, T+1) cumulative gold-label unaries
+
+    pos = jnp.arange(T)[None, :]
+    is_start = jnp.concatenate(
+        [jnp.ones((B, 1), bool), labels_bt[:, 1:] != labels_bt[:, :-1]], axis=1
+    )
+    run_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_start, pos, -1), axis=1
+    )  # (B, T)
+
+    dur_y = dur_scores_pd[labels_bt]  # (B, T, D)
+    d_ar = jnp.arange(D)  # duration d = d_ar + 1
+
+    def step(ring, t):
+        # ring[i] = alpha at time t-1-i; segment duration d ends at t,
+        # starts at s = t-d+1, predecessor alpha is ring[d-1] = ring[d_ar]
+        s = t - d_ar  # (D,) segment start per duration
+        s_safe = jnp.clip(s, 0, None)
+        valid = (s >= 0)[:, None] & (
+            s[:, None] >= run_start[:, t][None, :]
+        )  # (D, B)
+        seg_u = (G[:, t + 1][:, None] - G[:, s_safe]).T  # (D, B)
+        dscore = dur_y[:, t, :].T  # (D, B)
+        y_t = labels_bt[:, t]  # (B,)
+        y_prev = labels_bt[:, jnp.clip(s - 1, 0, None)]  # (B, D)
+        trans = A_pp[y_prev, y_t[:, None]].T  # (D, B)
+        is_first = (s == 0)[:, None]
+        cand = seg_u + dscore + jnp.where(is_first, 0.0, ring + trans)
+        cand = jnp.where(valid, cand, NEG_INF)
+        alpha_t = jax.nn.logsumexp(cand, axis=0)  # (B,)
+        ring = jnp.concatenate([alpha_t[None], ring[:-1]], axis=0)
+        return ring, None
+
+    ring0 = jnp.full((D, B), NEG_INF, unaries_btp.dtype)
+    ring, _ = jax.lax.scan(step, ring0, jnp.arange(T))
+    return ring[0]
 
 
-def semicrf_decode(unaries_btp, dur_scores_pd, A_pp):
+def semicrf_nll(unaries_btp, labels_bt, dur_scores_pd, A_pp, mask_b=None,
+                exact_long=False):
+    """Mean NLL of the gold label grids.
+
+    ``exact_long=True``: the exact likelihood of the dense gold grid under
+    the Dmax-capped model with self-transitions — logZ(allow_self) minus
+    the marginal over all consistent segmentations
+    (:func:`semicrf_gold_log_marginal`). Use when gold runs can exceed
+    Dmax (e.g. overnight Home at semi_Dmax_minutes=300).
+
+    ``exact_long=False``: the no-self-transition model with the gold run
+    segmentation clip-scored into the duration table — a bound, not a
+    likelihood, when a gold run exceeds Dmax.
+
+    ``mask_b``: optional (B,) row weights — padded tail-batch rows get 0
+    so wrapped duplicates don't double-count in the gradient."""
+    if exact_long:
+        logZ = semicrf_log_partition(
+            unaries_btp, dur_scores_pd, A_pp, allow_self=True
+        )
+        gold = semicrf_gold_log_marginal(
+            unaries_btp, labels_bt, dur_scores_pd, A_pp
+        )
+    else:
+        logZ = semicrf_log_partition(unaries_btp, dur_scores_pd, A_pp)
+        gold = semicrf_path_score(unaries_btp, labels_bt, dur_scores_pd, A_pp)
+    per_row = logZ - gold
+    if mask_b is None:
+        return jnp.mean(per_row)
+    return jnp.sum(per_row * mask_b) / jnp.maximum(jnp.sum(mask_b), 1.0)
+
+
+def semicrf_decode(unaries_btp, dur_scores_pd, A_pp, allow_self=False):
     """Max-scoring segmentation -> dense (B, T) labels.
 
     Viterbi over (t, d, p) with backpointers; backtrace is a bounded
-    while_loop painting segments right-to-left.
+    while_loop painting segments right-to-left. With ``allow_self`` (the
+    exact-likelihood mode's decode), adjacent same-purpose segments are
+    admissible and merge in the dense output, so runs can exceed Dmax.
     """
-    B, T, P, D, U_cumsum, A_ns = _prep(unaries_btp, dur_scores_pd, A_pp)
+    B, T, P, D, U_cumsum, A_ns = _prep(
+        unaries_btp, dur_scores_pd, A_pp, allow_self
+    )
     d_ar = jnp.arange(D)
 
     def step(carry, t):

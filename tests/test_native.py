@@ -86,3 +86,31 @@ class TestNative:
         finally:
             nat.rasterize_fill = orig
         np.testing.assert_array_equal(Y_fast, Y_np)
+
+
+class TestLabelBounds:
+    """Out-of-range labels must raise, not write out of bounds in the C
+    kernels (uniform failure mode for native and numpy paths)."""
+
+    def test_rejects_label_ge_P(self):
+        import pytest
+
+        from ananke_abm_tpu.ops import native as nat
+
+        Y = np.array([[0, 1, 2, 3]], dtype=np.int64)  # 3 >= P
+        for fn in (
+            lambda: nat.count_ngrams_dense(Y, 2, 3),
+            lambda: nat.tod_counts(Y, 3),
+            lambda: nat.ngram_start_hist_dense(Y, 2, 3),
+        ):
+            with pytest.raises(ValueError, match="labels out of range"):
+                fn()
+
+    def test_rejects_negative_label(self):
+        import pytest
+
+        from ananke_abm_tpu.ops import native as nat
+
+        Y = np.array([[0, -1, 2]], dtype=np.int64)
+        with pytest.raises(ValueError, match="labels out of range"):
+            nat.count_ngrams_dense(Y, 2, 3)

@@ -8,14 +8,16 @@ import pytest
 
 from ananke_abm_tpu.ops.semi_crf import (
     semicrf_decode,
+    semicrf_gold_log_marginal,
     semicrf_log_partition,
     semicrf_nll,
     semicrf_path_score,
 )
 
 
-def _enumerate_segmentations(T, P, D):
-    """All (purpose, duration) sequences covering T with no self-repeat."""
+def _enumerate_segmentations(T, P, D, allow_self=False):
+    """All (purpose, duration) sequences covering T; self-repeats admitted
+    only when ``allow_self``."""
 
     def rec(remaining, prev_p):
         if remaining == 0:
@@ -23,12 +25,19 @@ def _enumerate_segmentations(T, P, D):
             return
         for d in range(1, min(D, remaining) + 1):
             for p in range(P):
-                if p == prev_p:
+                if p == prev_p and not allow_self:
                     continue
                 for rest in rec(remaining - d, p):
                     yield [(p, d)] + rest
 
     return list(rec(T, -1))
+
+
+def _dense(segs):
+    out = []
+    for (p, d) in segs:
+        out.extend([p] * d)
+    return out
 
 
 def _score_np(u, dur, A, segs):
@@ -128,3 +137,98 @@ class TestNLL:
         )
         assert np.all(np.isfinite(np.asarray(g1)))
         assert np.all(np.isfinite(np.asarray(g2)))
+
+    def test_masked_nll_ignores_padded_rows(self):
+        u, dur, A = _instance(jax.random.PRNGKey(7), B=3, T=5, P=3, D=3)
+        labels = jnp.asarray(
+            np.array([[0, 1, 1, 2, 0], [1, 1, 0, 0, 2], [2, 0, 0, 1, 1]])
+        )
+        mask = jnp.asarray(np.array([1.0, 1.0, 0.0]))
+        masked = float(
+            semicrf_nll(jnp.asarray(u), labels, jnp.asarray(dur),
+                        jnp.asarray(A), mask_b=mask)
+        )
+        first_two = float(
+            semicrf_nll(jnp.asarray(u[:2]), labels[:2], jnp.asarray(dur),
+                        jnp.asarray(A))
+        )
+        np.testing.assert_allclose(masked, first_two, rtol=1e-6)
+
+
+class TestExactLongSegments:
+    """Exact likelihood when gold runs exceed Dmax (VERDICT r1 item 4)."""
+
+    def test_allow_self_log_partition_matches_brute_force(self):
+        u, dur, A = _instance(jax.random.PRNGKey(5), B=2, T=5, P=2, D=2)
+        logZ = np.asarray(
+            semicrf_log_partition(
+                jnp.asarray(u), jnp.asarray(dur), jnp.asarray(A),
+                allow_self=True,
+            )
+        )
+        segs = _enumerate_segmentations(5, 2, 2, allow_self=True)
+        for b in range(2):
+            scores = [_score_np(u[b], dur, A, s) for s in segs]
+            expected = np.log(np.sum(np.exp(np.array(scores))))
+            np.testing.assert_allclose(logZ[b], expected, rtol=1e-4)
+
+    def test_gold_marginal_matches_brute_force_long_run(self):
+        """Gold grid with a run of 4 > Dmax=2: marginal over all consistent
+        self-transiting segmentations, enumerated by hand."""
+        u, dur, A = _instance(jax.random.PRNGKey(6), B=2, T=6, P=3, D=2)
+        gold = np.array([[0, 0, 0, 0, 1, 2], [1, 1, 1, 1, 1, 0]])
+        got = np.asarray(
+            semicrf_gold_log_marginal(
+                jnp.asarray(u), jnp.asarray(gold), jnp.asarray(dur),
+                jnp.asarray(A),
+            )
+        )
+        segs = _enumerate_segmentations(6, 3, 2, allow_self=True)
+        for b in range(2):
+            consistent = [s for s in segs if _dense(s) == list(gold[b])]
+            assert len(consistent) > 1  # the long run splits several ways
+            scores = [_score_np(u[b], dur, A, s) for s in consistent]
+            expected = np.log(np.sum(np.exp(np.array(scores))))
+            np.testing.assert_allclose(got[b], expected, rtol=1e-4)
+
+    def test_exact_nll_is_positive_finite_differentiable_past_dmax(self):
+        u, dur, A = _instance(jax.random.PRNGKey(8), B=2, T=6, P=3, D=2)
+        gold = jnp.asarray(np.array([[0, 0, 0, 0, 1, 2], [1, 1, 1, 1, 1, 0]]))
+
+        def loss(u, dur, A):
+            return semicrf_nll(u, gold, dur, A, exact_long=True)
+
+        val = float(loss(jnp.asarray(u), jnp.asarray(dur), jnp.asarray(A)))
+        assert np.isfinite(val) and val > 0
+        grads = jax.grad(loss, argnums=(0, 1, 2))(
+            jnp.asarray(u), jnp.asarray(dur), jnp.asarray(A)
+        )
+        for g in grads:
+            assert np.all(np.isfinite(np.asarray(g)))
+
+    def test_decode_allow_self_can_exceed_dmax(self):
+        """With self-transitions cheap and one purpose dominant, the
+        allow_self decode produces a run longer than Dmax."""
+        u, dur, A = _instance(jax.random.PRNGKey(9), B=1, T=8, P=3, D=2)
+        u[:, :, 0] += 10.0
+        A = A * 0 + 1.0  # uniform transitions incl. self
+        labels = np.asarray(
+            semicrf_decode(
+                jnp.asarray(u), jnp.asarray(dur), jnp.asarray(A),
+                allow_self=True,
+            )
+        )
+        assert (labels[0] == 0).all()
+
+    def test_decode_allow_self_matches_brute_force(self):
+        u, dur, A = _instance(jax.random.PRNGKey(10), B=3, T=5, P=2, D=2)
+        labels = np.asarray(
+            semicrf_decode(
+                jnp.asarray(u), jnp.asarray(dur), jnp.asarray(A),
+                allow_self=True,
+            )
+        )
+        segs = _enumerate_segmentations(5, 2, 2, allow_self=True)
+        for b in range(3):
+            best = max(segs, key=lambda s: _score_np(u[b], dur, A, s))
+            np.testing.assert_array_equal(labels[b], _dense(best))
