@@ -93,12 +93,30 @@ def visualize_combined_traj(trajectory_csv, outdir, grid_min):
 @main.command("make-purposes")
 @click.option("--activities-csv", type=click.Path(exists=True), required=True)
 @click.option("--out-csv", type=click.Path(), required=True)
-@click.option("--overrides", type=click.Path(exists=True), default=None)
-def make_purposes_cmd(activities_csv, out_csv, overrides):
-    """Build the purposes catalog from an activities CSV."""
+@click.option("--overrides", "--override-yaml", type=click.Path(exists=True),
+              default=None)
+@click.option("--override-csv", type=click.Path(exists=True), default=None)
+@click.option("--persons-csv", type=click.Path(exists=True), default=None)
+@click.option("--purpose-col", default="purpose")
+@click.option("--start-col", default="startime")
+@click.option("--dur-col", default="total_duration")
+@click.option("--person-col", default="persid")
+@click.option("--day-col", default=None)
+@click.option("--day-horizon-minutes", type=float, default=1440.0)
+def make_purposes_cmd(activities_csv, out_csv, overrides, override_csv,
+                      persons_csv, purpose_col, start_col, dur_col,
+                      person_col, day_col, day_horizon_minutes):
+    """Build the purposes catalog from an activities CSV (reference
+    make_purposes.py option set)."""
     from ananke_abm_tpu.utils.make_purposes import build_purposes_catalog
 
-    catalog = build_purposes_catalog(activities_csv, out_csv, overrides)
+    catalog = build_purposes_catalog(
+        activities_csv, out_csv, overrides,
+        override_csv=override_csv, persons_csv=persons_csv,
+        purpose_col=purpose_col, start_col=start_col, dur_col=dur_col,
+        person_col=person_col, day_col=day_col,
+        day_horizon_minutes=day_horizon_minutes,
+    )
     click.echo(f"Wrote {len(catalog)} purposes to {out_csv}")
 
 

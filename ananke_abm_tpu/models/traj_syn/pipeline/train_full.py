@@ -32,20 +32,27 @@ from ananke_abm_tpu.utils.traj_fig.make_buffer_grid import make_buffer_grid
 
 
 def purpose_features_from_catalog(catalog, purpose_map) -> np.ndarray:
-    """(P, 8) catalog feature vectors ordered by purpose index."""
+    """(P, 8) catalog feature vectors ordered by purpose index.
+
+    Reads the reference purposes.csv schema (utils/make_purposes.py):
+    participation, occurrences-per-participating-day, median duration and
+    start, start circular variance, flexibility, and the two tags."""
     feats = np.zeros((len(purpose_map), 8), np.float32)
     cat = catalog.set_index("purpose")
     for name, idx in purpose_map.items():
         if name not in cat.index:
             continue
         r = cat.loc[name]
+        occ_per_pd = float(r["n_occurrences"]) / max(
+            float(r["n_person_days_with_purpose"]), 1.0
+        )
         feats[idx] = [
-            r["participation_rate"],
-            np.log1p(r["occ_per_participant"]),
-            r["duration_p50"] / 480.0,
-            r["start_p50"] / 1440.0,
-            r["start_circular_variance"],
-            r["flexibility_score"],
+            r["person_day_participation_rate"],
+            np.log1p(occ_per_pd),
+            r["median_duration_min"] / 480.0,
+            r["median_start_min"] / 1440.0,
+            r["start_circ_var"],
+            r["flexibility"],
             float(r["is_primary"]),
             float(r["can_open_close_day"]),
         ]
@@ -84,7 +91,7 @@ def train_traj_embed(
 
     if purposes_csv and os.path.exists(purposes_csv):
         catalog = pd.read_csv(purposes_csv)
-        needed = {"participation_rate", "flexibility_score"}
+        needed = {"person_day_participation_rate", "flexibility"}
         if not needed <= set(catalog.columns):
             catalog = build_purposes_catalog(activities_csv)
     else:

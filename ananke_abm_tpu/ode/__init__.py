@@ -10,6 +10,8 @@ Entry points:
 """
 from __future__ import annotations
 
+import jax
+
 from ananke_abm_tpu.ode.adjoint import odeint_adjoint
 from ananke_abm_tpu.ode.dopri5 import dopri5_solve
 from ananke_abm_tpu.ode.rk4 import euler_solve, rk4_solve
@@ -28,6 +30,7 @@ def odeint(
     substeps: int = 1,
     max_steps: int = 16384,
     adjoint: bool = True,
+    return_stats: bool = False,
 ):
     """Unified ODE solve.
 
@@ -35,20 +38,47 @@ def odeint(
     differentiable via checkpointed backprop.
     method="dopri5": adaptive; ``adjoint=True`` gives continuous-adjoint
     gradients, ``adjoint=False`` is forward-only (inference).
+
+    ``return_stats=True`` returns ``(ys, stats)`` with the solver's
+    ``n_steps``/``n_accepted``/``ok`` (fixed-step methods report
+    trivially-ok stats). Independent of this flag, a dopri5 ``max_steps``
+    exhaustion NaN-poisons the unfilled output rows and prints a
+    diagnostic — stale-buffer garbage can never flow onward silently.
     """
+    import jax.numpy as _jnp
+
+    def _fixed_stats(ys):
+        n = (len(ts) - 1) * substeps
+        return {
+            "n_steps": _jnp.asarray(n),
+            "n_accepted": _jnp.asarray(n),
+            "ok": _jnp.asarray(True),
+        }
+
     if method == "rk4":
-        return rk4_solve(rhs, y0, ts, args, substeps=substeps)
+        ys = rk4_solve(rhs, y0, ts, args, substeps=substeps)
+        return (ys, _fixed_stats(ys)) if return_stats else ys
     if method == "euler":
-        return euler_solve(rhs, y0, ts, args, substeps=substeps)
+        ys = euler_solve(rhs, y0, ts, args, substeps=substeps)
+        return (ys, _fixed_stats(ys)) if return_stats else ys
     if method == "dopri5":
         if adjoint:
-            return odeint_adjoint(
+            ys = odeint_adjoint(
                 rhs, y0, ts, args, rtol=rtol, atol=atol, max_steps=max_steps
             )
-        ys, _ = dopri5_solve(
+            if not return_stats:
+                return ys
+            # adjoint mode has no step stats (custom_vjp forward discards
+            # them); report ok from the NaN poisoning of the last row
+            leaves = jax.tree_util.tree_leaves(ys)
+            ok = _jnp.all(
+                _jnp.stack([_jnp.isfinite(l[-1]).all() for l in leaves])
+            )
+            return ys, {"n_steps": None, "n_accepted": None, "ok": ok}
+        ys, stats = dopri5_solve(
             rhs, y0, ts, args, rtol=rtol, atol=atol, max_steps=max_steps
         )
-        return ys
+        return (ys, stats) if return_stats else ys
     raise ValueError(f"Unknown ODE method: {method!r}")
 
 

@@ -13,6 +13,7 @@ Gradients: the while_loop is not reverse-differentiable by design — use
 """
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -243,9 +244,37 @@ def dopri5_solve(
     t, y, f, h, out_idx, ys, n_steps, n_acc = jax.lax.while_loop(
         cond_fn, body_fn, init
     )
+    ok = out_idx >= num_out
+
+    # Failure surfacing: rows past out_idx were never written and would
+    # otherwise hold stale buffer contents. Poison them with NaN so a
+    # stiff-regime max_steps exhaustion is loud (NaN loss / debug_nan_mode)
+    # instead of silently wrong, and print a diagnostic.
+    unfilled = jnp.arange(num_out) >= out_idx
+
+    def poison(buf):
+        if not jnp.issubdtype(buf.dtype, jnp.inexact):
+            return buf
+        shape = (num_out,) + (1,) * (buf.ndim - 1)
+        return jnp.where(unfilled.reshape(shape), jnp.nan, buf)
+
+    ys = tree_map(poison, ys)
+    # Optional loud diagnostic. Off by default: some PJRT backends (the
+    # axon TPU tunnel) don't support host callbacks, so jax.debug.print
+    # would crash the solve. NaN poisoning above is the always-on signal.
+    if os.environ.get("ANANKE_DEBUG_ODE"):
+        jax.lax.cond(
+            ok,
+            lambda: None,
+            lambda: jax.debug.print(
+                "dopri5_solve: max_steps={m} exhausted at t={t} "
+                "({k}/{n} outputs filled; unfilled rows are NaN)",
+                m=max_steps, t=t, k=out_idx, n=num_out,
+            ),
+        )
     stats = {
         "n_steps": n_steps,
         "n_accepted": n_acc,
-        "ok": out_idx >= num_out,
+        "ok": ok,
     }
     return ys, stats

@@ -25,27 +25,65 @@ def activities_csv(tmp_path_factory):
 
 
 class TestPurposesCatalog:
-    def test_catalog_columns_and_values(self, activities_csv, tmp_path):
+    def test_catalog_matches_reference_schema(self, activities_csv, tmp_path):
+        from ananke_abm_tpu.utils.make_purposes import LEAD_COLUMNS
+
         out = str(tmp_path / "purposes.csv")
         cat = build_purposes_catalog(activities_csv, out)
         assert os.path.exists(out)
-        for col in (
-            "purpose", "occurrences", "participation_rate",
-            "duration_p50", "start_p50", "start_circular_variance",
-            "flexibility_score", "is_primary", "can_open_close_day",
-        ):
-            assert col in cat.columns
+        # reference lead column set, in order
+        # (reference utils/make_purposes.py:22-53 output contract)
+        assert list(cat.columns[: len(LEAD_COLUMNS)]) == LEAD_COLUMNS
         home = cat[cat.purpose == "Home"].iloc[0]
-        assert home["participation_rate"] == 1.0
-        assert bool(home["can_open_close_day"])
-        assert (cat["start_circular_variance"] >= 0).all()
-        assert (cat["flexibility_score"].between(0, 1)).all()
+        assert home["person_day_participation_rate"] == 1.0
+        assert home["can_open_close_day"] == 1 and home["is_primary"] == 1
+        assert (cat["start_circ_var"] >= 0).all()
+        assert (cat["flexibility"].between(0, 1)).all()
+        assert (cat["skip_probability"].between(0, 1)).all()
+        assert (cat["iqr_duration_min"] >= 0).all()
+        assert (cat["std_duration_min"] >= 0).all()
+        assert (cat["duration_cv"] >= 0).all()
+        # sorted by participation desc
+        p = cat["person_day_participation_rate"].to_numpy()
+        assert (np.diff(p) <= 1e-12).all()
 
     def test_overrides(self, activities_csv, tmp_path):
         ov = tmp_path / "ov.yaml"
-        ov.write_text("Home:\n  flexibility_score: 0.123\n")
+        ov.write_text(
+            "Home:\n  is_primary: 'N'\n  notes: anchor activity\n"
+        )
         cat = build_purposes_catalog(activities_csv, overrides=str(ov))
-        assert cat[cat.purpose == "Home"].iloc[0]["flexibility_score"] == 0.123
+        home = cat[cat.purpose == "Home"].iloc[0]
+        assert home["is_primary"] == 0
+        assert home["notes"] == "anchor activity"
+
+    def test_persons_csv_widens_denominator(self, activities_csv, tmp_path):
+        import pandas as pd
+
+        acts = pd.read_csv(activities_csv)
+        extra = pd.DataFrame(
+            {"persid": list(acts["persid"].unique()) + ["ghost1", "ghost2"]}
+        )
+        pcsv = tmp_path / "persons.csv"
+        extra.to_csv(pcsv, index=False)
+        cat = build_purposes_catalog(activities_csv, persons_csv=str(pcsv))
+        home = cat[cat.purpose == "Home"].iloc[0]
+        n = acts["persid"].nunique()
+        assert abs(
+            home["person_day_participation_rate"] - n / (n + 2)
+        ) < 1e-9
+
+    def test_configurable_columns(self, activities_csv, tmp_path):
+        import pandas as pd
+
+        df = pd.read_csv(activities_csv).rename(
+            columns={"persid": "PID", "purpose": "act",
+                     "starttime": "start_min", "total_duration": "dur"}
+        )
+        csv2 = tmp_path / "renamed.csv"
+        df.to_csv(csv2, index=False)
+        cat = build_purposes_catalog(str(csv2))  # alias fallbacks resolve
+        assert len(cat) > 0 and "Home" in set(cat["purpose"])
 
 
 class TestBufferGrid:
