@@ -297,9 +297,19 @@ def train(config, output_dir: str, seed: int = 123, resume: bool = False,
     n_tb = -(-Y_train.shape[0] // batch_size)
     n_vb = max(1, -(-Y_val.shape[0] // batch_size))
 
+    # Checkpoint cadence: a per-epoch last.ckpt write device_gets the full
+    # params+opt_state every epoch — over a remote-tunnel backend that
+    # dominates wall clock (measured ~20 s/epoch vs ~1 s of compute at
+    # VISTA scale). last.ckpt is written every `ckpt_every` epochs and at
+    # exit; the best params stay referenced on device and best_val.ckpt is
+    # materialized once at exit (same {last, best_val} artifacts).
+    ckpt_every = int(tr.get("ckpt_every", 25))
+
     best_val_loss = np.inf
+    best_state = None  # (params, opt_state, epoch) device refs
     wait = 0
     logs = []
+    epoch = start_epoch - 1
     for epoch in range(start_epoch, num_epochs + 1):
         beta = beta_target * min(1.0, epoch / warmup_epochs)
         ekey = jax.random.fold_in(base_key, epoch)
@@ -313,14 +323,17 @@ def train(config, output_dir: str, seed: int = 123, resume: bool = False,
         tr_m = jax.device_get(tr_m)
         va_m = jax.device_get(va_m)
 
-        ckpt_obj = {
-            "params": params,
-            "opt_state": opt_state,
-            "meta": meta,
-            "cfg": cfg,
-            "epoch": epoch,
-        }
-        save_checkpoint(ckpt_obj, last_ckpt)
+        if epoch % ckpt_every == 0:
+            save_checkpoint(
+                {
+                    "params": params,
+                    "opt_state": opt_state,
+                    "meta": meta,
+                    "cfg": cfg,
+                    "epoch": epoch,
+                },
+                last_ckpt,
+            )
 
         logs.append(
             {
@@ -331,17 +344,43 @@ def train(config, output_dir: str, seed: int = 123, resume: bool = False,
             }
         )
 
+        improvement = best_val_loss - float(va_m["loss"])
+        improved = improvement > IMPROVEMENT_THRESHOLD
+        if improved:
+            best_val_loss = float(va_m["loss"])
+            best_state = (params, opt_state, epoch)
+
         # reference semantics (train.py:249-253): past min_epochs, stop once
         # `wait` reaches `patience` (patience=0 stops right at min_epochs)
         wait += 1
         if epoch >= min_epochs and wait >= patience:
             print(f"No improvement for {patience} epochs, stopping.")
             break
-        improvement = best_val_loss - float(va_m["loss"])
-        if improvement > IMPROVEMENT_THRESHOLD:
-            best_val_loss = float(va_m["loss"])
-            save_checkpoint(ckpt_obj, best_ckpt)
+        if improved:
             wait = 0
+
+    save_checkpoint(
+        {
+            "params": params,
+            "opt_state": opt_state,
+            "meta": meta,
+            "cfg": cfg,
+            "epoch": epoch,
+        },
+        last_ckpt,
+    )
+    if best_state is not None:
+        b_params, b_opt, b_epoch = best_state
+        save_checkpoint(
+            {
+                "params": b_params,
+                "opt_state": b_opt,
+                "meta": meta,
+                "cfg": cfg,
+                "epoch": b_epoch,
+            },
+            best_ckpt,
+        )
 
     elapsed = time.time() - t_start
     print(f"Training completed in {elapsed:.2f} seconds.")

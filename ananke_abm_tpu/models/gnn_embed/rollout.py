@@ -56,9 +56,12 @@ def make_decoded_rollout(model, config, zone_feats, adj, times,
     if use_pallas:
         from ananke_abm_tpu.ops.pallas.fused_step import make_pallas_rollout
 
+        # fuse_decode: substeps + decode/argmax of each interval in one
+        # kernel — measured +11% at 1M agents over per-step kernels with
+        # exact id agreement (and +24% combined with the max-free softmax)
         return make_pallas_rollout(
             model, zone_feats, adj, times,
-            substeps=config.substeps, mesh=mesh,
+            substeps=config.substeps, mesh=mesh, fuse_decode=True,
         )
 
     substeps = config.substeps

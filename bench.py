@@ -32,6 +32,33 @@ NUM_ZONES = 64
 NUM_BLOCKS = 1  # drift residual blocks (kernel contract)
 BASELINE_AGENTS = 128  # torch-CPU baseline sample size (extrapolated)
 
+# Training-throughput workload (BASELINE config 4: ~500-zone bipartite
+# attention, 32k-agent batch, full fwd+bwd+adamw step)
+TRAIN_N = 32768
+TRAIN_ZONES = 500
+TRAIN_TIMES = 12
+
+V5E_BF16_PEAK_TFLOPS = 197.0  # per-chip MXU peak, bf16 multiply / f32 acc
+
+
+def rollout_flops_per_agent(da, dz, hidden, ctx, num_zones, num_times,
+                            substeps, num_blocks):
+    """Analytic matmul-FLOPs model of the fused day rollout (2*m*k*n per
+    matmul, per agent): RK4 = 4 RHS evals per substep; RHS = query proj +
+    attention scores + context + drift MLP; decode once per output time."""
+    feat_in = da + dz + ctx + 2
+    rhs = (
+        2 * da * dz                      # q = x @ Wq
+        + 2 * dz * num_zones             # scores = q @ ze.T
+        + 2 * num_zones * dz             # ctx = attn @ ze
+        + 2 * feat_in * hidden           # W1
+        + num_blocks * 2 * (2 * hidden * hidden)  # Wr1, Wr2 per block
+        + 2 * hidden * da                # W3
+    )
+    n_rk4_steps = (num_times - 1) * substeps
+    decode = num_times * (2 * da * dz + 2 * dz * num_zones)
+    return 4 * rhs * n_rk4_steps + decode
+
 
 def measure_tpu() -> float:
     import jax
@@ -73,6 +100,59 @@ def measure_tpu() -> float:
         rollout(params, pf, hz).block_until_ready()
     dt = (time.time() - t0) / n_iter
     return N_AGENTS / dt
+
+
+def measure_train_step() -> dict:
+    """BASELINE config 4: full train step (fwd+bwd+adamw) at 32k agents x
+    500 zones bipartite attention. Returns ms/step and agents/s."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ananke_abm_tpu.data_generator.agent_trajectories import (
+        generate_agent_population,
+    )
+    from ananke_abm_tpu.models.gnn_embed.train import (
+        GATODEConfig,
+        build_model,
+        init_params,
+        make_step_fns,
+    )
+
+    config = GATODEConfig(substeps=SUBSTEPS, num_blocks=NUM_BLOCKS)
+    data = generate_agent_population(
+        TRAIN_N, num_times=TRAIN_TIMES, seed=1, num_zones=TRAIN_ZONES
+    )
+    model = build_model(config, 7, 8)
+    params = init_params(model, config, data, 1024, jax.random.PRNGKey(1))
+    static = (
+        jnp.asarray(data["zone_features"]),
+        jnp.asarray(data["adj"]),
+        jnp.asarray(data["times"]),
+    )
+    optimizer = optax.adamw(1e-3)
+    opt_state = optimizer.init(params)
+    train_step, _ = make_step_fns(model, optimizer, config, static)
+    pf = jnp.asarray(data["person_feats"])
+    hz = jnp.asarray(data["home_zone"])
+    tg = jnp.asarray(data["zone_ids"])
+
+    params, opt_state, loss, acc = train_step(params, opt_state, pf, hz, tg)
+    jax.block_until_ready(loss)  # compile + warm
+    n_iter = 5
+    t0 = time.time()
+    for _ in range(n_iter):
+        params, opt_state, loss, acc = train_step(
+            params, opt_state, pf, hz, tg
+        )
+    jax.block_until_ready(loss)
+    dt = (time.time() - t0) / n_iter
+    return {
+        "train_ms_per_step": round(1e3 * dt, 1),
+        "train_agents_per_s": round(TRAIN_N / dt, 1),
+        "train_workload": f"{TRAIN_N} agents x {TRAIN_ZONES} zones x "
+                          f"{TRAIN_TIMES} times, fwd+bwd+adamw",
+    }
 
 
 def measure_torch_cpu_baseline() -> float:
@@ -174,13 +254,26 @@ def get_baseline() -> float:
 def main():
     tpu = measure_tpu()
     baseline = get_baseline()
+    train_stats = measure_train_step()
+
+    flops_per_agent = rollout_flops_per_agent(
+        da=32, dz=64, hidden=128, ctx=32, num_zones=NUM_ZONES,
+        num_times=NUM_TIMES, substeps=SUBSTEPS, num_blocks=NUM_BLOCKS,
+    )
+    tflops = tpu * flops_per_agent / 1e12
     print(
         json.dumps(
             {
-                "metric": "agent-trajectories/sec/chip (1M-agent GAT-ODE day rollout, RK4 x96 steps, 64 zones, fused bf16 Pallas step)",
+                "metric": "agent-trajectories/sec/chip (1M-agent GAT-ODE day rollout, RK4 x96 steps, 64 zones, interval-fused bf16 Pallas kernel w/ in-kernel decode)",
                 "value": round(tpu, 1),
                 "unit": "agents/s",
                 "vs_baseline": round(tpu / baseline, 2),
+                "rollout_tflops_per_s": round(tflops, 1),
+                "mfu_vs_v5e_bf16_peak": round(
+                    tflops / V5E_BF16_PEAK_TFLOPS, 4
+                ),
+                "rollout_matmul_flops_per_agent": int(flops_per_agent),
+                **train_stats,
             }
         )
     )

@@ -135,3 +135,56 @@ class TestLatentODEUnderMesh:
         b = meshed.predict_trajectories(num_samples=2, seed=3)
         for k in ("zones", "purposes", "modes"):
             np.testing.assert_array_equal(a[k], b[k])
+
+
+class TestMultiHostDataFeeding:
+    """Per-host sharded batch assembly (VERDICT r1 item 10): no host
+    materializes the full global batch."""
+
+    def test_global_shape_arithmetic_faked_process_counts(self):
+        from ananke_abm_tpu.parallel.distributed import (
+            global_batch_shape,
+            host_row_slice,
+        )
+
+        assert global_batch_shape((16, 7), 4) == (64, 7)
+        # each of 4 fake hosts owns a distinct, covering, even slice
+        slices = [host_row_slice(64, pi, 4) for pi in range(4)]
+        rows = []
+        for s in slices:
+            assert s.stop - s.start == 16
+            rows.extend(range(s.start, s.stop))
+        assert rows == list(range(64))
+        with pytest.raises(ValueError):
+            host_row_slice(10, 0, 4)
+
+    def test_local_rows_assemble_to_sharded_global(self, mesh):
+        import jax
+
+        from ananke_abm_tpu.parallel.distributed import (
+            host_local_batch_to_global,
+            host_row_slice,
+        )
+        from ananke_abm_tpu.parallel.mesh import AGENT_AXIS
+
+        n_global = 32
+        full = {
+            "x": np.arange(n_global * 3, dtype=np.float32).reshape(n_global, 3),
+            "ids": np.arange(n_global, dtype=np.int32),
+        }
+        # this process's local rows (single-process: all of them)
+        sl = host_row_slice(n_global)
+        local = {k: v[sl] for k, v in full.items()}
+        out = host_local_batch_to_global(mesh, local)
+        for k in full:
+            assert out[k].shape == full[k].shape
+            np.testing.assert_array_equal(np.asarray(out[k]), full[k])
+            # sharded over the agent axis of the mesh
+            shard_rows = {
+                s.data.shape[0] for s in out[k].addressable_shards
+            }
+            n_agent = dict(zip(mesh.axis_names, mesh.devices.shape))[AGENT_AXIS]
+            assert shard_rows == {n_global // n_agent}
+        # feeds a jitted reduction with no resharding error
+        total = jax.jit(lambda t: t["x"].sum() + t["ids"].sum())(out)
+        assert float(total) == float(full["x"].sum() + full["ids"].sum())

@@ -103,3 +103,20 @@ def test_pallas_rollout_sees_updated_params():
     )
     out1 = np.asarray(rollout(perturbed, pf, hz))
     assert (out0 != out1).any(), "updated params did not change the rollout"
+
+
+def test_interval_fused_decode_matches_per_step_kernel():
+    """rk4_interval_decode_fused (substeps + decode in one kernel) must
+    reproduce the per-step kernel + XLA decode path exactly."""
+    from ananke_abm_tpu.ops.pallas.fused_step import make_pallas_rollout
+
+    cfg, model, params, (zf, adj, times, pf, hz) = _tiny_setup(
+        n_agents=96, num_times=6, num_zones=10
+    )
+    r0 = make_pallas_rollout(model, zf, adj, times, substeps=2)
+    r1 = make_pallas_rollout(
+        model, zf, adj, times, substeps=2, fuse_decode=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r1(params, pf, hz)), np.asarray(r0(params, pf, hz))
+    )
