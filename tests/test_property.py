@@ -1,0 +1,188 @@
+"""Property-based tests (hypothesis) for the rasterizer and union-grid
+builders (ROADMAP quality item): invariants must hold for arbitrary valid
+inputs, not just the curated fixtures.
+"""
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from ananke_abm_tpu.dataio.rasterize import (
+    build_purpose_map,
+    ensure_homebound,
+    rasterize_frame,
+)
+
+PURPOSES = ["Home", "Work", "Education", "Shopping", "Social", "Other"]
+
+
+@st.composite
+def activity_frames(draw):
+    """Random populations of persons with sorted activity sequences.
+    Durations are positive; starts are nondecreasing per person (the
+    rasterizer's documented input shape); at least one non-Home activity
+    per person so the no-all-home invariant is satisfiable."""
+    n_persons = draw(st.integers(1, 6))
+    rows = []
+    for p in range(n_persons):
+        n_acts = draw(st.integers(2, 7))
+        start = 0
+        purposes = []
+        for i in range(n_acts):
+            dur = draw(st.integers(1, 400))
+            # homebound input contract: day 0 starts at Home
+            purpose = "Home" if i == 0 else draw(st.sampled_from(PURPOSES))
+            purposes.append(purpose)
+            rows.append(
+                dict(persid=f"p{p:02d}", stopno=i, purpose=purpose,
+                     starttime=start, total_duration=dur)
+            )
+            start += dur
+        if all(q == "Home" for q in purposes):
+            rows[-1]["purpose"] = "Work"
+    return pd.DataFrame(rows)
+
+
+class TestRasterizerProperties:
+    @settings(max_examples=40, deadline=None)
+    @given(df=activity_frames(), grid_min=st.sampled_from([5, 15, 30]))
+    def test_invariants(self, df, grid_min):
+        pm = build_purpose_map(df["purpose"])
+        Y, persids = rasterize_frame(df, pm, grid_min=grid_min)
+        L = 1440 // grid_min
+        # shape + label range
+        assert Y.shape == (df["persid"].nunique(), L)
+        assert Y.min() >= 0 and Y.max() < len(pm)
+        # home-bound invariant: every day ends at Home
+        home = pm["Home"]
+        assert (Y[:, -1] == home).all()
+        # row order matches sorted unique persids
+        assert persids == sorted(df["persid"].unique().tolist())
+
+    @settings(max_examples=25, deadline=None)
+    @given(data=st.data())
+    def test_every_infield_activity_gets_a_bin(self, data):
+        """Monotone push-forward: on a home-terminated day that fits the
+        horizon (so the home-bound postprocess is a no-op), every
+        activity occupies exactly its pushed [start, end) bin slot."""
+        grid_min = 30
+        rows = []
+        n_persons = data.draw(st.integers(1, 4))
+        for p in range(n_persons):
+            n_acts = data.draw(st.integers(1, 5))
+            budget = 1440 - 240  # leave room for the closing Home
+            start = 0
+            for i in range(n_acts):
+                dur = data.draw(
+                    st.integers(grid_min, max(grid_min, budget // n_acts))
+                )
+                purpose = "Home" if i == 0 else data.draw(
+                    st.sampled_from(PURPOSES[1:])
+                )
+                rows.append(
+                    dict(persid=f"p{p:02d}", stopno=i, purpose=purpose,
+                         starttime=start, total_duration=dur)
+                )
+                start += dur
+            rows.append(
+                dict(persid=f"p{p:02d}", stopno=n_acts, purpose="Home",
+                     starttime=start, total_duration=1440 - start)
+            )
+        df = pd.DataFrame(rows)
+        pm = build_purpose_map(df["purpose"])
+        Y, persids = rasterize_frame(df, pm, grid_min=grid_min)
+        row_of = {p: i for i, p in enumerate(persids)}
+        L = 1440 // grid_min
+        for pid, g in df.groupby("persid"):
+            g = g.sort_values("stopno")
+            end_bin = 0  # running earliest-free-bin (push-forward)
+            for _, r in g.iterrows():
+                start_bin = max(int(r["starttime"]) // grid_min, end_bin)
+                nbins = max(1, -(-int(r["total_duration"]) // grid_min))
+                end_bin = start_bin + nbins
+                lo, hi = start_bin, min(end_bin, L)
+                if lo >= L:
+                    continue
+                seg = Y[row_of[pid], lo:hi]
+                assert (seg == pm[r["purpose"]]).all(), (
+                    pid, r["purpose"], lo, hi, seg
+                )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        n=st.integers(1, 5),
+        home_prefix=st.integers(0, 5),
+        tail=st.integers(0, 5),
+    )
+    def test_ensure_homebound(self, n, home_prefix, tail):
+        """Trailing non-home runs shift to day end with Home forced at
+        the final bin, whatever the run lengths."""
+        L = 16
+        Y = np.zeros((n, L), dtype=np.int64)
+        Y[:, home_prefix: home_prefix + 3] = 2  # midday activity
+        if tail:
+            Y[:, L - tail:] = 1  # trailing non-home
+        out = ensure_homebound(Y.copy(), home_idx=0)
+        assert (out[:, -1] == 0).all()
+
+
+class TestUnionGridProperties:
+    @settings(max_examples=20, deadline=None)
+    @given(
+        snap_lists=st.lists(
+            st.lists(
+                st.floats(0.0, 24.0, allow_nan=False, width=32),
+                min_size=2, max_size=6, unique=True,
+            ),
+            min_size=1, max_size=4,
+        ),
+        k=st.sampled_from([2, 4, 8]),
+    )
+    def test_union_grid_invariants(self, snap_lists, k):
+        from ananke_abm_tpu.models.mode_sep.batching import (
+            build_union_batch,
+            insert_internal_points,
+        )
+        from ananke_abm_tpu.models.mode_sep.data import PersonData
+
+        persons = []
+        for i, snaps in enumerate(snap_lists):
+            t = np.sort(np.asarray(snaps, np.float64))
+            # drop near-duplicate times the union tolerance would merge
+            t = t[np.concatenate([[True], np.diff(t) > 1e-3])]
+            if t.size < 2:
+                continue
+            locs = ((np.arange(t.size) // 2) % 3).astype(np.int64)
+            stays = [
+                (float(t[j]), float(t[j + 1]), int(locs[j]))
+                for j in range(t.size - 1)
+                if locs[j] == locs[j + 1]
+            ]
+            persons.append(
+                PersonData(
+                    person_id=i,
+                    person_name=f"p{i}",
+                    times_snap=t.astype(np.float32),
+                    loc_ids=locs,
+                    stay_segments=stays,
+                    home_zone_idx=0,
+                    work_zone_idx=1,
+                    traits_raw=np.asarray([0.3, 0.5], np.float32),
+                )
+            )
+        if not persons:
+            return
+        batch = build_union_batch(persons, K_internal=k)
+        times = np.asarray(batch.times_union)
+        # strictly increasing grid
+        assert (np.diff(times) > 0).all()
+        # every person's snap times appear on the grid
+        for i, p in enumerate(persons):
+            for t in p.times_snap:
+                j = np.argmin(np.abs(times - t))
+                assert abs(times[j] - t) < 1e-4
+                assert batch.is_gt[i, j]
+        # masks are boolean and consistent: GT points are never
+        # "stay interior non-gt"
+        assert not np.logical_and(
+            np.asarray(batch.is_gt), np.asarray(batch.stay_non_gt)
+        ).any()
