@@ -59,14 +59,22 @@ def fit(config, output_dir, seed, resume, data_parallel):
 @click.option("--crf-path", type=click.Path(exists=True), default=None)
 @click.option("--enforce-nonhome", is_flag=True, default=False, show_default=True)
 @click.option("--reject-all-home", is_flag=True, default=False, show_default=True)
+@click.option("--data-parallel", is_flag=True, default=False,
+              help="Shard chunk batches over all attached devices.")
 def sample_population(ckpt_path, num_samples, outprefix, seed,
                       csv_max_persons, decode_mode, crf_path,
-                      enforce_nonhome, reject_all_home):
+                      enforce_nonhome, reject_all_home, data_parallel):
     """Generate a synthetic population from a trained checkpoint."""
     from ananke_abm_tpu.models.gen_schedule.pipeline.sample import sample
 
+    mesh = None
+    if data_parallel:
+        from ananke_abm_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(zone_parallel=1)
     sample(ckpt_path, num_samples, outprefix, seed, csv_max_persons,
-           decode_mode, crf_path, enforce_nonhome, reject_all_home)
+           decode_mode, crf_path, enforce_nonhome, reject_all_home,
+           mesh=mesh)
     click.echo(f"Sampled {num_samples} individuals to {outprefix}.npz")
 
 
@@ -130,12 +138,19 @@ def prepare_crf_data_cmd(vae_ckpt, splits_path, outdir, batch_size):
 
 @main.command("train-crf")
 @click.option("--cfg", "cfg_path", type=click.Path(exists=True), required=True)
-def train_crf_cmd(cfg_path):
+@click.option("--data-parallel", is_flag=True, default=False,
+              help="Shard (U, Y) batches over all attached devices.")
+def train_crf_cmd(cfg_path, data_parallel):
     """Train a TransitionCRF from a crf_config.yaml."""
     from ananke_abm_tpu.models.gen_schedule.crf.train import train_crf
     from ananke_abm_tpu.utils import load_config
 
-    train_crf(load_config(cfg_path))
+    mesh = None
+    if data_parallel:
+        from ananke_abm_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(zone_parallel=1)
+    train_crf(load_config(cfg_path), mesh=mesh)
 
 
 @main.command("compare-samples")
