@@ -35,15 +35,22 @@ def prepare(activities, grid, out, val_frac, seed):
               help="Restore params/opt state from last.ckpt and continue.")
 @click.option("--data-parallel", is_flag=True, default=False,
               help="Shard batches over all attached devices (agents axis).")
-def fit(config, output_dir, seed, resume, data_parallel):
+@click.option("--epochs-per-jit", type=int, default=None,
+              help="Fuse this many epochs into one jitted scan (overrides "
+                   "train.epochs_per_jit; >1 amortizes per-epoch dispatch).")
+def fit(config, output_dir, seed, resume, data_parallel, epochs_per_jit):
     """Train a schedule VAE from a YAML/JSON config."""
     from ananke_abm_tpu.models.gen_schedule.pipeline.train import train
+    from ananke_abm_tpu.utils import load_config
 
     mesh = None
     if data_parallel:
         from ananke_abm_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(zone_parallel=1)
+    if epochs_per_jit is not None:
+        config = load_config(config)
+        config["train"]["epochs_per_jit"] = int(epochs_per_jit)
     train(config, output_dir, seed, resume=resume, mesh=mesh)
     click.echo(f"Training complete in {output_dir}")
 

@@ -109,10 +109,14 @@ def make_loss_fn(model, home_idx, lambdas, pds_arrays):
     return loss_fn
 
 
-def make_epoch_fns(
+def _make_epoch_bodies(
     model, optimizer, home_idx, lambdas, pds_arrays, batch_size, mesh=None
 ):
-    """``mesh``: optional (agents x zones) Mesh for data-parallel training —
+    """Unjitted one-epoch train/eval bodies shared by the per-epoch jit
+    wrappers (make_epoch_fns) and the fused multi-epoch scan
+    (make_chunked_train_fn).
+
+    ``mesh``: optional (agents x zones) Mesh for data-parallel training —
     the gathered batch shards its leading (agent) axis across the mesh;
     params stay replicated and GSPMD inserts the gradient psum. The grid
     array Y is small (VISTA scale: 42817 x 288 int32 = 49 MB) so it stays
@@ -132,7 +136,6 @@ def make_epoch_fns(
         def shard_rows(x):
             return x
 
-    @functools.partial(jax.jit, static_argnames=("n_batches",))
     def train_epoch(params, opt_state, Y, key, beta, n_batches):
         """One epoch: shuffle, scan over batches, sgd updates on device."""
         n = Y.shape[0]
@@ -164,7 +167,6 @@ def make_epoch_fns(
         means = jax.tree_util.tree_map(jnp.mean, comps)
         return params, opt_state, means
 
-    @functools.partial(jax.jit, static_argnames=("n_batches",))
     def eval_epoch(params, Y, key, beta, n_batches):
         n = Y.shape[0]
         pad = n_batches * batch_size - n
@@ -192,6 +194,132 @@ def make_epoch_fns(
         return means
 
     return train_epoch, eval_epoch
+
+
+def make_epoch_fns(
+    model, optimizer, home_idx, lambdas, pds_arrays, batch_size, mesh=None
+):
+    """Per-epoch jitted (train_epoch, eval_epoch) pair — one dispatch per
+    epoch. See make_chunked_train_fn for the fused multi-epoch variant."""
+    train_body, eval_body = _make_epoch_bodies(
+        model, optimizer, home_idx, lambdas, pds_arrays, batch_size,
+        mesh=mesh,
+    )
+    train_epoch = functools.partial(
+        jax.jit, static_argnames=("n_batches",)
+    )(train_body)
+    eval_epoch = functools.partial(
+        jax.jit, static_argnames=("n_batches",)
+    )(eval_body)
+    return train_epoch, eval_epoch
+
+
+def make_chunked_train_fn(
+    model, optimizer, home_idx, lambdas, pds_arrays, batch_size, chunk,
+    mesh=None,
+):
+    """Fused multi-epoch trainer: ONE jitted program scans ``chunk`` epochs
+    (train scan + val eval + best-by-val + early-stop bookkeeping all
+    on-device), so small populations pay one dispatch / metric fetch per
+    ``chunk`` epochs instead of per epoch — over the remote-tunnel backend
+    the per-epoch round trips dominate wall clock at reference scale.
+
+    Early-stop semantics match the host loop (and the reference,
+    train.py:249-253) exactly, including the quirky ordering: best-state
+    update on >0.003 improvement, THEN wait increment, THEN the
+    (epoch >= min_epochs and wait >= patience) stop check, THEN the wait
+    reset on improvement. Epochs past a stop (or past ``max_epoch``) still
+    occupy scan iterations but are masked no-ops; the host trims their log
+    rows via the returned ``ran`` mask.
+
+    The scan carry holds a second (params, opt_state) copy for the best
+    state — that doubles optimizer-state memory, which is why this is an
+    opt-in (``train.epochs_per_jit`` > 1) rather than the default path.
+    """
+    train_body, eval_body = _make_epoch_bodies(
+        model, optimizer, home_idx, lambdas, pds_arrays, batch_size,
+        mesh=mesh,
+    )
+
+    def _select(pred, new, old):
+        return jax.tree_util.tree_map(
+            lambda a, b: jnp.where(pred, a, b), new, old
+        )
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=("n_tb", "n_vb", "min_epochs", "patience"),
+    )
+    def train_chunk(
+        state, Y_train, Y_val, base_key, epoch0, max_epoch, beta_target,
+        warmup_epochs, n_tb, n_vb, min_epochs, patience,
+    ):
+        has_val = Y_val.shape[0] > 0
+
+        def step(state, e_idx):
+            epoch = epoch0 + e_idx
+            ran = jnp.logical_and(
+                jnp.logical_not(state["done"]), epoch <= max_epoch
+            )
+            beta = beta_target * jnp.minimum(
+                1.0, epoch.astype(jnp.float32) / warmup_epochs
+            )
+            ekey = jax.random.fold_in(base_key, epoch)
+            p_new, o_new, tr_m = train_body(
+                state["params"], state["opt_state"], Y_train, ekey, beta,
+                n_tb,
+            )
+            params = _select(ran, p_new, state["params"])
+            opt_state = _select(ran, o_new, state["opt_state"])
+            va_m = (
+                eval_body(params, Y_val, ekey, beta, n_vb)
+                if has_val else tr_m
+            )
+            improvement = state["best_val"] - va_m["loss"]
+            improved = jnp.logical_and(ran, improvement > IMPROVEMENT_THRESHOLD)
+            best_val = jnp.where(improved, va_m["loss"], state["best_val"])
+            best_params = _select(improved, params, state["best_params"])
+            best_opt = _select(improved, opt_state, state["best_opt"])
+            best_epoch = jnp.where(improved, epoch, state["best_epoch"])
+            wait = state["wait"] + ran.astype(jnp.int32)
+            stop_now = jnp.logical_and(
+                ran,
+                jnp.logical_and(epoch >= min_epochs, wait >= patience),
+            )
+            wait = jnp.where(
+                jnp.logical_and(improved, jnp.logical_not(stop_now)),
+                0, wait,
+            )
+            new_state = {
+                "params": params,
+                "opt_state": opt_state,
+                "best_params": best_params,
+                "best_opt": best_opt,
+                "best_val": best_val,
+                "best_epoch": best_epoch,
+                "wait": wait,
+                "done": jnp.logical_or(state["done"], stop_now),
+            }
+            return new_state, (tr_m, va_m, ran, stop_now)
+
+        state, (tr_rows, va_rows, ran, stopped) = jax.lax.scan(
+            step, state, jnp.arange(chunk)
+        )
+        return state, tr_rows, va_rows, ran, stopped
+
+    def init_state(params, opt_state):
+        return {
+            "params": params,
+            "opt_state": opt_state,
+            "best_params": params,
+            "best_opt": opt_state,
+            "best_val": jnp.asarray(jnp.inf, jnp.float32),
+            "best_epoch": jnp.asarray(0, jnp.int32),
+            "wait": jnp.asarray(0, jnp.int32),
+            "done": jnp.asarray(False),
+        }
+
+    return train_chunk, init_state
 
 
 def train(config, output_dir: str, seed: int = 123, resume: bool = False,
@@ -283,10 +411,17 @@ def train(config, output_dir: str, seed: int = 123, resume: bool = False,
             )
         start_epoch = int(obj.get("epoch", 0)) + 1
 
-    train_epoch, eval_epoch = make_epoch_fns(
-        model, optimizer, home_idx, lambdas, pds_arrays, batch_size,
-        mesh=mesh,
-    )
+    epochs_per_jit = int(tr.get("epochs_per_jit", 1))
+    if epochs_per_jit <= 1:
+        train_epoch, eval_epoch = make_epoch_fns(
+            model, optimizer, home_idx, lambdas, pds_arrays, batch_size,
+            mesh=mesh,
+        )
+    else:
+        train_chunk, init_chunk_state = make_chunked_train_fn(
+            model, optimizer, home_idx, lambdas, pds_arrays, batch_size,
+            epochs_per_jit, mesh=mesh,
+        )
 
     num_epochs = int(tr["epochs"])
     min_epochs = int(tr.get("min_epochs", num_epochs))
@@ -310,7 +445,70 @@ def train(config, output_dir: str, seed: int = 123, resume: bool = False,
     wait = 0
     logs = []
     epoch = start_epoch - 1
-    for epoch in range(start_epoch, num_epochs + 1):
+
+    if epochs_per_jit > 1:
+        state = init_chunk_state(params, opt_state)
+        for chunk_start in range(
+            start_epoch, num_epochs + 1, epochs_per_jit
+        ):
+            state, tr_rows, va_rows, ran, _ = train_chunk(
+                state, Y_train, Y_val, base_key,
+                jnp.asarray(chunk_start, jnp.int32),
+                jnp.asarray(num_epochs, jnp.int32),
+                float(beta_target), float(warmup_epochs),
+                n_tb, n_vb, min_epochs, patience,
+            )
+            tr_rows, va_rows, ran = jax.device_get((tr_rows, va_rows, ran))
+            for j in range(epochs_per_jit):
+                if not bool(ran[j]):
+                    break
+                epoch = chunk_start + j
+                logs.append(
+                    {
+                        "epoch": epoch,
+                        "beta": beta_target
+                        * min(1.0, epoch / warmup_epochs),
+                        **{
+                            f"train_{k}": float(v[j])
+                            for k, v in tr_rows.items()
+                        },
+                        **{
+                            f"val_{k}": float(v[j])
+                            for k, v in va_rows.items()
+                        },
+                    }
+                )
+            params = state["params"]
+            opt_state = state["opt_state"]
+            if (epoch // ckpt_every) > ((chunk_start - 1) // ckpt_every):
+                save_checkpoint(
+                    {
+                        "params": params,
+                        "opt_state": opt_state,
+                        "meta": meta,
+                        "cfg": cfg,
+                        "epoch": epoch,
+                    },
+                    last_ckpt,
+                )
+            if bool(jax.device_get(state["done"])):
+                print(f"No improvement for {patience} epochs, stopping.")
+                break
+        best_val_loss = float(jax.device_get(state["best_val"]))
+        if np.isfinite(best_val_loss):
+            best_state = (
+                state["best_params"],
+                state["best_opt"],
+                int(jax.device_get(state["best_epoch"])),
+            )
+        else:
+            best_val_loss = np.inf
+
+    per_epoch_range = (
+        range(start_epoch, num_epochs + 1) if epochs_per_jit <= 1
+        else range(0)
+    )
+    for epoch in per_epoch_range:
         beta = beta_target * min(1.0, epoch / warmup_epochs)
         ekey = jax.random.fold_in(base_key, epoch)
         params, opt_state, tr_m = train_epoch(

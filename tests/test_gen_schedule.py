@@ -247,6 +247,92 @@ class TestEndToEnd:
         assert result["epochs_ran"] == 1
 
 
+class TestEpochFusion:
+    """train.epochs_per_jit > 1 (fused multi-epoch scan) must reproduce the
+    per-epoch host loop: same log rows, same early-stop point, same final
+    params (up to f32 jit-boundary reassociation)."""
+
+    def _cfg(self, grid, **train_over):
+        cfg = {
+            "data": {"npz": grid},
+            "train": {
+                "epochs": 6, "min_epochs": 6, "patience": 0,
+                "batch_size": 32, "lr": 1e-3, "weight_decay": 1e-4,
+                "grad_clip": 1.0, "beta_target": 1.0, "beta_warm_frac": 0.5,
+                "lambda_tv": 0.0, "lambda_home": 0.1,
+            },
+            "model": {
+                "method": "baseline_cnn", "z_dim": 4, "emb_dim": 16,
+                "cnn_channels": [16], "cnn_kernel": 3, "cnn_dropout": 0.1,
+            },
+        }
+        cfg["train"].update(train_over)
+        return cfg
+
+    def test_fused_matches_per_epoch(self, tmp_path):
+        import pandas as pd
+
+        from ananke_abm_tpu.dataio.rasterize import prepare_from_csv
+        from ananke_abm_tpu.models.gen_schedule.pipeline.train import train
+        from ananke_abm_tpu.utils import load_checkpoint
+
+        csv = str(tmp_path / "a.csv")
+        generate_population_activities(96, seed=11).to_csv(csv, index=False)
+        grid = str(tmp_path / "g.npz")
+        prepare_from_csv(csv, grid, grid_min=30, val_frac=0.2, seed=5)
+
+        r1 = train(self._cfg(grid), str(tmp_path / "seq"), seed=3)
+        # chunk=4 exercises the masked tail (epochs 7, 8 of the 2nd chunk)
+        r2 = train(
+            self._cfg(grid, epochs_per_jit=4), str(tmp_path / "fused"),
+            seed=3,
+        )
+        assert r1["epochs_ran"] == r2["epochs_ran"] == 6
+        log1 = pd.read_csv(tmp_path / "seq" / "training_log.csv")
+        log2 = pd.read_csv(tmp_path / "fused" / "training_log.csv")
+        assert list(log1["epoch"]) == list(log2["epoch"])
+        for col in ("train_loss", "val_loss", "train_ce", "val_kl", "beta"):
+            np.testing.assert_allclose(
+                log1[col], log2[col], rtol=2e-4, atol=1e-6, err_msg=col
+            )
+        b1 = load_checkpoint(
+            os.path.join(tmp_path, "seq", "checkpoints", "best_val.ckpt")
+        )
+        b2 = load_checkpoint(
+            os.path.join(tmp_path, "fused", "checkpoints", "best_val.ckpt")
+        )
+        assert b1["epoch"] == b2["epoch"]
+        import jax
+
+        for p1, p2 in zip(
+            jax.tree_util.tree_leaves(b1["params"]),
+            jax.tree_util.tree_leaves(b2["params"]),
+        ):
+            np.testing.assert_allclose(p1, p2, rtol=2e-3, atol=1e-5)
+
+    def test_fused_early_stop_parity(self, tmp_path):
+        """lr=0 => only the first epoch improves (inf -> L); with
+        min_epochs=2, patience=2 both paths must stop at epoch 3."""
+        from ananke_abm_tpu.dataio.rasterize import prepare_from_csv
+        from ananke_abm_tpu.models.gen_schedule.pipeline.train import train
+
+        csv = str(tmp_path / "a.csv")
+        generate_population_activities(64, seed=2).to_csv(csv, index=False)
+        grid = str(tmp_path / "g.npz")
+        prepare_from_csv(csv, grid, grid_min=60, val_frac=0.2, seed=5)
+
+        over = dict(lr=0.0, epochs=20, min_epochs=2, patience=2)
+        r1 = train(self._cfg(grid, **over), str(tmp_path / "seq"), seed=3)
+        r2 = train(
+            self._cfg(grid, epochs_per_jit=5, **over),
+            str(tmp_path / "fused"), seed=3,
+        )
+        assert r1["epochs_ran"] == r2["epochs_ran"] == 3
+        np.testing.assert_allclose(
+            r1["best_val_loss"], r2["best_val_loss"], rtol=1e-5
+        )
+
+
 class TestAutoPDS:
     def test_phase2_auto_pds_end_to_end(self, tmp_path):
         """compute-pds -> fit auto_pds (with ToD/presence losses) -> sample."""
