@@ -26,17 +26,26 @@ def main():
 @click.option("--vae-only", is_flag=True, default=False)
 @click.option("--semi-dmax-minutes", type=int, default=300, show_default=True)
 @click.option("--seed", type=int, default=0)
+@click.option("--data-parallel", is_flag=True, default=False,
+              help="Shard batches over all attached devices (agents axis).")
 def traj_embed(activities_csv, purposes_csv, crf_mode, epochs, batch_size,
-               lr, val_ratio, outdir, vae_only, semi_dmax_minutes, seed):
+               lr, val_ratio, outdir, vae_only, semi_dmax_minutes, seed,
+               data_parallel):
     """Train the TrajEmbed model (full VAE+CRF or VAE-only)."""
     from ananke_abm_tpu.models.traj_syn.pipeline.train_full import (
         train_traj_embed,
     )
 
+    mesh = None
+    if data_parallel:
+        from ananke_abm_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(zone_parallel=1)
     res = train_traj_embed(
         activities_csv, purposes_csv, epochs=epochs, batch_size=batch_size,
         lr=lr, val_ratio=val_ratio, outdir=outdir, crf_mode=crf_mode,
         seed=seed, vae_only=vae_only, semi_Dmax_minutes=semi_dmax_minutes,
+        mesh=mesh,
     )
     click.echo(f"Best val loss {res['best_val_loss']:.4f}; ckpt {res['ckpt']}")
 

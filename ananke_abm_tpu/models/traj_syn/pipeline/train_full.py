@@ -72,7 +72,12 @@ def train_traj_embed(
     vae_only: bool = False,
     semi_Dmax_minutes: int = 300,
     config: TrajEmbedConfig | None = None,
+    mesh=None,
 ):
+    """``mesh``: optional (agents x zones) Mesh — every batch shards its
+    row (person) axis across the agent mesh axis; params stay replicated
+    and GSPMD inserts the gradient psum (same pattern as the schedule-VAE
+    trainer, gen_schedule/pipeline/train.py)."""
     cfg = config or TrajEmbedConfig(lr=lr)
     crf_cfg = CRFConfig(
         crf_mode=crf_mode,
@@ -175,6 +180,19 @@ def train_traj_embed(
 
     n_tb = max(1, -(-Y_train.shape[0] // bsz))
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as PS
+
+        from ananke_abm_tpu.parallel.mesh import AGENT_AXIS
+
+        def shard_rows(x):
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, PS(AGENT_AXIS))
+            )
+    else:
+        def shard_rows(x):
+            return x
+
     @functools.partial(jax.jit, static_argnames=("n_batches",))
     def train_epoch(all_params, opt_state, Y, key, beta, n_batches):
         n = Y.shape[0]
@@ -189,9 +207,11 @@ def train_traj_embed(
         def step(carry, i):
             all_params, opt_state = carry
             bidx = jax.lax.dynamic_slice_in_dim(idx, i * bsz, bsz)
-            bmask = jax.lax.dynamic_slice_in_dim(mask_full, i * bsz, bsz)
+            bmask = shard_rows(
+                jax.lax.dynamic_slice_in_dim(mask_full, i * bsz, bsz)
+            )
             grads, comps = jax.grad(loss_fn, has_aux=True)(
-                all_params, Y[bidx], bmask,
+                all_params, shard_rows(Y[bidx]), bmask,
                 jax.random.fold_in(key, i + 1), beta, False,
             )
             updates, opt_state = optimizer.update(grads, opt_state, all_params)
@@ -222,6 +242,33 @@ def train_traj_embed(
     ckpt_path = os.path.join(outdir, "ckpt_best.ckpt")
     logs = []
     t0 = time.time()
+    # best params stay referenced on device; ckpt_best is flushed every
+    # ``flush_every`` epochs (crash safety for the reference's 1000-3000
+    # epoch budgets) and once at exit — per-improvement writes device_get
+    # the whole tree, which dominates wall clock over the remote tunnel.
+    best_state = None  # (all_params, epoch) device refs
+    flush_every = 100
+    last_flushed_epoch = 0
+
+    def flush_best():
+        nonlocal last_flushed_epoch
+        if best_state is None or best_state[1] == last_flushed_epoch:
+            return
+        bp, bepoch = best_state
+        save_checkpoint(
+            {
+                "params": bp["vae"],
+                "crf_params": bp.get("crf"),
+                "cfg": dataclasses.asdict(cfg),
+                "crf_cfg": dataclasses.asdict(crf_cfg),
+                "meta": meta,
+                "purpose_feats": np.asarray(purpose_feats),
+                "epoch": bepoch,
+            },
+            ckpt_path,
+        )
+        last_flushed_epoch = bepoch
+
     for epoch in range(1, epochs + 1):
         beta = cfg.beta_target * min(1.0, epoch / warmup)
         ekey = jax.random.fold_in(key, 1000 + epoch)
@@ -236,18 +283,10 @@ def train_traj_embed(
                      **{k: float(v) for k, v in comps.items()}})
         if vl < best:
             best = vl
-            save_checkpoint(
-                {
-                    "params": all_params["vae"],
-                    "crf_params": all_params.get("crf"),
-                    "cfg": dataclasses.asdict(cfg),
-                    "crf_cfg": dataclasses.asdict(crf_cfg),
-                    "meta": meta,
-                    "purpose_feats": np.asarray(purpose_feats),
-                    "epoch": epoch,
-                },
-                ckpt_path,
-            )
+            best_state = (all_params, epoch)
+        if epoch % flush_every == 0:
+            flush_best()
+    flush_best()
     elapsed = time.time() - t0
 
     import pandas as pd

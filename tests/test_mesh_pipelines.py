@@ -137,6 +137,40 @@ class TestLatentODEUnderMesh:
             np.testing.assert_array_equal(a[k], b[k])
 
 
+class TestTrajSynTrainUnderMesh:
+    def test_sharded_traj_embed_matches_single_device(
+        self, tmp_path, mesh
+    ):
+        from ananke_abm_tpu.data_generator.population import (
+            generate_population_activities,
+        )
+        from ananke_abm_tpu.models.traj_syn.configs import TrajEmbedConfig
+        from ananke_abm_tpu.models.traj_syn.pipeline.train_full import (
+            train_traj_embed,
+        )
+
+        csv = str(tmp_path / "acts.csv")
+        generate_population_activities(48, seed=6).to_csv(csv, index=False)
+        cfg = TrajEmbedConfig(
+            z_dim=4, emb_dim=8, cnn_channels=(8,), cnn_kernel=3,
+            grid_min=60,
+        )
+
+        def run(tag, m):
+            return train_traj_embed(
+                csv, None, epochs=2, batch_size=16, val_ratio=0.2,
+                outdir=str(tmp_path / tag), crf_mode="linear", seed=1,
+                config=cfg, mesh=m,
+            )
+
+        single = run("single", None)
+        meshed = run("meshed", mesh)
+        np.testing.assert_allclose(
+            meshed["best_val_loss"], single["best_val_loss"],
+            rtol=1e-5, atol=1e-6,
+        )
+
+
 class TestMultiHostDataFeeding:
     """Per-host sharded batch assembly (VERDICT r1 item 10): no host
     materializes the full global batch."""
