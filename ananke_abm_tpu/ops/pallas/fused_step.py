@@ -42,15 +42,43 @@ def _on_tpu() -> bool:
 
 def pack_weights_bf16(params):
     """GATODE flax params -> bf16 weight tuple for the kernel
-    (num_blocks == 1)."""
+    (num_blocks == 1).
+
+    Dense_0's kernel is split by the rhs concat order
+    [x, ctx, h, sin_t, cos_t] (model.py:46): only the x/ctx rows
+    participate in the per-stage matmul; the h rows fold into a
+    once-per-interval precompute (h is constant across RK4 stages) and
+    the 2 time-feature rows fold into a per-stage (stages, H) table
+    computed outside the kernel. This drops the stage matmul from
+    ceil((Da+Dz+H+2)/128) MXU passes to ceil((Da+Dz)/128) — at
+    production dims (32+64+128+2 -> 32+64) that is 2 passes -> 1 —
+    and removes the h/t lanes from the per-stage concat copy."""
     d = params["drift"]
     to = lambda x: jnp.asarray(x, jnp.bfloat16)
+    Wq = params["query_proj"]["kernel"]
+    Da, Dz = Wq.shape
+    W1 = d["Dense_0"]["kernel"]
+    Hc = W1.shape[0] - Da - Dz - 2
     return (
-        to(params["query_proj"]["kernel"]),
-        to(d["Dense_0"]["kernel"]), to(d["Dense_0"]["bias"]),
+        to(Wq),
+        to(W1[: Da + Dz]),               # x/ctx rows: per-stage matmul
+        to(W1[Da + Dz: Da + Dz + Hc]),   # h rows: per-interval precompute
+        to(W1[Da + Dz + Hc:]),           # sin/cos rows: per-stage table
+        to(d["Dense_0"]["bias"]),
         to(d["Dense_1"]["kernel"]), to(d["Dense_1"]["bias"]),
         to(d["Dense_2"]["kernel"]), to(d["Dense_2"]["bias"]),
         to(d["Dense_3"]["kernel"]), to(d["Dense_3"]["bias"]),
+    )
+
+
+def _time_feature_table(stage_t, W1t_bf16, b1_bf16):
+    """(stages,) stage times -> (stages, H) f32 additive pre-activations:
+    the sin/cos rows of Dense_0 plus its bias, evaluated per stage."""
+    ang = stage_t * (2 * np.pi / 24.0)
+    tfeat = jnp.stack([jnp.sin(ang), jnp.cos(ang)], axis=-1)  # (stages, 2)
+    return (
+        jnp.dot(tfeat.astype(jnp.float32), W1t_bf16.astype(jnp.float32))
+        + b1_bf16.astype(jnp.float32)[None, :]
     )
 
 
@@ -66,7 +94,7 @@ def rk4_step_fused(
     N, Da = x.shape
     Z, Dz = zone_emb_bf16.shape
     H = h.shape[1]
-    (Wq, W1, b1, Wr1, br1, Wr2, br2, W3, b3) = weights_bf16
+    (Wq, W1xc, W1h, W1t, b1, Wr1, br1, Wr2, br2, W3, b3) = weights_bf16
     if interpret is None:
         interpret = not _on_tpu()
 
@@ -77,20 +105,22 @@ def rk4_step_fused(
         h = jnp.pad(h, ((0, pad), (0, 0)))
 
     scale = np.float32(1.0 / np.sqrt(float(Dz)))
-    # RK4 stage times as sin/cos features, precomputed host-side per step
+    # RK4 stage times -> (4, H) additive Dense_0 pre-activations
+    # (sin/cos rows + bias), precomputed outside the kernel per step
     stage_t = jnp.stack([t0, t0 + dt / 2, t0 + dt / 2, t0 + dt])
-    ang = stage_t * (2 * np.pi / 24.0)
-    tfeat = jnp.stack([jnp.sin(ang), jnp.cos(ang)], axis=-1)  # (4, 2)
-    tfeat = tfeat.astype(jnp.bfloat16)
+    tf_pre = _time_feature_table(stage_t, W1t, b1)  # (4, H) f32
     dt32 = jnp.asarray(dt, jnp.float32)
 
-    def kernel(x_ref, h_ref, ze_ref, tf_ref, dt_ref,
-               wq_ref, w1_ref, b1_ref, wr1_ref, br1_ref,
+    def kernel(x_ref, h_ref, ze_ref, tfp_ref, dt_ref,
+               wq_ref, w1xc_ref, w1h_ref, wr1_ref, br1_ref,
                wr2_ref, br2_ref, w3_ref, b3_ref, out_ref):
         x0 = x_ref[:]  # (TILE_N, Da) f32
         hb = h_ref[:].astype(jnp.bfloat16)
         ze = ze_ref[:]  # bf16
         step = dt_ref[0]
+        # h is constant across the four stages: its Dense_0 contribution
+        # is one matmul per step instead of one per stage
+        h_pre = jnp.dot(hb, w1h_ref[:], preferred_element_type=jnp.float32)
 
         def rhs(xs, stage):
             xb = xs.astype(jnp.bfloat16)
@@ -112,13 +142,13 @@ def rk4_step_fused(
                 p_att / jnp.sum(p_att, axis=-1, keepdims=True)
             ).astype(jnp.bfloat16)
             ctx = jnp.dot(attn, ze, preferred_element_type=jnp.float32)
-            tf = jnp.broadcast_to(tf_ref[stage][None, :], (xb.shape[0], 2))
-            feats = jnp.concatenate(
-                [xb, ctx.astype(jnp.bfloat16), hb, tf], axis=-1
-            )
+            feats = jnp.concatenate([xb, ctx.astype(jnp.bfloat16)], axis=-1)
             z = jnp.tanh(
-                jnp.dot(feats, w1_ref[:], preferred_element_type=jnp.float32)
-                + b1_ref[:].astype(jnp.float32)
+                jnp.dot(
+                    feats, w1xc_ref[:], preferred_element_type=jnp.float32
+                )
+                + h_pre
+                + tfp_ref[stage][None, :]
             )
             r = jnp.tanh(
                 jnp.dot(
@@ -162,9 +192,9 @@ def rk4_step_fused(
             pl.BlockSpec((TILE_N, Da), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_N, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
             rep(zone_emb_bf16),
-            rep(tfeat),
+            rep(tf_pre),
             pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
-            rep(Wq), rep(W1), rep(b1), rep(Wr1), rep(br1),
+            rep(Wq), rep(W1xc), rep(W1h), rep(Wr1), rep(br1),
             rep(Wr2), rep(br2), rep(W3), rep(b3),
         ],
         out_specs=pl.BlockSpec(
@@ -173,8 +203,8 @@ def rk4_step_fused(
         out_shape=jax.ShapeDtypeStruct((n_tiles * TILE_N, Da), jnp.float32),
         interpret=interpret,
     )(
-        x, h, zone_emb_bf16, tfeat, dt32[None],
-        Wq, W1, b1, Wr1, br1, Wr2, br2, W3, b3,
+        x, h, zone_emb_bf16, tf_pre, dt32[None],
+        Wq, W1xc, W1h, Wr1, br1, Wr2, br2, W3, b3,
     )
     return out[:N]
 
@@ -199,7 +229,7 @@ def rk4_interval_decode_fused(
     N, Da = x.shape
     Z, Dz = zone_emb_bf16.shape
     H = h.shape[1]
-    (Wq, W1, b1, Wr1, br1, Wr2, br2, W3, b3) = weights_bf16
+    (Wq, W1xc, W1h, W1t, b1, Wr1, br1, Wr2, br2, W3, b3) = weights_bf16
     if interpret is None:
         interpret = not _on_tpu()
 
@@ -210,24 +240,25 @@ def rk4_interval_decode_fused(
         h = jnp.pad(h, ((0, pad), (0, 0)))
 
     scale = np.float32(1.0 / np.sqrt(float(Dz)))
-    # stage times for every substep: (substeps * 4, 2) sin/cos features
+    # stage times for every substep -> (substeps * 4, H) additive
+    # Dense_0 pre-activations (sin/cos rows + bias)
     sub_starts = t0 + dt_sub * jnp.arange(substeps)
     offs = jnp.asarray([0.0, 0.5, 0.5, 1.0]) * dt_sub
     stage_t = (sub_starts[:, None] + offs[None, :]).reshape(-1)
-    ang = stage_t * (2 * np.pi / 24.0)
-    tfeat = jnp.stack([jnp.sin(ang), jnp.cos(ang)], axis=-1).astype(
-        jnp.bfloat16
-    )  # (substeps*4, 2)
+    tf_pre = _time_feature_table(stage_t, W1t, b1)  # (substeps*4, H) f32
     dt32 = jnp.asarray(dt_sub, jnp.float32)
 
-    def kernel(x_ref, h_ref, ze_ref, tf_ref, dt_ref,
-               wq_ref, w1_ref, b1_ref, wr1_ref, br1_ref,
+    def kernel(x_ref, h_ref, ze_ref, tfp_ref, dt_ref,
+               wq_ref, w1xc_ref, w1h_ref, wr1_ref, br1_ref,
                wr2_ref, br2_ref, w3_ref, b3_ref, wd_ref,
                xout_ref, ids_ref):
         xs = x_ref[:]
         hb = h_ref[:].astype(jnp.bfloat16)
         ze = ze_ref[:]
         step = dt_ref[0]
+        # h is constant across the whole interval: one Dense_0
+        # contribution for all substeps * 4 stages
+        h_pre = jnp.dot(hb, w1h_ref[:], preferred_element_type=jnp.float32)
 
         def rhs(xc, stage):
             xb = xc.astype(jnp.bfloat16)
@@ -249,13 +280,13 @@ def rk4_interval_decode_fused(
                 p_att / jnp.sum(p_att, axis=-1, keepdims=True)
             ).astype(jnp.bfloat16)
             ctx = jnp.dot(attn, ze, preferred_element_type=jnp.float32)
-            tf = jnp.broadcast_to(tf_ref[stage][None, :], (xb.shape[0], 2))
-            feats = jnp.concatenate(
-                [xb, ctx.astype(jnp.bfloat16), hb, tf], axis=-1
-            )
+            feats = jnp.concatenate([xb, ctx.astype(jnp.bfloat16)], axis=-1)
             z = jnp.tanh(
-                jnp.dot(feats, w1_ref[:], preferred_element_type=jnp.float32)
-                + b1_ref[:].astype(jnp.float32)
+                jnp.dot(
+                    feats, w1xc_ref[:], preferred_element_type=jnp.float32
+                )
+                + h_pre
+                + tfp_ref[stage][None, :]
             )
             r = jnp.tanh(
                 jnp.dot(
@@ -317,9 +348,9 @@ def rk4_interval_decode_fused(
             pl.BlockSpec((TILE_N, Da), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_N, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
             rep(zone_emb_bf16),
-            rep(tfeat),
+            rep(tf_pre),
             pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
-            rep(Wq), rep(W1), rep(b1), rep(Wr1), rep(br1),
+            rep(Wq), rep(W1xc), rep(W1h), rep(Wr1), rep(br1),
             rep(Wr2), rep(br2), rep(W3), rep(b3), rep(wd_bf16),
         ],
         out_specs=[
@@ -334,8 +365,8 @@ def rk4_interval_decode_fused(
         ],
         interpret=interpret,
     )(
-        x, h, zone_emb_bf16, tfeat, dt32[None],
-        Wq, W1, b1, Wr1, br1, Wr2, br2, W3, b3, wd_bf16,
+        x, h, zone_emb_bf16, tf_pre, dt32[None],
+        Wq, W1xc, W1h, Wr1, br1, Wr2, br2, W3, b3, wd_bf16,
     )
     return x_new[:N], ids[:N]
 
