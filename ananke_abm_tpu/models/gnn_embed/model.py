@@ -136,6 +136,7 @@ class GATODE(nn.Module):
         substeps: int = 4,
         rtol: float = 1e-5,
         atol: float = 1e-5,
+        checkpoint: bool = True,
     ):
         """Full integrate-then-decode. Returns (logits (N, T, Z), xs (N, T, Da))."""
         zone_emb = self.encode_zones(zone_feats, adj)
@@ -155,6 +156,7 @@ class GATODE(nn.Module):
             rhs, x0, times,
             method=ode_method, substeps=substeps, rtol=rtol, atol=atol,
             adjoint=False,  # flax closure holds the params (see mode_sep)
+            checkpoint=checkpoint,
         )  # (T, N, Da)
         xs = jnp.swapaxes(xs, 0, 1)
         logits = self.decode(xs, zone_emb)

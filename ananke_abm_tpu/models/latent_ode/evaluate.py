@@ -82,8 +82,10 @@ def evaluate(
                     dpi=110,
                 )
                 plt.close(fig)
-        except ImportError:
-            pass
+        except ImportError as e:
+            import warnings
+
+            warnings.warn(f"rollout plots skipped (matplotlib missing): {e}")
 
     # loss-history plot if available
     hist_path = os.path.join(os.path.dirname(ckpt_path), "loss_history.npz")
@@ -106,8 +108,10 @@ def evaluate(
             fig.savefig(os.path.join(outdir, "loss_components.png"), dpi=100)
             plt.close(fig)
             metrics["loss_plot"] = os.path.join(outdir, "loss_components.png")
-        except ImportError:
-            pass
+        except ImportError as e:
+            import warnings
+
+            warnings.warn(f"loss plot skipped (matplotlib missing): {e}")
 
     with open(os.path.join(outdir, "eval_metrics.json"), "w") as f:
         json.dump(metrics, f, indent=2)

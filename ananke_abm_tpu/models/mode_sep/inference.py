@@ -134,6 +134,8 @@ def run_inference(
                 v_band=(config.v_min_move, config.v_max_move),
                 title=f"{p.person_name} dense rollout",
             )
-    except ImportError:
-        pass
+    except ImportError as e:
+        import warnings
+
+        warnings.warn(f"trajectory plots skipped (matplotlib missing): {e}")
     return pred_df

@@ -31,11 +31,15 @@ def odeint(
     max_steps: int = 16384,
     adjoint: bool = True,
     return_stats: bool = False,
+    checkpoint: bool = True,
 ):
     """Unified ODE solve.
 
     method="rk4"/"euler": fixed-step (``substeps`` per output interval),
-    differentiable via checkpointed backprop.
+    differentiable via checkpointed backprop; ``checkpoint=False`` keeps
+    every stage value live instead of rematerializing in the backward
+    pass — faster when the horizon x batch fits HBM (short horizons),
+    required knob for the scan-remat trade (SURVEY.md §5).
     method="dopri5": adaptive; ``adjoint=True`` gives continuous-adjoint
     gradients, ``adjoint=False`` is forward-only (inference).
 
@@ -56,10 +60,12 @@ def odeint(
         }
 
     if method == "rk4":
-        ys = rk4_solve(rhs, y0, ts, args, substeps=substeps)
+        ys = rk4_solve(rhs, y0, ts, args, substeps=substeps,
+                       checkpoint=checkpoint)
         return (ys, _fixed_stats(ys)) if return_stats else ys
     if method == "euler":
-        ys = euler_solve(rhs, y0, ts, args, substeps=substeps)
+        ys = euler_solve(rhs, y0, ts, args, substeps=substeps,
+                         checkpoint=checkpoint)
         return (ys, _fixed_stats(ys)) if return_stats else ys
     if method == "dopri5":
         if adjoint:
