@@ -100,6 +100,62 @@ def make_step_fns(model, optimizer, config, static):
     return train_step, jax.jit(loss_fn)
 
 
+def make_fused_train_step(model, optimizer, config, static):
+    """Train step whose day integration runs through the fused Pallas
+    fwd/VJP kernel pair (ops/pallas/fused_train.py) instead of the
+    remat'd XLA scan. Same loss, same gradients to bf16 accuracy
+    (cosine > 0.999, tested).
+
+    Contract: num_blocks == 1, attn_temp == 1.0 (the kernels mirror that
+    drift). The zone encoder, initial state, decode head, CE loss, and
+    optimizer stay ordinary XLA — their gradients compose with the
+    custom VJP through zone_emb / x0 / h.
+    """
+    if config.num_blocks != 1:
+        raise ValueError("fused train step requires num_blocks == 1")
+    from ananke_abm_tpu.ops.pallas.fused_train import rk4_day_rollout
+
+    zone_feats, adj, times = static
+
+    def loss_fn(params, pf, hz, targets):
+        zone_emb = model.apply(
+            {"params": params}, zone_feats, adj, method=model.encode_zones
+        )
+        x0, h = model.apply(
+            {"params": params}, pf, hz, zone_emb,
+            method=model.initial_state,
+        )
+        d = params["drift"]
+        xs = rk4_day_rollout(
+            x0, h, zone_emb,
+            d["Dense_0"]["kernel"], d["Dense_0"]["bias"],
+            params["query_proj"]["kernel"],
+            d["Dense_1"]["kernel"], d["Dense_1"]["bias"],
+            d["Dense_2"]["kernel"], d["Dense_2"]["bias"],
+            d["Dense_3"]["kernel"], d["Dense_3"]["bias"],
+            times, substeps=config.substeps,
+        )  # (T, N, Da)
+        xs = jnp.swapaxes(xs, 0, 1)
+        logits = model.apply(
+            {"params": params}, xs, zone_emb, method=model.decode
+        )
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+        acc = jnp.mean(jnp.argmax(logits, -1) == targets)
+        return jnp.mean(nll), acc
+
+    @jax.jit
+    def train_step(params, opt_state, pf, hz, targets):
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, pf, hz, targets
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, acc
+
+    return train_step, jax.jit(loss_fn)
+
+
 def train(
     outdir: str,
     n_agents: int = 8192,
@@ -131,7 +187,14 @@ def train(
         jnp.asarray(data["adj"]),
         jnp.asarray(data["times"]),
     )
-    train_step, _ = make_step_fns(model, optimizer, config, static)
+    # fused Pallas fwd+VJP step where its contract holds (TPU backend,
+    # single residual block); XLA+remat step otherwise
+    if config.num_blocks == 1 and jax.default_backend() == "tpu":
+        train_step, _ = make_fused_train_step(
+            model, optimizer, config, static
+        )
+    else:
+        train_step, _ = make_step_fns(model, optimizer, config, static)
 
     pf = jnp.asarray(data["person_feats"])
     hz = jnp.asarray(data["home_zone"])

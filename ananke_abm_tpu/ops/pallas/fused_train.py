@@ -1,0 +1,515 @@
+"""Training-path GAT-ODE day rollout as two Pallas kernels (fwd + VJP bwd).
+
+Why: at BASELINE config-4 dims (32k agents x 500 zones, T=12, substeps=2)
+the XLA train step spends ~23 ms in the forward integrate and ~67 ms in
+the remat backward, while the serving-style fused forward kernel covers
+the same integration in ~10 ms (measured v5e). This module gives training
+the same treatment: ONE forward kernel integrates the whole day per agent
+tile (writing every substep carry to HBM as the residual), and ONE
+backward kernel sweeps the day in reverse — recomputing each RK4 stage's
+intermediates in VMEM from the stashed carries, chaining hand-written
+VJPs of the attention + drift MLP, and accumulating weight / zone-
+embedding / time-table gradients across agent tiles via the sequential
+TPU grid (constant-index output blocks). The pair is wrapped in
+``jax.custom_vjp`` so the zone encoder, decode head, loss, and optimizer
+stay ordinary XLA.
+
+All matmuls (forward, recompute, and gradient) run bf16 x bf16 -> f32 on
+the MXU; accumulators are f32. Gradients agree with the f32 XLA path to
+cosine > 0.999 (tested), standard bf16-training accuracy.
+
+Reference parity: training counterpart of the serving kernels in
+fused_step.py; the reference trains the same architecture through torch
+autograd (reference gnn_embed model.py / train.py).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ananke_abm_tpu.ops.pallas.fused_step import _on_tpu
+
+FWD_TILE_N = 512  # fwd kernel holds one stage at a time
+BWD_TILE_N = 256  # bwd kernel holds all 4 stages' intermediates (bf16)
+
+
+def split_w1(W1, Da, Dz):
+    """Full Dense_0 kernel -> (x/ctx rows, h rows, time rows)."""
+    Hc = W1.shape[0] - Da - Dz - 2
+    return W1[: Da + Dz], W1[Da + Dz: Da + Dz + Hc], W1[Da + Dz + Hc:]
+
+
+def _to16(a):
+    return a.astype(jnp.bfloat16)
+
+
+def _stage_math(xb, hpre, tfp_row, ze, scale, wq, w1xc, wr1, br1, wr2, br2,
+                w3, b3):
+    """One RHS evaluation returning (k, intermediates-for-VJP).
+
+    Mirrors fused_step.py's rhs exactly (max-free softmax, bf16 matmuls,
+    f32 accum). The intermediates are everything the backward chain needs
+    so the reverse sweep evaluates each stage exactly once.
+    """
+    q = jnp.dot(xb, wq, preferred_element_type=jnp.float32)
+    scores = (
+        jnp.dot(_to16(q), ze.T, preferred_element_type=jnp.float32) * scale
+    )
+    p_att = jnp.exp(jnp.minimum(scores, 80.0))
+    attn = p_att / jnp.sum(p_att, axis=-1, keepdims=True)  # f32
+    ctx = jnp.dot(_to16(attn), ze, preferred_element_type=jnp.float32)
+    feats = jnp.concatenate([xb, _to16(ctx)], axis=-1)
+    z1 = jnp.tanh(
+        jnp.dot(feats, w1xc, preferred_element_type=jnp.float32)
+        + hpre
+        + tfp_row
+    )
+    rt = jnp.tanh(
+        jnp.dot(_to16(z1), wr1, preferred_element_type=jnp.float32)
+        + br1.astype(jnp.float32)
+    )
+    r3 = (
+        jnp.dot(_to16(rt), wr2, preferred_element_type=jnp.float32)
+        + br2.astype(jnp.float32)
+    )
+    zf = jnp.tanh(z1 + r3)
+    k = (
+        jnp.dot(_to16(zf), w3, preferred_element_type=jnp.float32)
+        + b3.astype(jnp.float32)
+    )
+    # intermediates stored bf16: halves the backward kernel's VMEM live
+    # set (4 stages held at once); tanh' is recomputed from the bf16
+    # activation in f32 — ~4e-3 relative gradient noise, inside the
+    # tested cosine > 0.999 budget
+    return k, (_to16(q), _to16(attn), _to16(z1), _to16(rt), _to16(zf),
+               feats)
+
+
+def _nt_dot(a, b):
+    """(N, I), (N, O) -> (I, O): contract the agent axis (weight grads)."""
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _stage_times_table(times, substeps, W1t, b1):
+    """(T,) output times -> per-substep dts and the differentiable
+    (n_steps, 4, H) Dense_0 time-feature pre-activation table."""
+    dt_int = (times[1:] - times[:-1]) / substeps  # (T-1,)
+    dts = jnp.repeat(dt_int, substeps)  # (n_steps,)
+    sub_starts = (
+        times[:-1, None] + dt_int[:, None] * jnp.arange(substeps)[None, :]
+    ).reshape(-1)  # (n_steps,)
+    offs = jnp.stack(
+        [jnp.zeros_like(dts), 0.5 * dts, 0.5 * dts, dts], axis=-1
+    )  # (n_steps, 4)
+    stage_t = sub_starts[:, None] + offs  # (n_steps, 4)
+    ang = stage_t * (2 * np.pi / 24.0)
+    tfeat = jnp.stack([jnp.sin(ang), jnp.cos(ang)], axis=-1)  # (ns, 4, 2)
+    tf_pre = (
+        jnp.einsum("sct,th->sch", tfeat.astype(jnp.float32),
+                   W1t.astype(jnp.float32))
+        + b1.astype(jnp.float32)[None, None, :]
+    )
+    return dts.astype(jnp.float32), tf_pre
+
+
+def rk4_day_rollout(x0, h, zone_emb, W1_full, b1, Wq, Wr1, br1, Wr2, br2,
+                    W3, b3, times, *, substeps: int, interpret=None):
+    """Differentiable full-day RK4 rollout via the fused train kernels.
+
+    x0: (N, Da) f32; h: (N, Hc) f32; zone_emb: (Z, Dz) f32;
+    W1_full: (Da+Dz+Hc+2, H) Dense_0 kernel in the rhs concat row order
+    [x, ctx, h, sin_t, cos_t] (gnn_embed/model.py:46); times: (T,).
+    Returns xs (T, N, Da) f32 at the output times (row 0 == x0), with
+    gradients wrt every array argument via the hand-written VJP kernels.
+    """
+    Da = x0.shape[1]
+    Dz = zone_emb.shape[1]
+    W1xc, W1h, W1t = split_w1(W1_full, Da, Dz)
+    dts, tf_pre = _stage_times_table(times, substeps, W1t, b1)
+    if interpret is None:
+        interpret = not _on_tpu()
+    xs_all = _day_core(
+        x0, h, zone_emb, Wq, W1xc, W1h, tf_pre, Wr1, br1, Wr2, br2, W3, b3,
+        dts, interpret,
+    )
+    return xs_all[::substeps]  # (T, N, Da)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(14,))
+def _day_core(x0, h, ze, Wq, W1xc, W1h, tf_pre, Wr1, br1, Wr2, br2, W3, b3,
+              dts, interpret):
+    return _day_fwd_impl(
+        x0, h, ze, Wq, W1xc, W1h, tf_pre, Wr1, br1, Wr2, br2, W3, b3, dts,
+        interpret,
+    )
+
+
+def _day_core_fwd(x0, h, ze, Wq, W1xc, W1h, tf_pre, Wr1, br1, Wr2, br2, W3,
+                  b3, dts, interpret):
+    xs_all = _day_fwd_impl(
+        x0, h, ze, Wq, W1xc, W1h, tf_pre, Wr1, br1, Wr2, br2, W3, b3, dts,
+        interpret,
+    )
+    res = (xs_all, h, ze, Wq, W1xc, W1h, tf_pre, Wr1, br1, Wr2, br2, W3,
+           b3, dts)
+    return xs_all, res
+
+
+def _day_core_bwd(interpret, res, g_xs):
+    (xs_all, h, ze, Wq, W1xc, W1h, tf_pre, Wr1, br1, Wr2, br2, W3, b3,
+     dts) = res
+    grads = _day_bwd_impl(
+        xs_all, g_xs, h, ze, Wq, W1xc, W1h, tf_pre, Wr1, br1, Wr2, br2, W3,
+        b3, dts, interpret,
+    )
+    return grads + (jnp.zeros_like(dts),)
+
+
+_day_core.defvjp(_day_core_fwd, _day_core_bwd)
+
+
+def _pad_tiles(x, tile):
+    n = x.shape[0]
+    n_tiles = -(-n // tile)
+    pad = n_tiles * tile - n
+    if pad:
+        x = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+    return x, n_tiles
+
+
+def _rep(shape):
+    if len(shape) == 1:
+        return pl.BlockSpec(shape, lambda i: (0,), memory_space=pltpu.VMEM)
+    zeros = (0,) * len(shape)
+    return pl.BlockSpec(shape, lambda i: zeros, memory_space=pltpu.VMEM)
+
+
+def _day_fwd_impl(x0, h, ze, Wq, W1xc, W1h, tf_pre, Wr1, br1, Wr2, br2, W3,
+                  b3, dts, interpret):
+    """Forward kernel: in-kernel loop over all substeps, stash carries."""
+    N, Da = x0.shape
+    Z, Dz = ze.shape
+    Hc = h.shape[1]
+    n_steps = dts.shape[0]
+    scale = np.float32(1.0 / np.sqrt(float(Dz)))
+
+    xp, n_tiles = _pad_tiles(x0, FWD_TILE_N)
+    hp, _ = _pad_tiles(h, FWD_TILE_N)
+    Np = n_tiles * FWD_TILE_N
+
+    def kernel(x_ref, h_ref, ze_ref, tfp_ref, dts_ref,
+               wq_ref, w1xc_ref, w1h_ref, wr1_ref, br1_ref,
+               wr2_ref, br2_ref, w3_ref, b3_ref, xs_ref):
+        hb = _to16(h_ref[:])
+        ze16 = ze_ref[:]
+        hpre = jnp.dot(hb, w1h_ref[:], preferred_element_type=jnp.float32)
+        xs_ref[0] = x_ref[:]
+
+        def step(s, x):
+            dt = dts_ref[s]
+            tfp = tfp_ref[s]  # (4, H) f32
+
+            def rhs(xc, row):
+                k, _ = _stage_math(
+                    _to16(xc), hpre, tfp[row][None, :], ze16, scale,
+                    wq_ref[:], w1xc_ref[:], wr1_ref[:], br1_ref[:],
+                    wr2_ref[:], br2_ref[:], w3_ref[:], b3_ref[:],
+                )
+                return k
+
+            k1 = rhs(x, 0)
+            k2 = rhs(x + (dt * 0.5) * k1, 1)
+            k3 = rhs(x + (dt * 0.5) * k2, 2)
+            k4 = rhs(x + dt * k3, 3)
+            x = x + (dt / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+            xs_ref[s + 1] = x
+            return x
+
+        jax.lax.fori_loop(0, n_steps, step, x_ref[:])
+
+    xs_all = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((FWD_TILE_N, Da), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((FWD_TILE_N, Hc), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            _rep((Z, Dz)), _rep((n_steps, 4, tf_pre.shape[-1])),
+            pl.BlockSpec((n_steps,), lambda i: (0,),
+                         memory_space=pltpu.SMEM),
+            _rep(Wq.shape), _rep(W1xc.shape), _rep(W1h.shape),
+            _rep(Wr1.shape), _rep(br1.shape), _rep(Wr2.shape),
+            _rep(br2.shape), _rep(W3.shape), _rep(b3.shape),
+        ],
+        out_specs=pl.BlockSpec(
+            (n_steps + 1, FWD_TILE_N, Da), lambda i: (0, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_steps + 1, Np, Da), jnp.float32),
+        interpret=interpret,
+    )(
+        xp, hp, _to16(ze), tf_pre, dts,
+        _to16(Wq), _to16(W1xc), _to16(W1h), _to16(Wr1), _to16(br1),
+        _to16(Wr2), _to16(br2), _to16(W3), _to16(b3),
+    )
+    return xs_all[:, :N]
+
+
+def _day_bwd_impl(xs_all, g_xs, h, ze, Wq, W1xc, W1h, tf_pre, Wr1, br1,
+                  Wr2, br2, W3, b3, dts, interpret):
+    """Backward kernel: reverse sweep with in-VMEM grad accumulation.
+
+    Weight/zone-emb/time-table grads use constant-index output blocks:
+    the sequential TPU grid keeps them VMEM-resident across agent tiles,
+    so cross-tile accumulation is a read-modify-write, not an HBM pass.
+    """
+    n_steps_p1, N, Da = xs_all.shape
+    n_steps = n_steps_p1 - 1
+    Z, Dz = ze.shape
+    Hc = h.shape[1]
+    H = W1xc.shape[1]
+    scale = np.float32(1.0 / np.sqrt(float(Dz)))
+
+    xsp, n_tiles = _pad_tiles(jnp.swapaxes(xs_all, 0, 1), BWD_TILE_N)
+    gxsp, _ = _pad_tiles(jnp.swapaxes(g_xs, 0, 1), BWD_TILE_N)
+    xsp = jnp.swapaxes(xsp, 0, 1)
+    gxsp = jnp.swapaxes(gxsp, 0, 1)
+    hp, _ = _pad_tiles(h, BWD_TILE_N)
+    Np = n_tiles * BWD_TILE_N
+
+    def kernel(xs_ref, gxs_ref, h_ref, ze_ref, tfp_ref, dts_ref,
+               wq_ref, w1xc_ref, w1h_ref, wr1_ref, br1_ref, wr2_ref,
+               br2_ref, w3_ref, b3_ref,
+               gx0_ref, gh_ref, gze_ref, gwq_ref, gw1xc_ref, gw1h_ref,
+               gtfp_ref, gwr1_ref, gbr1_ref, gwr2_ref, gbr2_ref, gw3_ref,
+               gb3_ref):
+        hb = _to16(h_ref[:])
+        ze16 = ze_ref[:]
+        hpre = jnp.dot(hb, w1h_ref[:], preferred_element_type=jnp.float32)
+        wq16, w1xc16 = wq_ref[:], w1xc_ref[:]
+        wr116, wr216, w316 = wr1_ref[:], wr2_ref[:], w3_ref[:]
+        # transposed copies hoisted out of the 4 * n_steps stage VJPs
+        wqT = wq16.T
+        w1xcT = w1xc16.T
+        wr1T = wr116.T
+        wr2T = wr216.T
+        w3T = w316.T
+        zeT = ze16.T
+
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            gze_ref[:] = jnp.zeros_like(gze_ref)
+            gwq_ref[:] = jnp.zeros_like(gwq_ref)
+            gw1xc_ref[:] = jnp.zeros_like(gw1xc_ref)
+            gw1h_ref[:] = jnp.zeros_like(gw1h_ref)
+            gtfp_ref[:] = jnp.zeros_like(gtfp_ref)
+            gwr1_ref[:] = jnp.zeros_like(gwr1_ref)
+            gbr1_ref[:] = jnp.zeros_like(gbr1_ref)
+            gwr2_ref[:] = jnp.zeros_like(gwr2_ref)
+            gbr2_ref[:] = jnp.zeros_like(gbr2_ref)
+            gw3_ref[:] = jnp.zeros_like(gw3_ref)
+            gb3_ref[:] = jnp.zeros_like(gb3_ref)
+
+        def stage_vjp(gk, inter, acc):
+            """VJP of one RHS eval. gk: (TILE, Da) f32 grad wrt k.
+            Returns (gx wrt stage input, gtf (1, H) for this stage's
+            time row, updated accumulator 10-tuple)."""
+            (q16, attn16, z116, rt16, zf16, feats) = inter
+            (gzeA, gwqA, gw1A, ghpA, gwr1A, gbr1A, gwr2A, gbr2A, gw3A,
+             gb3A) = acc
+            gk16 = _to16(gk)
+            # k = zf @ W3 + b3
+            gw3A += _nt_dot(zf16, gk16)
+            gb3A += jnp.sum(gk, axis=0, keepdims=True)
+            gzf = jnp.dot(gk16, w3T, preferred_element_type=jnp.float32)
+            # zf = tanh(z1 + r3)
+            zf = zf16.astype(jnp.float32)
+            gpre_f = gzf * (1.0 - zf * zf)
+            gz1 = gpre_f
+            # r3 = rt @ Wr2 + br2
+            gpf16 = _to16(gpre_f)
+            gwr2A += _nt_dot(rt16, gpf16)
+            gbr2A += jnp.sum(gpre_f, axis=0, keepdims=True)
+            grt = jnp.dot(gpf16, wr2T, preferred_element_type=jnp.float32)
+            # rt = tanh(z1 @ Wr1 + br1)
+            rt = rt16.astype(jnp.float32)
+            gpre2 = grt * (1.0 - rt * rt)
+            gp216 = _to16(gpre2)
+            gwr1A += _nt_dot(z116, gp216)
+            gbr1A += jnp.sum(gpre2, axis=0, keepdims=True)
+            gz1 += jnp.dot(gp216, wr1T, preferred_element_type=jnp.float32)
+            # z1 = tanh(feats @ W1xc + hpre + tfp_row)
+            z1 = z116.astype(jnp.float32)
+            gpre1 = gz1 * (1.0 - z1 * z1)
+            gp116 = _to16(gpre1)
+            gw1A += _nt_dot(feats, gp116)
+            ghpA += gpre1
+            gtf = jnp.sum(gpre1, axis=0, keepdims=True)  # (1, H)
+            gfeats = jnp.dot(gp116, w1xcT,
+                             preferred_element_type=jnp.float32)
+            gxb = gfeats[:, :Da]
+            gctx = gfeats[:, Da:]
+            gctx16 = _to16(gctx)
+            # ctx = attn @ ze
+            gzeA += _nt_dot(attn16, gctx16)
+            gattn = jnp.dot(gctx16, zeT,
+                            preferred_element_type=jnp.float32)
+            # softmax vjp (the max-free form has the same jacobian)
+            attn = attn16.astype(jnp.float32)
+            ds = attn * (
+                gattn - jnp.sum(attn * gattn, axis=-1, keepdims=True)
+            ) * scale
+            ds16 = _to16(ds)
+            # scores = (q @ ze.T) * scale
+            gq = jnp.dot(ds16, ze16, preferred_element_type=jnp.float32)
+            gzeA += _nt_dot(ds16, q16)
+            # q = xb @ Wq
+            gq16 = _to16(gq)
+            gwqA += _nt_dot(feats[:, :Da], gq16)
+            gx = gxb + jnp.dot(gq16, wqT,
+                               preferred_element_type=jnp.float32)
+            acc = (gzeA, gwqA, gw1A, ghpA, gwr1A, gbr1A, gwr2A, gbr2A,
+                   gw3A, gb3A)
+            return gx, gtf, acc
+
+        def rhs_full(xc, tfp_row):
+            return _stage_math(
+                _to16(xc), hpre, tfp_row, ze16, scale, wq16, w1xc16,
+                wr116, br1_ref[:], wr216, br2_ref[:], w316, b3_ref[:],
+            )
+
+        acc0 = (
+            jnp.zeros((Z, Dz), jnp.float32),
+            jnp.zeros((Da, Dz), jnp.float32),
+            jnp.zeros((Da + Dz, H), jnp.float32),
+            jnp.zeros((BWD_TILE_N, H), jnp.float32),
+            jnp.zeros((H, H), jnp.float32),
+            jnp.zeros((1, H), jnp.float32),
+            jnp.zeros((H, H), jnp.float32),
+            jnp.zeros((1, H), jnp.float32),
+            jnp.zeros((H, Da), jnp.float32),
+            jnp.zeros((1, Da), jnp.float32),
+        )
+
+        def rev_step(i, state):
+            g_carry, acc = state
+            s = n_steps - 1 - i
+            dt = dts_ref[s]
+            x = xs_ref[s]
+            tfp = tfp_ref[s]  # (4, H)
+            g = g_carry + gxs_ref[s + 1]
+            # recompute the four stages (+ intermediates), forward order
+            k1, i1 = rhs_full(x, tfp[0][None, :])
+            k2, i2 = rhs_full(x + (dt * 0.5) * k1, tfp[1][None, :])
+            k3, i3 = rhs_full(x + (dt * 0.5) * k2, tfp[2][None, :])
+            _, i4 = rhs_full(x + dt * k3, tfp[3][None, :])
+
+            # backward chain: stage 4 first
+            gk4 = (dt / 6.0) * g
+            gx4, gtf3, acc = stage_vjp(gk4, i4, acc)
+            gk3 = (dt / 3.0) * g + dt * gx4
+            gx3, gtf2, acc = stage_vjp(gk3, i3, acc)
+            gk2 = (dt / 3.0) * g + (dt * 0.5) * gx3
+            gx2, gtf1, acc = stage_vjp(gk2, i2, acc)
+            gk1 = (dt / 6.0) * g + (dt * 0.5) * gx2
+            gx1, gtf0, acc = stage_vjp(gk1, i1, acc)
+
+            gtfp_ref[s] += jnp.concatenate(
+                [gtf0, gtf1, gtf2, gtf3], axis=0
+            )  # (4, H)
+            g_next = g + gx1 + gx2 + gx3 + gx4
+            return g_next, acc
+
+        g_final, acc = jax.lax.fori_loop(
+            0, n_steps, rev_step,
+            (jnp.zeros((BWD_TILE_N, Da), jnp.float32), acc0),
+        )
+        (gzeA, gwqA, gw1A, ghpA, gwr1A, gbr1A, gwr2A, gbr2A, gw3A,
+         gb3A) = acc
+
+        gx0_ref[:] = g_final
+        # hpre = hb @ W1h : gh is per-tile, gW1h accumulates across tiles
+        gh_ref[:] = jnp.dot(_to16(ghpA), w1h_ref[:].T,
+                            preferred_element_type=jnp.float32)
+        gze_ref[:] += gzeA
+        gwq_ref[:] += gwqA
+        gw1xc_ref[:] += gw1A
+        gw1h_ref[:] += _nt_dot(hb, _to16(ghpA))
+        gwr1_ref[:] += gwr1A
+        gbr1_ref[:] += gbr1A
+        gwr2_ref[:] += gwr2A
+        gbr2_ref[:] += gbr2A
+        gw3_ref[:] += gw3A
+        gb3_ref[:] += gb3A
+
+    def tile_spec(d):
+        return pl.BlockSpec((BWD_TILE_N, d), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    steps_spec = pl.BlockSpec(
+        (n_steps + 1, BWD_TILE_N, Da), lambda i: (0, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            steps_spec, steps_spec,
+            tile_spec(Hc),
+            _rep((Z, Dz)), _rep((n_steps, 4, H)),
+            pl.BlockSpec((n_steps,), lambda i: (0,),
+                         memory_space=pltpu.SMEM),
+            _rep(Wq.shape), _rep(W1xc.shape), _rep(W1h.shape),
+            _rep(Wr1.shape), _rep(br1.shape), _rep(Wr2.shape),
+            _rep(br2.shape), _rep(W3.shape), _rep(b3.shape),
+        ],
+        out_specs=[
+            tile_spec(Da), tile_spec(Hc),
+            _rep((Z, Dz)), _rep((Da, Dz)), _rep((Da + Dz, H)),
+            _rep((Hc, H)), _rep((n_steps, 4, H)), _rep((H, H)),
+            _rep((1, H)), _rep((H, H)), _rep((1, H)), _rep((H, Da)),
+            _rep((1, Da)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Np, Da), jnp.float32),
+            jax.ShapeDtypeStruct((Np, Hc), jnp.float32),
+            jax.ShapeDtypeStruct((Z, Dz), jnp.float32),
+            jax.ShapeDtypeStruct((Da, Dz), jnp.float32),
+            jax.ShapeDtypeStruct((Da + Dz, H), jnp.float32),
+            jax.ShapeDtypeStruct((Hc, H), jnp.float32),
+            jax.ShapeDtypeStruct((n_steps, 4, H), jnp.float32),
+            jax.ShapeDtypeStruct((H, H), jnp.float32),
+            jax.ShapeDtypeStruct((1, H), jnp.float32),
+            jax.ShapeDtypeStruct((H, H), jnp.float32),
+            jax.ShapeDtypeStruct((1, H), jnp.float32),
+            jax.ShapeDtypeStruct((H, Da), jnp.float32),
+            jax.ShapeDtypeStruct((1, Da), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            # the reverse sweep holds 4 stages' intermediates + the grad
+            # accumulators: past XLA's 16M default scoped window but well
+            # inside physical VMEM
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(
+        xsp, gxsp, hp, _to16(ze), tf_pre, dts,
+        _to16(Wq), _to16(W1xc), _to16(W1h), _to16(Wr1), _to16(br1),
+        _to16(Wr2), _to16(br2), _to16(W3), _to16(b3),
+    )
+    (gx0p, ghp_, gze, gWq, gW1xc, gW1h, gtfp, gWr1, gbr1, gWr2, gbr2,
+     gW3, gb3) = outs
+    gx0 = gx0p[:N] + g_xs[0]  # x0 is also returned directly as row 0
+    gh = ghp_[:N]
+    return (gx0, gh, gze, gWq, gW1xc, gW1h, gtfp, gWr1, gbr1[0], gWr2,
+            gbr2[0], gW3, gb3[0])

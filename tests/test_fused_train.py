@@ -1,0 +1,184 @@
+"""Fused training kernels (ops/pallas/fused_train.py): hand-written VJP
+vs jax autodiff of a pure-JAX f32 reference, and the integrated train
+step vs the XLA step.
+
+Runs in Pallas interpret mode on the CPU mesh (conftest forces cpu).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from ananke_abm_tpu.ops.pallas.fused_train import rk4_day_rollout
+
+N, Da, Dz, Z, H, Hc, T, S = 40, 8, 16, 12, 16, 8, 4, 2
+
+
+@pytest.fixture(scope="module")
+def problem():
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 16)
+    r = lambda i, *s: 0.3 * jax.random.normal(ks[i], s, jnp.float32)
+    args = (
+        r(0, N, Da), r(1, N, Hc), r(2, Z, Dz),
+        r(3, Da + Dz + Hc + 2, H), r(4, H), r(5, Da, Dz),
+        r(6, H, H), r(7, H), r(8, H, H), r(9, H), r(10, H, Da), r(11, Da),
+    )
+    times = jnp.linspace(0.0, 2.0, T)
+    tgt = jax.random.normal(ks[12], (T, N, Da))
+    return args, times, tgt
+
+
+def _ref_rollout(times, x0, h, ze, W1, b1, Wq, Wr1, br1, Wr2, br2, W3, b3):
+    """Plain-jnp f32 reference of the GAT-ODE day rollout."""
+
+    def rhs(x, t):
+        q = x @ Wq
+        attn = jax.nn.softmax((q @ ze.T) / np.sqrt(Dz), axis=-1)
+        ctx = attn @ ze
+        ang = t * (2 * np.pi / 24.0)
+        tf = jnp.broadcast_to(
+            jnp.stack([jnp.sin(ang), jnp.cos(ang)])[None, :],
+            (x.shape[0], 2),
+        )
+        feats = jnp.concatenate([x, ctx, h, tf], axis=-1)
+        z1 = jnp.tanh(feats @ W1 + b1)
+        rt = jnp.tanh(z1 @ Wr1 + br1)
+        zf = jnp.tanh(z1 + rt @ Wr2 + br2)
+        return zf @ W3 + b3
+
+    xs = [x0]
+    x = x0
+    for i in range(T - 1):
+        t0, t1 = times[i], times[i + 1]
+        dt = (t1 - t0) / S
+        for s in range(S):
+            t = t0 + s * dt
+            k1 = rhs(x, t)
+            k2 = rhs(x + dt / 2 * k1, t + dt / 2)
+            k3 = rhs(x + dt / 2 * k2, t + dt / 2)
+            k4 = rhs(x + dt * k3, t + dt)
+            x = x + dt / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
+        xs.append(x)
+    return jnp.stack(xs)
+
+
+def test_forward_matches_f32_reference(problem):
+    args, times, _ = problem
+    xs_ref = _ref_rollout(times, *args)
+    xs = rk4_day_rollout(*args, times, substeps=S, interpret=True)
+    assert xs.shape == (T, N, Da)
+    rel = float(jnp.max(jnp.abs(xs - xs_ref)) / jnp.max(jnp.abs(xs_ref)))
+    assert rel < 1e-2, rel  # bf16 matmuls vs f32 reference
+
+
+def test_gradients_match_f32_reference(problem):
+    args, times, tgt = problem
+
+    def loss_ref(*a):
+        return jnp.mean((_ref_rollout(times, *a) - tgt) ** 2)
+
+    def loss_fused(*a):
+        xs = rk4_day_rollout(*a, times, substeps=S, interpret=True)
+        return jnp.mean((xs - tgt) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(12)))(*args)
+    g_fused = jax.grad(loss_fused, argnums=tuple(range(12)))(*args)
+    for name, a, b in zip(
+        "x0 h ze W1 b1 Wq Wr1 br1 Wr2 br2 W3 b3".split(), g_ref, g_fused
+    ):
+        fa, fb = a.ravel(), b.ravel()
+        cos = float(
+            fa @ fb / (jnp.linalg.norm(fa) * jnp.linalg.norm(fb) + 1e-30)
+        )
+        assert cos > 0.999, (name, cos)
+
+
+def test_grad_zero_on_padded_rows(problem):
+    """Rows beyond N are tile padding; their grads must not leak into
+    the weight grads (checked implicitly by the reference agreement) and
+    x0/h grads must have the right shape."""
+    args, times, tgt = problem
+
+    def loss_fused(x0, h):
+        xs = rk4_day_rollout(x0, h, *args[2:], times, substeps=S,
+                             interpret=True)
+        return jnp.mean((xs - tgt) ** 2)
+
+    gx0, gh = jax.grad(loss_fused, argnums=(0, 1))(args[0], args[1])
+    assert gx0.shape == (N, Da) and gh.shape == (N, Hc)
+    assert bool(jnp.all(jnp.isfinite(gx0))) and bool(
+        jnp.all(jnp.isfinite(gh))
+    )
+
+
+class TestIntegratedStep:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        from ananke_abm_tpu.data_generator.agent_trajectories import (
+            generate_agent_population,
+        )
+        from ananke_abm_tpu.models.gnn_embed.train import (
+            GATODEConfig,
+            build_model,
+            init_params,
+            make_fused_train_step,
+            make_step_fns,
+        )
+
+        config = GATODEConfig(substeps=2, num_blocks=1)
+        data = generate_agent_population(96, num_times=5, seed=3,
+                                         num_zones=16)
+        model = build_model(config, 7, 8)
+        params = init_params(model, config, data, 96, jax.random.PRNGKey(3))
+        static = (
+            jnp.asarray(data["zone_features"]), jnp.asarray(data["adj"]),
+            jnp.asarray(data["times"]),
+        )
+        opt = optax.adamw(1e-3)
+        batch = (
+            jnp.asarray(data["person_feats"]),
+            jnp.asarray(data["home_zone"]),
+            jnp.asarray(data["zone_ids"]),
+        )
+        ref = make_step_fns(model, opt, config, static)
+        fused = make_fused_train_step(model, opt, config, static)
+        return params, opt, batch, ref, fused
+
+    def test_loss_matches_xla_step(self, setup):
+        params, _, (pf, hz, tg), (_, loss_ref), (_, loss_f) = setup
+        lr, ar = loss_ref(params, pf, hz, tg)
+        lf, af = loss_f(params, pf, hz, tg)
+        assert abs(float(lr) - float(lf)) < 5e-3 * abs(float(lr))
+        assert abs(float(ar) - float(af)) < 1e-6
+
+    def test_grads_match_xla_step(self, setup):
+        params, _, (pf, hz, tg), (_, loss_ref), (_, loss_f) = setup
+        gr = jax.grad(lambda p: loss_ref(p, pf, hz, tg)[0])(params)
+        gf = jax.grad(lambda p: loss_f(p, pf, hz, tg)[0])(params)
+        fr = jnp.concatenate([x.ravel() for x in jax.tree.leaves(gr)])
+        ff = jnp.concatenate([x.ravel() for x in jax.tree.leaves(gf)])
+        cos = float(fr @ ff / (jnp.linalg.norm(fr) * jnp.linalg.norm(ff)))
+        assert cos > 0.999, cos
+
+    def test_two_steps_track_xla_trajectory(self, setup):
+        params, opt, (pf, hz, tg), (step_ref, _), (step_f, _) = setup
+        s0 = opt.init(params)
+        pf1, sf1, lf1, _ = step_f(params, s0, pf, hz, tg)
+        _, _, lf2, _ = step_f(pf1, sf1, pf, hz, tg)
+        pr1, sr1, lr1, _ = step_ref(params, s0, pf, hz, tg)
+        _, _, lr2, _ = step_ref(pr1, sr1, pf, hz, tg)
+        assert abs(float(lf1) - float(lr1)) < 5e-3 * abs(float(lr1))
+        assert abs(float(lf2) - float(lr2)) < 2e-2 * abs(float(lr2))
+
+    def test_requires_num_blocks_one(self, setup):
+        from ananke_abm_tpu.models.gnn_embed.train import (
+            GATODEConfig,
+            make_fused_train_step,
+        )
+
+        params, opt, _, _, _ = setup
+        bad = GATODEConfig(substeps=2, num_blocks=2)
+        with pytest.raises(ValueError):
+            make_fused_train_step(None, opt, bad, (None, None, None))
