@@ -113,7 +113,10 @@ def make_fused_train_step(model, optimizer, config, static):
     """
     if config.num_blocks != 1:
         raise ValueError("fused train step requires num_blocks == 1")
-    from ananke_abm_tpu.ops.pallas.fused_train import rk4_day_rollout
+    from ananke_abm_tpu.ops.pallas.fused_train import (
+        decode_ce,
+        rk4_day_rollout,
+    )
 
     zone_feats, adj, times = static
 
@@ -135,14 +138,14 @@ def make_fused_train_step(model, optimizer, config, static):
             d["Dense_3"]["kernel"], d["Dense_3"]["bias"],
             times, substeps=config.substeps,
         )  # (T, N, Da)
-        xs = jnp.swapaxes(xs, 0, 1)
-        logits = model.apply(
-            {"params": params}, xs, zone_emb, method=model.decode
+        # fused decode+CE: the (N, T, Z) logits tensor never reaches HBM
+        T, N, Da = xs.shape
+        rows = jnp.swapaxes(xs, 0, 1).reshape(N * T, Da)
+        tgt = targets.reshape(-1).astype(jnp.int32)
+        nll, correct = decode_ce(
+            rows, tgt, params["decode_proj"]["kernel"], zone_emb
         )
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
-        acc = jnp.mean(jnp.argmax(logits, -1) == targets)
-        return jnp.mean(nll), acc
+        return jnp.mean(nll), jnp.mean(correct.astype(jnp.float32))
 
     @jax.jit
     def train_step(params, opt_state, pf, hz, targets):

@@ -513,3 +513,165 @@ def _day_bwd_impl(xs_all, g_xs, h, ze, Wq, W1xc, W1h, tf_pre, Wr1, br1,
     gh = ghp_[:N]
     return (gx0, gh, gze, gWq, gW1xc, gW1h, gtfp, gWr1, gbr1[0], gWr2,
             gbr2[0], gW3, gb3[0])
+
+
+# ---------------------------------------------------------------------------
+# Fused decode + cross-entropy head (training loss).
+#
+# The XLA path materializes the (N, T, Z) logits tensor in HBM (786 MB at
+# config-4 dims) just to reduce it to a scalar loss. These kernels compute
+# per-row NLL and its backward tile-by-tile in VMEM — logits never leave
+# the chip. Rows are the flattened (agent, time) axis.
+# ---------------------------------------------------------------------------
+
+CE_TILE_M = 1024
+
+
+def decode_ce(xs_rows, targets, Wd, ze, *, interpret=None):
+    """Per-row softmax cross-entropy of the decode head.
+
+    xs_rows: (M, Da) f32 flattened agent-time states; targets: (M,) int32;
+    Wd: (Da, Dz) decode projection; ze: (Z, Dz) zone embeddings.
+    Returns (nll (M,) f32, correct (M,) int32), differentiable wrt
+    xs_rows / Wd / ze via the hand-written VJP kernel (logits recomputed
+    tile-wise in the backward, never materialized in HBM).
+    """
+    if interpret is None:
+        interpret = not _on_tpu()
+    return _ce_core(xs_rows, targets, Wd, ze, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _ce_core(xs_rows, targets, Wd, ze, interpret):
+    nll, correct = _ce_fwd_impl(xs_rows, targets, Wd, ze, interpret)
+    return nll, correct
+
+
+def _ce_core_fwd(xs_rows, targets, Wd, ze, interpret):
+    out = _ce_fwd_impl(xs_rows, targets, Wd, ze, interpret)
+    return out, (xs_rows, targets, Wd, ze)
+
+
+def _ce_core_bwd(interpret, res, g):
+    g_nll, _ = g  # `correct` is integer-valued: no gradient
+    xs_rows, targets, Wd, ze = res
+    gxs, gWd, gze = _ce_bwd_impl(
+        xs_rows, targets, Wd, ze, g_nll, interpret
+    )
+    return gxs, None, gWd, gze
+
+
+_ce_core.defvjp(_ce_core_fwd, _ce_core_bwd)
+
+
+def _ce_fwd_impl(xs_rows, targets, Wd, ze, interpret):
+    M, Da = xs_rows.shape
+    Z, Dz = ze.shape
+    xp, n_tiles = _pad_tiles(xs_rows, CE_TILE_M)
+    tp, _ = _pad_tiles(targets, CE_TILE_M)
+    Mp = n_tiles * CE_TILE_M
+
+    def kernel(x_ref, t_ref, wd_ref, ze_ref, nll_ref, corr_ref):
+        xb = _to16(x_ref[:])
+        d = jnp.dot(xb, wd_ref[:], preferred_element_type=jnp.float32)
+        logits = jnp.dot(_to16(d), ze_ref[:].T,
+                         preferred_element_type=jnp.float32)
+        mx = jnp.max(logits, axis=-1, keepdims=True)
+        ex = jnp.exp(logits - mx)
+        logZ = jnp.log(jnp.sum(ex, axis=-1)) + mx[:, 0]
+        tgt = t_ref[:]
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        onehot = (col == tgt[:, None])
+        l_tgt = jnp.sum(jnp.where(onehot, logits, 0.0), axis=-1)
+        nll_ref[:] = logZ - l_tgt
+        ids = jnp.min(jnp.where(logits >= mx, col, jnp.int32(Z)), axis=-1)
+        corr_ref[:] = (ids == tgt).astype(jnp.int32)
+
+    nll, correct = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((CE_TILE_M, Da), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CE_TILE_M,), lambda i: (i,),
+                         memory_space=pltpu.VMEM),
+            _rep(Wd.shape), _rep((Z, Dz)),
+        ],
+        out_specs=[
+            pl.BlockSpec((CE_TILE_M,), lambda i: (i,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CE_TILE_M,), lambda i: (i,),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Mp,), jnp.float32),
+            jax.ShapeDtypeStruct((Mp,), jnp.int32),
+        ],
+        interpret=interpret,
+    )(xp, tp, _to16(Wd), _to16(ze))
+    return nll[:M], correct[:M]
+
+
+def _ce_bwd_impl(xs_rows, targets, Wd, ze, g_nll, interpret):
+    M, Da = xs_rows.shape
+    Z, Dz = ze.shape
+    xp, n_tiles = _pad_tiles(xs_rows, CE_TILE_M)
+    tp, _ = _pad_tiles(targets, CE_TILE_M)
+    gp, _ = _pad_tiles(g_nll, CE_TILE_M)  # padded rows: zero upstream grad
+    Mp = n_tiles * CE_TILE_M
+
+    def kernel(x_ref, t_ref, g_ref, wd_ref, ze_ref,
+               gx_ref, gwd_ref, gze_ref):
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            gwd_ref[:] = jnp.zeros_like(gwd_ref)
+            gze_ref[:] = jnp.zeros_like(gze_ref)
+
+        xb = _to16(x_ref[:])
+        wd16 = wd_ref[:]
+        ze16 = ze_ref[:]
+        d = jnp.dot(xb, wd16, preferred_element_type=jnp.float32)
+        d16 = _to16(d)
+        logits = jnp.dot(d16, ze16.T, preferred_element_type=jnp.float32)
+        mx = jnp.max(logits, axis=-1, keepdims=True)
+        ex = jnp.exp(logits - mx)
+        p = ex / jnp.sum(ex, axis=-1, keepdims=True)
+        tgt = t_ref[:]
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        onehot = (col == tgt[:, None]).astype(jnp.float32)
+        grow = (p - onehot) * g_ref[:][:, None]  # dL/dlogits
+        grow16 = _to16(grow)
+        # logits = d @ ze.T
+        gd = jnp.dot(grow16, ze16, preferred_element_type=jnp.float32)
+        gze_ref[:] += _nt_dot(grow16, d16)
+        # d = xs @ Wd
+        gd16 = _to16(gd)
+        gx_ref[:] = jnp.dot(gd16, wd16.T,
+                            preferred_element_type=jnp.float32)
+        gwd_ref[:] += _nt_dot(xb, gd16)
+
+    gxs, gWd, gze = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((CE_TILE_M, Da), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CE_TILE_M,), lambda i: (i,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CE_TILE_M,), lambda i: (i,),
+                         memory_space=pltpu.VMEM),
+            _rep(Wd.shape), _rep((Z, Dz)),
+        ],
+        out_specs=[
+            pl.BlockSpec((CE_TILE_M, Da), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            _rep(Wd.shape), _rep((Z, Dz)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Mp, Da), jnp.float32),
+            jax.ShapeDtypeStruct(Wd.shape, jnp.float32),
+            jax.ShapeDtypeStruct((Z, Dz), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xp, tp, gp, _to16(Wd), _to16(ze))
+    return gxs[:M], gWd, gze

@@ -182,3 +182,53 @@ class TestIntegratedStep:
         bad = GATODEConfig(substeps=2, num_blocks=2)
         with pytest.raises(ValueError):
             make_fused_train_step(None, opt, bad, (None, None, None))
+
+
+class TestDecodeCE:
+    M, Da2, Dz2, Z2 = 50, 8, 16, 12
+
+    @pytest.fixture(scope="class")
+    def ce_problem(self):
+        from ananke_abm_tpu.ops.pallas.fused_train import decode_ce
+
+        ks = jax.random.split(jax.random.PRNGKey(7), 4)
+        rows = jax.random.normal(ks[0], (self.M, self.Da2), jnp.float32)
+        Wd = 0.4 * jax.random.normal(ks[1], (self.Da2, self.Dz2))
+        ze = 0.4 * jax.random.normal(ks[2], (self.Z2, self.Dz2))
+        tgt = jax.random.randint(ks[3], (self.M,), 0, self.Z2, jnp.int32)
+        return decode_ce, rows, Wd, ze, tgt
+
+    @staticmethod
+    def _ref(rows, tgt, Wd, ze):
+        logits = (rows @ Wd) @ ze.T
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, tgt[:, None], axis=-1)[:, 0]
+        correct = (jnp.argmax(logits, -1) == tgt).astype(jnp.int32)
+        return nll, correct
+
+    def test_forward(self, ce_problem):
+        decode_ce, rows, Wd, ze, tgt = ce_problem
+        nll, corr = decode_ce(rows, tgt, Wd, ze, interpret=True)
+        nll_ref, corr_ref = self._ref(rows, tgt, Wd, ze)
+        rel = jnp.max(jnp.abs(nll - nll_ref)) / jnp.max(jnp.abs(nll_ref))
+        assert rel < 1e-2  # bf16 matmuls vs f32 reference
+        assert jnp.mean((corr == corr_ref).astype(jnp.float32)) > 0.97
+
+    def test_gradients(self, ce_problem):
+        decode_ce, rows, Wd, ze, tgt = ce_problem
+
+        def loss_f(rows, Wd, ze):
+            nll, _ = decode_ce(rows, tgt, Wd, ze, interpret=True)
+            return jnp.mean(nll)
+
+        def loss_r(rows, Wd, ze):
+            return jnp.mean(self._ref(rows, tgt, Wd, ze)[0])
+
+        gf = jax.grad(loss_f, argnums=(0, 1, 2))(rows, Wd, ze)
+        gr = jax.grad(loss_r, argnums=(0, 1, 2))(rows, Wd, ze)
+        for name, a, b in zip("rows Wd ze".split(), gr, gf):
+            fa, fb = a.ravel(), b.ravel()
+            cos = float(
+                fa @ fb / (jnp.linalg.norm(fa) * jnp.linalg.norm(fb))
+            )
+            assert cos > 0.999, (name, cos)
