@@ -70,8 +70,15 @@ def build_union_batch(
     )
     if all_times.size == 0:
         raise ValueError("No snap times found for any person in the batch.")
-    base = np.unique(all_times)
+    base = np.unique(all_times.astype(np.float32))
+    # snap times within tol are the same instant (the snap matcher below
+    # uses the same tolerance); merging them here keeps the union grid
+    # strictly increasing even for pathological near-duplicate inputs
+    if base.size > 1:
+        base = base[np.concatenate([[True], np.diff(base) > tol])]
     times = insert_internal_points(base, K_internal).astype(np.float32)
+    # internal points of a micro-interval can collapse in float32
+    times = np.unique(times)
     B, T = len(persons), times.shape[0]
 
     is_gt = np.zeros((B, T), bool)

@@ -232,3 +232,64 @@ class TestDecodeCE:
                 fa @ fb / (jnp.linalg.norm(fa) * jnp.linalg.norm(fb))
             )
             assert cos > 0.999, (name, cos)
+
+
+class TestShardedFusedStep:
+    def test_sharded_matches_single_device(self, eight_devices):
+        """shard_map'd fused train step == single-device fused step."""
+        import optax
+
+        from ananke_abm_tpu.data_generator.agent_trajectories import (
+            generate_agent_population,
+        )
+        from ananke_abm_tpu.models.gnn_embed.train import (
+            GATODEConfig,
+            build_model,
+            init_params,
+            make_fused_train_step,
+        )
+        from ananke_abm_tpu.parallel.mesh import make_mesh
+        from ananke_abm_tpu.parallel.sharded import (
+            make_sharded_fused_train_step,
+        )
+
+        config = GATODEConfig(substeps=2, num_blocks=1)
+        data = generate_agent_population(64, num_times=4, seed=5,
+                                         num_zones=8)
+        model = build_model(config, 7, 8)
+        params = init_params(model, config, data, 64, jax.random.PRNGKey(5))
+        static = (
+            jnp.asarray(data["zone_features"]), jnp.asarray(data["adj"]),
+            jnp.asarray(data["times"]),
+        )
+        opt = optax.adamw(1e-3)
+        s0 = opt.init(params)
+        pf, hz, tg = (
+            jnp.asarray(data["person_feats"]),
+            jnp.asarray(data["home_zone"]),
+            jnp.asarray(data["zone_ids"]),
+        )
+
+        step1, _ = make_fused_train_step(model, opt, config, static)
+        p1, _, l1, a1 = step1(params, s0, pf, hz, tg)
+
+        mesh = make_mesh(8, zone_parallel=2)
+        step8 = make_sharded_fused_train_step(
+            model, opt, config, mesh, static
+        )
+        p8, _, l8, a8 = step8(params, s0, pf, hz, tg)
+
+        assert abs(float(l1) - float(l8)) < 1e-4 * max(1.0, abs(float(l1)))
+        assert abs(float(a1) - float(a8)) < 1e-6
+        # adamw normalizes near-zero grads by their own magnitude, so
+        # bf16 reduction-order noise shows up at ~lr scale on individual
+        # entries; the update DIRECTION must still agree
+        f0 = jnp.concatenate([x.ravel() for x in jax.tree.leaves(params)])
+        u1 = jnp.concatenate(
+            [x.ravel() for x in jax.tree.leaves(p1)]
+        ) - f0
+        u8 = jnp.concatenate(
+            [x.ravel() for x in jax.tree.leaves(p8)]
+        ) - f0
+        cos = float(u1 @ u8 / (jnp.linalg.norm(u1) * jnp.linalg.norm(u8)))
+        assert cos > 0.99, cos
