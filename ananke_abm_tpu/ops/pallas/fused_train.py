@@ -279,10 +279,12 @@ def _day_bwd_impl(xs_all, g_xs, h, ze, Wq, W1xc, W1h, tf_pre, Wr1, br1,
     H = W1xc.shape[1]
     scale = np.float32(1.0 / np.sqrt(float(Dz)))
 
-    xsp, n_tiles = _pad_tiles(jnp.swapaxes(xs_all, 0, 1), BWD_TILE_N)
-    gxsp, _ = _pad_tiles(jnp.swapaxes(g_xs, 0, 1), BWD_TILE_N)
-    xsp = jnp.swapaxes(xsp, 0, 1)
-    gxsp = jnp.swapaxes(gxsp, 0, 1)
+    n_tiles = -(-N // BWD_TILE_N)
+    pad = n_tiles * BWD_TILE_N - N
+    # pad the agent axis in place — no transposed copies of the (steps,
+    # N, Da) residual (they doubled peak HBM at large N)
+    xsp = jnp.pad(xs_all, ((0, 0), (0, pad), (0, 0))) if pad else xs_all
+    gxsp = jnp.pad(g_xs, ((0, 0), (0, pad), (0, 0))) if pad else g_xs
     hp, _ = _pad_tiles(h, BWD_TILE_N)
     Np = n_tiles * BWD_TILE_N
 
