@@ -100,25 +100,35 @@ def make_step_fns(model, optimizer, config, static):
     return train_step, jax.jit(loss_fn)
 
 
-def make_fused_train_step(model, optimizer, config, static):
-    """Train step whose day integration runs through the fused Pallas
-    fwd/VJP kernel pair (ops/pallas/fused_train.py) instead of the
-    remat'd XLA scan. Same loss, same gradients to bf16 accuracy
-    (cosine > 0.999, tested).
+def build_fused_loss_fn(model, config, zone_feats, adj, times,
+                        global_rows=None):
+    """Shared loss body of the fused Pallas train path — used by both
+    the single-device step (below) and the shard_map'd step
+    (parallel/sharded.py::make_sharded_fused_train_step) so the two can
+    never diverge.
 
-    Contract: num_blocks == 1, attn_temp == 1.0 (the kernels mirror that
-    drift). The zone encoder, initial state, decode head, CE loss, and
-    optimizer stay ordinary XLA — their gradients compose with the
-    custom VJP through zone_emb / x0 / h.
+    Enforces the kernel contract: fixed-step RK4 (``config.method``),
+    num_blocks == 1, attn_temp == 1.0 — the fused kernels hard-code that
+    drift/attention, so silently accepting anything else would train a
+    different model than configured.
+
+    ``global_rows``: if given, loss/acc are local sums divided by this
+    global row count (the shard_map caller psums them); otherwise plain
+    local means.
     """
     if config.num_blocks != 1:
         raise ValueError("fused train step requires num_blocks == 1")
+    if getattr(config, "method", "rk4") != "rk4":
+        raise ValueError(
+            f"fused train step implements fixed-step rk4, not "
+            f"{config.method!r}; use make_step_fns/make_adjoint_step_fns"
+        )
+    if getattr(model, "attn_temp", 1.0) != 1.0:
+        raise ValueError("fused train step requires attn_temp == 1.0")
     from ananke_abm_tpu.ops.pallas.fused_train import (
         decode_ce,
         rk4_day_rollout,
     )
-
-    zone_feats, adj, times = static
 
     def loss_fn(params, pf, hz, targets):
         zone_emb = model.apply(
@@ -145,7 +155,27 @@ def make_fused_train_step(model, optimizer, config, static):
         nll, correct = decode_ce(
             rows, tgt, params["decode_proj"]["kernel"], zone_emb
         )
-        return jnp.mean(nll), jnp.mean(correct.astype(jnp.float32))
+        denom = global_rows if global_rows is not None else nll.shape[0]
+        loss = jnp.sum(nll) / denom
+        acc = jnp.sum(correct.astype(jnp.float32)) / denom
+        return loss, acc
+
+    return loss_fn
+
+
+def make_fused_train_step(model, optimizer, config, static):
+    """Train step whose day integration runs through the fused Pallas
+    fwd/VJP kernel pair (ops/pallas/fused_train.py) instead of the
+    remat'd XLA scan. Same loss, same gradients to bf16 accuracy
+    (cosine > 0.999, tested).
+
+    Contract: fixed-step rk4, num_blocks == 1, attn_temp == 1.0 (the
+    kernels mirror that drift). The zone encoder, initial state, decode
+    head, CE loss, and optimizer stay ordinary XLA — their gradients
+    compose with the custom VJP through zone_emb / x0 / h.
+    """
+    zone_feats, adj, times = static
+    loss_fn = build_fused_loss_fn(model, config, zone_feats, adj, times)
 
     @jax.jit
     def train_step(params, opt_state, pf, hz, targets):
@@ -191,8 +221,13 @@ def train(
         jnp.asarray(data["times"]),
     )
     # fused Pallas fwd+VJP step where its contract holds (TPU backend,
-    # single residual block); XLA+remat step otherwise
-    if config.num_blocks == 1 and jax.default_backend() == "tpu":
+    # fixed-step rk4, single residual block); XLA+remat step otherwise —
+    # the gate must mirror the configured integrator, never replace it
+    if (
+        config.num_blocks == 1
+        and config.method == "rk4"
+        and jax.default_backend() == "tpu"
+    ):
         train_step, _ = make_fused_train_step(
             model, optimizer, config, static
         )

@@ -83,7 +83,12 @@ def generate_trajectories(
             pad = Dmax_bins - dur.shape[1]
             if pad > 0:
                 dur = jnp.pad(dur, ((0, 0), (0, pad)), constant_values=-1e9)
-            allow_self = bool(obj.get("crf_cfg", {}).get("exact_long", True))
+            # default False: checkpoints saved before exact_long existed
+            # were trained with the self-transition diagonal masked out,
+            # so decoding must not admit it
+            allow_self = bool(
+                obj.get("crf_cfg", {}).get("exact_long", False)
+            )
             return semicrf_decode(logits, dur, cp["A"], allow_self=allow_self)
         u = logits + cp.get("bias", jnp.zeros(P))[None, None, :]
         if enforce_nonhome and "Home" in purpose_map:

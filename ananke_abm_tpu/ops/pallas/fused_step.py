@@ -71,6 +71,61 @@ def pack_weights_bf16(params):
     )
 
 
+def _to16(a):
+    return a.astype(jnp.bfloat16)
+
+
+def _stage_math(xb, hpre, tfp_row, ze, scale, wq, w1xc, wr1, br1, wr2, br2,
+                w3, b3):
+    """One drift-RHS evaluation returning (k, intermediates-for-VJP).
+
+    THE single copy of the stage math — the serving kernels below call
+    it discarding the intermediates (Mosaic dead-code-eliminates the
+    unused casts), and the training kernels in fused_train.py call it
+    keeping them for the hand-written backward. Forward/backward
+    bit-compatibility (the tested gradient cosine > 0.999) depends on
+    every caller using this one definition: max-free softmax with the
+    f32-overflow clamp, bf16 matmuls with f32 accumulation, the split
+    Dense_0 (x/ctx rows only; h and time rows pre-folded into hpre and
+    tfp_row).
+    """
+    q = jnp.dot(xb, wq, preferred_element_type=jnp.float32)
+    scores = (
+        jnp.dot(_to16(q), ze.T, preferred_element_type=jnp.float32) * scale
+    )
+    # max-free softmax: exp(s)/sum(exp(s)) is exact (the usual max
+    # subtraction cancels in the ratio); the clamp guards f32 overflow
+    # for scores > 80, unreachable at trained scales. Saves a per-stage
+    # lane reduction: +12% rollout throughput at 1M agents (v5e).
+    p_att = jnp.exp(jnp.minimum(scores, 80.0))
+    attn = p_att / jnp.sum(p_att, axis=-1, keepdims=True)  # f32
+    ctx = jnp.dot(_to16(attn), ze, preferred_element_type=jnp.float32)
+    feats = jnp.concatenate([xb, _to16(ctx)], axis=-1)
+    z1 = jnp.tanh(
+        jnp.dot(feats, w1xc, preferred_element_type=jnp.float32)
+        + hpre
+        + tfp_row
+    )
+    rt = jnp.tanh(
+        jnp.dot(_to16(z1), wr1, preferred_element_type=jnp.float32)
+        + br1.astype(jnp.float32)
+    )
+    r3 = (
+        jnp.dot(_to16(rt), wr2, preferred_element_type=jnp.float32)
+        + br2.astype(jnp.float32)
+    )
+    zf = jnp.tanh(z1 + r3)
+    k = (
+        jnp.dot(_to16(zf), w3, preferred_element_type=jnp.float32)
+        + b3.astype(jnp.float32)
+    )
+    # intermediates bf16: halves the training bwd kernel's VMEM live set
+    # (4 stages held at once); tanh' recomputed from the bf16 activation
+    # in f32 is ~4e-3 relative gradient noise, inside the tested budget
+    return k, (_to16(q), _to16(attn), _to16(z1), _to16(rt), _to16(zf),
+               feats)
+
+
 def _time_feature_table(stage_t, W1t_bf16, b1_bf16):
     """(stages,) stage times -> (stages, H) f32 additive pre-activations:
     the sin/cos rows of Dense_0 plus its bias, evaluated per stage."""
@@ -123,55 +178,12 @@ def rk4_step_fused(
         h_pre = jnp.dot(hb, w1h_ref[:], preferred_element_type=jnp.float32)
 
         def rhs(xs, stage):
-            xb = xs.astype(jnp.bfloat16)
-            q = jnp.dot(xb, wq_ref[:], preferred_element_type=jnp.float32)
-            scores = (
-                jnp.dot(
-                    q.astype(jnp.bfloat16), ze.T,
-                    preferred_element_type=jnp.float32,
-                )
-                * scale
+            k, _ = _stage_math(
+                xs.astype(jnp.bfloat16), h_pre, tfp_ref[stage][None, :],
+                ze, scale, wq_ref[:], w1xc_ref[:], wr1_ref[:], br1_ref[:],
+                wr2_ref[:], br2_ref[:], w3_ref[:], b3_ref[:],
             )
-            # max-free softmax: exp(s)/sum(exp(s)) is exact (the usual
-            # max subtraction cancels in the ratio); the clamp guards f32
-            # overflow for scores > 80, unreachable at trained scales.
-            # Saves the per-stage max lane-reduction: +12% rollout
-            # throughput at 1M agents (measured v5e).
-            p_att = jnp.exp(jnp.minimum(scores, 80.0))
-            attn = (
-                p_att / jnp.sum(p_att, axis=-1, keepdims=True)
-            ).astype(jnp.bfloat16)
-            ctx = jnp.dot(attn, ze, preferred_element_type=jnp.float32)
-            feats = jnp.concatenate([xb, ctx.astype(jnp.bfloat16)], axis=-1)
-            z = jnp.tanh(
-                jnp.dot(
-                    feats, w1xc_ref[:], preferred_element_type=jnp.float32
-                )
-                + h_pre
-                + tfp_ref[stage][None, :]
-            )
-            r = jnp.tanh(
-                jnp.dot(
-                    z.astype(jnp.bfloat16), wr1_ref[:],
-                    preferred_element_type=jnp.float32,
-                )
-                + br1_ref[:].astype(jnp.float32)
-            )
-            r = (
-                jnp.dot(
-                    r.astype(jnp.bfloat16), wr2_ref[:],
-                    preferred_element_type=jnp.float32,
-                )
-                + br2_ref[:].astype(jnp.float32)
-            )
-            z = jnp.tanh(z + r)
-            return (
-                jnp.dot(
-                    z.astype(jnp.bfloat16), w3_ref[:],
-                    preferred_element_type=jnp.float32,
-                )
-                + b3_ref[:].astype(jnp.float32)
-            )
+            return k
 
         k1 = rhs(x0, 0)
         k2 = rhs(x0 + (step * 0.5) * k1, 1)
@@ -261,55 +273,12 @@ def rk4_interval_decode_fused(
         h_pre = jnp.dot(hb, w1h_ref[:], preferred_element_type=jnp.float32)
 
         def rhs(xc, stage):
-            xb = xc.astype(jnp.bfloat16)
-            q = jnp.dot(xb, wq_ref[:], preferred_element_type=jnp.float32)
-            scores = (
-                jnp.dot(
-                    q.astype(jnp.bfloat16), ze.T,
-                    preferred_element_type=jnp.float32,
-                )
-                * scale
+            k, _ = _stage_math(
+                xc.astype(jnp.bfloat16), h_pre, tfp_ref[stage][None, :],
+                ze, scale, wq_ref[:], w1xc_ref[:], wr1_ref[:], br1_ref[:],
+                wr2_ref[:], br2_ref[:], w3_ref[:], b3_ref[:],
             )
-            # max-free softmax: exp(s)/sum(exp(s)) is exact (the usual
-            # max subtraction cancels in the ratio); the clamp guards f32
-            # overflow for scores > 80, unreachable at trained scales.
-            # Saves the per-stage max lane-reduction: +12% rollout
-            # throughput at 1M agents (measured v5e).
-            p_att = jnp.exp(jnp.minimum(scores, 80.0))
-            attn = (
-                p_att / jnp.sum(p_att, axis=-1, keepdims=True)
-            ).astype(jnp.bfloat16)
-            ctx = jnp.dot(attn, ze, preferred_element_type=jnp.float32)
-            feats = jnp.concatenate([xb, ctx.astype(jnp.bfloat16)], axis=-1)
-            z = jnp.tanh(
-                jnp.dot(
-                    feats, w1xc_ref[:], preferred_element_type=jnp.float32
-                )
-                + h_pre
-                + tfp_ref[stage][None, :]
-            )
-            r = jnp.tanh(
-                jnp.dot(
-                    z.astype(jnp.bfloat16), wr1_ref[:],
-                    preferred_element_type=jnp.float32,
-                )
-                + br1_ref[:].astype(jnp.float32)
-            )
-            r = (
-                jnp.dot(
-                    r.astype(jnp.bfloat16), wr2_ref[:],
-                    preferred_element_type=jnp.float32,
-                )
-                + br2_ref[:].astype(jnp.float32)
-            )
-            z = jnp.tanh(z + r)
-            return (
-                jnp.dot(
-                    z.astype(jnp.bfloat16), w3_ref[:],
-                    preferred_element_type=jnp.float32,
-                )
-                + b3_ref[:].astype(jnp.float32)
-            )
+            return k
 
         for s in range(substeps):
             k1 = rhs(xs, 4 * s + 0)

@@ -32,7 +32,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ananke_abm_tpu.ops.pallas.fused_step import _on_tpu
+from ananke_abm_tpu.ops.pallas.fused_step import (
+    _on_tpu,
+    _stage_math,
+    _to16,
+)
 
 FWD_TILE_N = 512  # fwd kernel holds one stage at a time
 BWD_TILE_N = 256  # bwd kernel holds all 4 stages' intermediates (bf16)
@@ -42,52 +46,6 @@ def split_w1(W1, Da, Dz):
     """Full Dense_0 kernel -> (x/ctx rows, h rows, time rows)."""
     Hc = W1.shape[0] - Da - Dz - 2
     return W1[: Da + Dz], W1[Da + Dz: Da + Dz + Hc], W1[Da + Dz + Hc:]
-
-
-def _to16(a):
-    return a.astype(jnp.bfloat16)
-
-
-def _stage_math(xb, hpre, tfp_row, ze, scale, wq, w1xc, wr1, br1, wr2, br2,
-                w3, b3):
-    """One RHS evaluation returning (k, intermediates-for-VJP).
-
-    Mirrors fused_step.py's rhs exactly (max-free softmax, bf16 matmuls,
-    f32 accum). The intermediates are everything the backward chain needs
-    so the reverse sweep evaluates each stage exactly once.
-    """
-    q = jnp.dot(xb, wq, preferred_element_type=jnp.float32)
-    scores = (
-        jnp.dot(_to16(q), ze.T, preferred_element_type=jnp.float32) * scale
-    )
-    p_att = jnp.exp(jnp.minimum(scores, 80.0))
-    attn = p_att / jnp.sum(p_att, axis=-1, keepdims=True)  # f32
-    ctx = jnp.dot(_to16(attn), ze, preferred_element_type=jnp.float32)
-    feats = jnp.concatenate([xb, _to16(ctx)], axis=-1)
-    z1 = jnp.tanh(
-        jnp.dot(feats, w1xc, preferred_element_type=jnp.float32)
-        + hpre
-        + tfp_row
-    )
-    rt = jnp.tanh(
-        jnp.dot(_to16(z1), wr1, preferred_element_type=jnp.float32)
-        + br1.astype(jnp.float32)
-    )
-    r3 = (
-        jnp.dot(_to16(rt), wr2, preferred_element_type=jnp.float32)
-        + br2.astype(jnp.float32)
-    )
-    zf = jnp.tanh(z1 + r3)
-    k = (
-        jnp.dot(_to16(zf), w3, preferred_element_type=jnp.float32)
-        + b3.astype(jnp.float32)
-    )
-    # intermediates stored bf16: halves the backward kernel's VMEM live
-    # set (4 stages held at once); tanh' is recomputed from the bf16
-    # activation in f32 — ~4e-3 relative gradient noise, inside the
-    # tested cosine > 0.999 budget
-    return k, (_to16(q), _to16(attn), _to16(z1), _to16(rt), _to16(zf),
-               feats)
 
 
 def _nt_dot(a, b):

@@ -101,49 +101,22 @@ def make_sharded_fused_train_step(model, optimizer, config, mesh, static):
     global-batch means (local sums / global count, then psum), so the
     step is numerically the single-device fused step.
     """
-    if config.num_blocks != 1:
-        raise ValueError("fused train step requires num_blocks == 1")
-    from ananke_abm_tpu.ops.pallas.fused_train import (
-        decode_ce,
-        rk4_day_rollout,
-    )
+    from ananke_abm_tpu.models.gnn_embed.train import build_fused_loss_fn
 
     zone_feats, adj, times = static
 
     def body(params, opt_state, pf, hz, targets):
-        def loss_fn(p):
-            zone_emb = model.apply(
-                {"params": p}, zone_feats, adj, method=model.encode_zones
-            )
-            x0, h = model.apply(
-                {"params": p}, pf, hz, zone_emb,
-                method=model.initial_state,
-            )
-            d = p["drift"]
-            xs = rk4_day_rollout(
-                x0, h, zone_emb,
-                d["Dense_0"]["kernel"], d["Dense_0"]["bias"],
-                p["query_proj"]["kernel"],
-                d["Dense_1"]["kernel"], d["Dense_1"]["bias"],
-                d["Dense_2"]["kernel"], d["Dense_2"]["bias"],
-                d["Dense_3"]["kernel"], d["Dense_3"]["bias"],
-                times, substeps=config.substeps,
-            )
-            T, Nl, Da = xs.shape
-            rows = jnp.swapaxes(xs, 0, 1).reshape(Nl * T, Da)
-            tgt = targets.reshape(-1).astype(jnp.int32)
-            nll, correct = decode_ce(
-                rows, tgt, p["decode_proj"]["kernel"], zone_emb
-            )
-            n_shards = mesh.shape[AGENT_AXIS]
-            gm = nll.shape[0] * n_shards  # global row count
-            loss_local = jnp.sum(nll) / gm
-            acc_local = jnp.sum(correct.astype(jnp.float32)) / gm
-            return loss_local, acc_local
-
+        # local sums normalized by the GLOBAL row count; psum'd below
+        global_rows = (
+            pf.shape[0] * mesh.shape[AGENT_AXIS] * times.shape[0]
+        )
+        loss_fn = build_fused_loss_fn(
+            model, config, zone_feats, adj, times,
+            global_rows=global_rows,
+        )
         (loss_l, acc_l), grads_l = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(params)
+        )(params, pf, hz, targets)
         grads = jax.lax.psum(grads_l, AGENT_AXIS)
         loss = jax.lax.psum(loss_l, AGENT_AXIS)
         acc = jax.lax.psum(acc_l, AGENT_AXIS)

@@ -263,6 +263,14 @@ def build_purposes_catalog(
 
     ov = _load_overrides(overrides, override_csv)
     if ov is not None:
+        # normalize override keys the same way catalog purposes were
+        # (strip / collapse whitespace / Title Case), so overrides keyed
+        # by the source CSV's raw spelling still match
+        ov = ov.copy()
+        ov["purpose"] = (
+            ov["purpose"].astype(str).str.strip()
+            .str.replace(r"\s+", " ", regex=True).str.title()
+        )
         out = out.merge(ov, on="purpose", how="left", suffixes=("", "__ov"))
         for c in ov.columns:
             c_ov = c + "__ov"
