@@ -30,7 +30,7 @@ NUM_TIMES = 48  # 30-min output grid over 24h
 SUBSTEPS = 2  # RK4 substeps per interval -> 96 RK4 steps/day
 NUM_ZONES = 64
 NUM_BLOCKS = 1  # drift residual blocks (kernel contract)
-BASELINE_AGENTS = 128  # torch-CPU baseline sample size (extrapolated)
+BASELINE_AGENTS = 2048  # torch-CPU baseline sample size (extrapolated)
 
 # Training-throughput workload (BASELINE config 4: ~500-zone bipartite
 # attention, 32k-agent batch, full fwd+bwd+adamw step)
