@@ -149,9 +149,24 @@ def measure_train_step() -> dict:
         )
     jax.block_until_ready(loss)
     dt = (time.time() - t0) / n_iter
+
+    # analytic matmul-FLOPs model of the fused train step: integrate
+    # forward (1x) + backward stage recompute (1x) + gradient matmuls
+    # (~2x) = 4x the forward integrate; decode+CE fwd (1x) + bwd (2x)
+    fwd_flops = rollout_flops_per_agent(
+        da=32, dz=64, hidden=128, ctx=32, num_zones=TRAIN_ZONES,
+        num_times=TRAIN_TIMES, substeps=SUBSTEPS, num_blocks=NUM_BLOCKS,
+    )
+    decode_flops = TRAIN_TIMES * (2 * 32 * 64 + 2 * 64 * TRAIN_ZONES)
+    train_flops = 4 * (fwd_flops - decode_flops) + 3 * decode_flops
+    tflops = TRAIN_N / dt * train_flops / 1e12
     return {
         "train_ms_per_step": round(1e3 * dt, 1),
         "train_agents_per_s": round(TRAIN_N / dt, 1),
+        "train_tflops_per_s": round(tflops, 1),
+        "train_mfu_vs_v5e_bf16_peak": round(
+            tflops / V5E_BF16_PEAK_TFLOPS, 4
+        ),
         "train_workload": f"{TRAIN_N} agents x {TRAIN_ZONES} zones x "
                           f"{TRAIN_TIMES} times, fwd+bwd+adamw",
     }
