@@ -25,7 +25,7 @@ def _pallas_eligible(config, expected_n=None) -> bool:
         on_tpu = jax.devices()[0].platform == "tpu"
     except Exception:  # pragma: no cover
         on_tpu = False
-    if not (on_tpu and config.num_blocks == 1):
+    if not on_tpu:
         return False
     aligned = (
         config.agent_dim % 128 == 0

@@ -107,17 +107,15 @@ def build_fused_loss_fn(model, config, zone_feats, adj, times,
     (parallel/sharded.py::make_sharded_fused_train_step) so the two can
     never diverge.
 
-    Enforces the kernel contract: fixed-step RK4 (``config.method``),
-    num_blocks == 1, attn_temp == 1.0 — the fused kernels hard-code that
-    drift/attention, so silently accepting anything else would train a
-    different model than configured.
+    Enforces the kernel contract: fixed-step RK4 (``config.method``) and
+    attn_temp == 1.0 — the fused kernels hard-code that attention, so
+    silently accepting anything else would train a different model than
+    configured. Any number of residual drift blocks is supported.
 
     ``global_rows``: if given, loss/acc are local sums divided by this
     global row count (the shard_map caller psums them); otherwise plain
     local means.
     """
-    if config.num_blocks != 1:
-        raise ValueError("fused train step requires num_blocks == 1")
     if getattr(config, "method", "rk4") != "rk4":
         raise ValueError(
             f"fused train step implements fixed-step rk4, not "
@@ -139,13 +137,20 @@ def build_fused_loss_fn(model, config, zone_feats, adj, times,
             method=model.initial_state,
         )
         d = params["drift"]
+        n_dense = len([k for k in d if k.startswith("Dense_")])
+        blocks = tuple(
+            (d[f"Dense_{1 + 2 * i}"]["kernel"],
+             d[f"Dense_{1 + 2 * i}"]["bias"],
+             d[f"Dense_{2 + 2 * i}"]["kernel"],
+             d[f"Dense_{2 + 2 * i}"]["bias"])
+            for i in range((n_dense - 2) // 2)
+        )
+        out_layer = d[f"Dense_{n_dense - 1}"]
         xs = rk4_day_rollout(
             x0, h, zone_emb,
             d["Dense_0"]["kernel"], d["Dense_0"]["bias"],
-            params["query_proj"]["kernel"],
-            d["Dense_1"]["kernel"], d["Dense_1"]["bias"],
-            d["Dense_2"]["kernel"], d["Dense_2"]["bias"],
-            d["Dense_3"]["kernel"], d["Dense_3"]["bias"],
+            params["query_proj"]["kernel"], blocks,
+            out_layer["kernel"], out_layer["bias"],
             times, substeps=config.substeps,
         )  # (T, N, Da)
         # fused decode+CE: the (N, T, Z) logits tensor never reaches HBM
@@ -169,10 +174,11 @@ def make_fused_train_step(model, optimizer, config, static):
     remat'd XLA scan. Same loss, same gradients to bf16 accuracy
     (cosine > 0.999, tested).
 
-    Contract: fixed-step rk4, num_blocks == 1, attn_temp == 1.0 (the
-    kernels mirror that drift). The zone encoder, initial state, decode
-    head, CE loss, and optimizer stay ordinary XLA — their gradients
-    compose with the custom VJP through zone_emb / x0 / h.
+    Contract: fixed-step rk4, attn_temp == 1.0 (the kernels mirror that
+    attention); any number of residual drift blocks. The zone encoder,
+    initial state, decode head, CE loss, and optimizer stay ordinary
+    XLA — their gradients compose with the custom VJP through
+    zone_emb / x0 / h.
     """
     zone_feats, adj, times = static
     loss_fn = build_fused_loss_fn(model, config, zone_feats, adj, times)
@@ -221,13 +227,9 @@ def train(
         jnp.asarray(data["times"]),
     )
     # fused Pallas fwd+VJP step where its contract holds (TPU backend,
-    # fixed-step rk4, single residual block); XLA+remat step otherwise —
-    # the gate must mirror the configured integrator, never replace it
-    if (
-        config.num_blocks == 1
-        and config.method == "rk4"
-        and jax.default_backend() == "tpu"
-    ):
+    # fixed-step rk4); XLA+remat step otherwise — the gate must mirror
+    # the configured integrator, never replace it
+    if config.method == "rk4" and jax.default_backend() == "tpu":
         train_step, _ = make_fused_train_step(
             model, optimizer, config, static
         )

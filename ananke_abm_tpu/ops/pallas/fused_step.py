@@ -10,7 +10,7 @@ f32. One kernel per step also keeps all four stages' intermediates in
 VMEM — x is read from HBM once and written once per full RK4 step instead
 of once per stage.
 
-Matches ``GATODE.rhs`` with num_blocks=1, attn_temp=1.0 (the same contract
+Matches ``GATODE.rhs`` with any num_blocks, attn_temp=1.0 (the same contract
 as ops/pallas/fused_rhs.py).
 
 Measured crossover (TPU v5e): at the default small dims (Da=32, Dz=64,
@@ -41,8 +41,8 @@ def _on_tpu() -> bool:
 
 
 def pack_weights_bf16(params):
-    """GATODE flax params -> bf16 weight tuple for the kernel
-    (num_blocks == 1).
+    """GATODE flax params -> bf16 weight tuple for the kernels
+    (any number of residual drift blocks).
 
     Dense_0's kernel is split by the rhs concat order
     [x, ctx, h, sin_t, cos_t] (model.py:46): only the x/ctx rows
@@ -52,22 +52,36 @@ def pack_weights_bf16(params):
     computed outside the kernel. This drops the stage matmul from
     ceil((Da+Dz+H+2)/128) MXU passes to ceil((Da+Dz)/128) — at
     production dims (32+64+128+2 -> 32+64) that is 2 passes -> 1 —
-    and removes the h/t lanes from the per-stage concat copy."""
+    and removes the h/t lanes from the per-stage concat copy.
+
+    Returns (Wq, W1xc, W1h, W1t, b1, blocks, W3, b3) where ``blocks`` is
+    a tuple of (Wr1, br1, Wr2, br2) per residual block (flax auto-names:
+    block i uses Dense_{1+2i}/Dense_{2+2i}; the output layer is the
+    last Dense)."""
     d = params["drift"]
     to = lambda x: jnp.asarray(x, jnp.bfloat16)
     Wq = params["query_proj"]["kernel"]
     Da, Dz = Wq.shape
     W1 = d["Dense_0"]["kernel"]
     Hc = W1.shape[0] - Da - Dz - 2
+    n_dense = len([k for k in d if k.startswith("Dense_")])
+    num_blocks = (n_dense - 2) // 2
+    blocks = tuple(
+        (to(d[f"Dense_{1 + 2 * i}"]["kernel"]),
+         to(d[f"Dense_{1 + 2 * i}"]["bias"]),
+         to(d[f"Dense_{2 + 2 * i}"]["kernel"]),
+         to(d[f"Dense_{2 + 2 * i}"]["bias"]))
+        for i in range(num_blocks)
+    )
+    out = d[f"Dense_{n_dense - 1}"]
     return (
         to(Wq),
         to(W1[: Da + Dz]),               # x/ctx rows: per-stage matmul
         to(W1[Da + Dz: Da + Dz + Hc]),   # h rows: per-interval precompute
         to(W1[Da + Dz + Hc:]),           # sin/cos rows: per-stage table
         to(d["Dense_0"]["bias"]),
-        to(d["Dense_1"]["kernel"]), to(d["Dense_1"]["bias"]),
-        to(d["Dense_2"]["kernel"]), to(d["Dense_2"]["bias"]),
-        to(d["Dense_3"]["kernel"]), to(d["Dense_3"]["bias"]),
+        blocks,
+        to(out["kernel"]), to(out["bias"]),
     )
 
 
@@ -75,8 +89,7 @@ def _to16(a):
     return a.astype(jnp.bfloat16)
 
 
-def _stage_math(xb, hpre, tfp_row, ze, scale, wq, w1xc, wr1, br1, wr2, br2,
-                w3, b3):
+def _stage_math(xb, hpre, tfp_row, ze, scale, wq, w1xc, blocks, w3, b3):
     """One drift-RHS evaluation returning (k, intermediates-for-VJP).
 
     THE single copy of the stage math — the serving kernels below call
@@ -88,6 +101,10 @@ def _stage_math(xb, hpre, tfp_row, ze, scale, wq, w1xc, wr1, br1, wr2, br2,
     f32-overflow clamp, bf16 matmuls with f32 accumulation, the split
     Dense_0 (x/ctx rows only; h and time rows pre-folded into hpre and
     tfp_row).
+
+    ``blocks``: tuple of (wr1, br1, wr2, br2) per residual MLP block
+    (model.py AgentDrift num_blocks), applied in order:
+    z <- tanh(z + W2 tanh(W1 z + b1) + b2).
     """
     q = jnp.dot(xb, wq, preferred_element_type=jnp.float32)
     scores = (
@@ -101,29 +118,33 @@ def _stage_math(xb, hpre, tfp_row, ze, scale, wq, w1xc, wr1, br1, wr2, br2,
     attn = p_att / jnp.sum(p_att, axis=-1, keepdims=True)  # f32
     ctx = jnp.dot(_to16(attn), ze, preferred_element_type=jnp.float32)
     feats = jnp.concatenate([xb, _to16(ctx)], axis=-1)
-    z1 = jnp.tanh(
+    z = jnp.tanh(
         jnp.dot(feats, w1xc, preferred_element_type=jnp.float32)
         + hpre
         + tfp_row
     )
-    rt = jnp.tanh(
-        jnp.dot(_to16(z1), wr1, preferred_element_type=jnp.float32)
-        + br1.astype(jnp.float32)
-    )
-    r3 = (
-        jnp.dot(_to16(rt), wr2, preferred_element_type=jnp.float32)
-        + br2.astype(jnp.float32)
-    )
-    zf = jnp.tanh(z1 + r3)
-    k = (
-        jnp.dot(_to16(zf), w3, preferred_element_type=jnp.float32)
-        + b3.astype(jnp.float32)
-    )
-    # intermediates bf16: halves the training bwd kernel's VMEM live set
+    # per block: (z_in bf16, rt bf16, z_out bf16) for the backward chain;
+    # intermediates bf16 halve the training bwd kernel's VMEM live set
     # (4 stages held at once); tanh' recomputed from the bf16 activation
     # in f32 is ~4e-3 relative gradient noise, inside the tested budget
-    return k, (_to16(q), _to16(attn), _to16(z1), _to16(rt), _to16(zf),
-               feats)
+    block_inter = []
+    for (wr1, br1, wr2, br2) in blocks:
+        z_in16 = _to16(z)
+        rt = jnp.tanh(
+            jnp.dot(z_in16, wr1, preferred_element_type=jnp.float32)
+            + br1.astype(jnp.float32)
+        )
+        r3 = (
+            jnp.dot(_to16(rt), wr2, preferred_element_type=jnp.float32)
+            + br2.astype(jnp.float32)
+        )
+        z = jnp.tanh(z + r3)
+        block_inter.append((z_in16, _to16(rt), _to16(z)))
+    k = (
+        jnp.dot(_to16(z), w3, preferred_element_type=jnp.float32)
+        + b3.astype(jnp.float32)
+    )
+    return k, (_to16(q), _to16(attn), tuple(block_inter), feats)
 
 
 def _time_feature_table(stage_t, W1t_bf16, b1_bf16):
@@ -149,7 +170,9 @@ def rk4_step_fused(
     N, Da = x.shape
     Z, Dz = zone_emb_bf16.shape
     H = h.shape[1]
-    (Wq, W1xc, W1h, W1t, b1, Wr1, br1, Wr2, br2, W3, b3) = weights_bf16
+    (Wq, W1xc, W1h, W1t, b1, blocks, W3, b3) = weights_bf16
+    n_blocks = len(blocks)
+    flat_blocks = [w for blk in blocks for w in blk]
     if interpret is None:
         interpret = not _on_tpu()
 
@@ -167,8 +190,14 @@ def rk4_step_fused(
     dt32 = jnp.asarray(dt, jnp.float32)
 
     def kernel(x_ref, h_ref, ze_ref, tfp_ref, dt_ref,
-               wq_ref, w1xc_ref, w1h_ref, wr1_ref, br1_ref,
-               wr2_ref, br2_ref, w3_ref, b3_ref, out_ref):
+               wq_ref, w1xc_ref, w1h_ref, *rest):
+        blk_refs = rest[: 4 * n_blocks]
+        w3_ref, b3_ref, out_ref = rest[4 * n_blocks:]
+        blk = tuple(
+            (blk_refs[4 * i][:], blk_refs[4 * i + 1][:],
+             blk_refs[4 * i + 2][:], blk_refs[4 * i + 3][:])
+            for i in range(n_blocks)
+        )
         x0 = x_ref[:]  # (TILE_N, Da) f32
         hb = h_ref[:].astype(jnp.bfloat16)
         ze = ze_ref[:]  # bf16
@@ -180,8 +209,8 @@ def rk4_step_fused(
         def rhs(xs, stage):
             k, _ = _stage_math(
                 xs.astype(jnp.bfloat16), h_pre, tfp_ref[stage][None, :],
-                ze, scale, wq_ref[:], w1xc_ref[:], wr1_ref[:], br1_ref[:],
-                wr2_ref[:], br2_ref[:], w3_ref[:], b3_ref[:],
+                ze, scale, wq_ref[:], w1xc_ref[:], blk, w3_ref[:],
+                b3_ref[:],
             )
             return k
 
@@ -206,8 +235,9 @@ def rk4_step_fused(
             rep(zone_emb_bf16),
             rep(tf_pre),
             pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
-            rep(Wq), rep(W1xc), rep(W1h), rep(Wr1), rep(br1),
-            rep(Wr2), rep(br2), rep(W3), rep(b3),
+            rep(Wq), rep(W1xc), rep(W1h),
+            *[rep(w) for w in flat_blocks],
+            rep(W3), rep(b3),
         ],
         out_specs=pl.BlockSpec(
             (TILE_N, Da), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -216,7 +246,7 @@ def rk4_step_fused(
         interpret=interpret,
     )(
         x, h, zone_emb_bf16, tf_pre, dt32[None],
-        Wq, W1xc, W1h, Wr1, br1, Wr2, br2, W3, b3,
+        Wq, W1xc, W1h, *flat_blocks, W3, b3,
     )
     return out[:N]
 
@@ -241,7 +271,9 @@ def rk4_interval_decode_fused(
     N, Da = x.shape
     Z, Dz = zone_emb_bf16.shape
     H = h.shape[1]
-    (Wq, W1xc, W1h, W1t, b1, Wr1, br1, Wr2, br2, W3, b3) = weights_bf16
+    (Wq, W1xc, W1h, W1t, b1, blocks, W3, b3) = weights_bf16
+    n_blocks = len(blocks)
+    flat_blocks = [w for blk in blocks for w in blk]
     if interpret is None:
         interpret = not _on_tpu()
 
@@ -261,9 +293,14 @@ def rk4_interval_decode_fused(
     dt32 = jnp.asarray(dt_sub, jnp.float32)
 
     def kernel(x_ref, h_ref, ze_ref, tfp_ref, dt_ref,
-               wq_ref, w1xc_ref, w1h_ref, wr1_ref, br1_ref,
-               wr2_ref, br2_ref, w3_ref, b3_ref, wd_ref,
-               xout_ref, ids_ref):
+               wq_ref, w1xc_ref, w1h_ref, *rest):
+        blk_refs = rest[: 4 * n_blocks]
+        w3_ref, b3_ref, wd_ref, xout_ref, ids_ref = rest[4 * n_blocks:]
+        blk = tuple(
+            (blk_refs[4 * i][:], blk_refs[4 * i + 1][:],
+             blk_refs[4 * i + 2][:], blk_refs[4 * i + 3][:])
+            for i in range(n_blocks)
+        )
         xs = x_ref[:]
         hb = h_ref[:].astype(jnp.bfloat16)
         ze = ze_ref[:]
@@ -275,8 +312,8 @@ def rk4_interval_decode_fused(
         def rhs(xc, stage):
             k, _ = _stage_math(
                 xc.astype(jnp.bfloat16), h_pre, tfp_ref[stage][None, :],
-                ze, scale, wq_ref[:], w1xc_ref[:], wr1_ref[:], br1_ref[:],
-                wr2_ref[:], br2_ref[:], w3_ref[:], b3_ref[:],
+                ze, scale, wq_ref[:], w1xc_ref[:], blk, w3_ref[:],
+                b3_ref[:],
             )
             return k
 
@@ -319,8 +356,9 @@ def rk4_interval_decode_fused(
             rep(zone_emb_bf16),
             rep(tf_pre),
             pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
-            rep(Wq), rep(W1xc), rep(W1h), rep(Wr1), rep(br1),
-            rep(Wr2), rep(br2), rep(W3), rep(b3), rep(wd_bf16),
+            rep(Wq), rep(W1xc), rep(W1h),
+            *[rep(w) for w in flat_blocks],
+            rep(W3), rep(b3), rep(wd_bf16),
         ],
         out_specs=[
             pl.BlockSpec(
@@ -335,7 +373,7 @@ def rk4_interval_decode_fused(
         interpret=interpret,
     )(
         x, h, zone_emb_bf16, tf_pre, dt32[None],
-        Wq, W1xc, W1h, Wr1, br1, Wr2, br2, W3, b3, wd_bf16,
+        Wq, W1xc, W1h, *flat_blocks, W3, b3, wd_bf16,
     )
     return x_new[:N], ids[:N]
 

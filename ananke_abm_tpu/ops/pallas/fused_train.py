@@ -78,13 +78,14 @@ def _stage_times_table(times, substeps, W1t, b1):
     return dts.astype(jnp.float32), tf_pre
 
 
-def rk4_day_rollout(x0, h, zone_emb, W1_full, b1, Wq, Wr1, br1, Wr2, br2,
-                    W3, b3, times, *, substeps: int, interpret=None):
+def rk4_day_rollout(x0, h, zone_emb, W1_full, b1, Wq, blocks, W3, b3,
+                    times, *, substeps: int, interpret=None):
     """Differentiable full-day RK4 rollout via the fused train kernels.
 
     x0: (N, Da) f32; h: (N, Hc) f32; zone_emb: (Z, Dz) f32;
     W1_full: (Da+Dz+Hc+2, H) Dense_0 kernel in the rhs concat row order
-    [x, ctx, h, sin_t, cos_t] (gnn_embed/model.py:46); times: (T,).
+    [x, ctx, h, sin_t, cos_t] (gnn_embed/model.py:46); ``blocks``: tuple
+    of (Wr1, br1, Wr2, br2) per residual drift block; times: (T,).
     Returns xs (T, N, Da) f32 at the output times (row 0 == x0), with
     gradients wrt every array argument via the hand-written VJP kernels.
     """
@@ -95,38 +96,34 @@ def rk4_day_rollout(x0, h, zone_emb, W1_full, b1, Wq, Wr1, br1, Wr2, br2,
     if interpret is None:
         interpret = not _on_tpu()
     xs_all = _day_core(
-        x0, h, zone_emb, Wq, W1xc, W1h, tf_pre, Wr1, br1, Wr2, br2, W3, b3,
+        x0, h, zone_emb, Wq, W1xc, W1h, tf_pre, tuple(blocks), W3, b3,
         dts, interpret,
     )
     return xs_all[::substeps]  # (T, N, Da)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(14,))
-def _day_core(x0, h, ze, Wq, W1xc, W1h, tf_pre, Wr1, br1, Wr2, br2, W3, b3,
-              dts, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11,))
+def _day_core(x0, h, ze, Wq, W1xc, W1h, tf_pre, blocks, W3, b3, dts,
+              interpret):
     return _day_fwd_impl(
-        x0, h, ze, Wq, W1xc, W1h, tf_pre, Wr1, br1, Wr2, br2, W3, b3, dts,
-        interpret,
+        x0, h, ze, Wq, W1xc, W1h, tf_pre, blocks, W3, b3, dts, interpret,
     )
 
 
-def _day_core_fwd(x0, h, ze, Wq, W1xc, W1h, tf_pre, Wr1, br1, Wr2, br2, W3,
-                  b3, dts, interpret):
+def _day_core_fwd(x0, h, ze, Wq, W1xc, W1h, tf_pre, blocks, W3, b3, dts,
+                  interpret):
     xs_all = _day_fwd_impl(
-        x0, h, ze, Wq, W1xc, W1h, tf_pre, Wr1, br1, Wr2, br2, W3, b3, dts,
-        interpret,
+        x0, h, ze, Wq, W1xc, W1h, tf_pre, blocks, W3, b3, dts, interpret,
     )
-    res = (xs_all, h, ze, Wq, W1xc, W1h, tf_pre, Wr1, br1, Wr2, br2, W3,
-           b3, dts)
+    res = (xs_all, h, ze, Wq, W1xc, W1h, tf_pre, blocks, W3, b3, dts)
     return xs_all, res
 
 
 def _day_core_bwd(interpret, res, g_xs):
-    (xs_all, h, ze, Wq, W1xc, W1h, tf_pre, Wr1, br1, Wr2, br2, W3, b3,
-     dts) = res
+    (xs_all, h, ze, Wq, W1xc, W1h, tf_pre, blocks, W3, b3, dts) = res
     grads = _day_bwd_impl(
-        xs_all, g_xs, h, ze, Wq, W1xc, W1h, tf_pre, Wr1, br1, Wr2, br2, W3,
-        b3, dts, interpret,
+        xs_all, g_xs, h, ze, Wq, W1xc, W1h, tf_pre, blocks, W3, b3, dts,
+        interpret,
     )
     return grads + (jnp.zeros_like(dts),)
 
@@ -150,13 +147,15 @@ def _rep(shape):
     return pl.BlockSpec(shape, lambda i: zeros, memory_space=pltpu.VMEM)
 
 
-def _day_fwd_impl(x0, h, ze, Wq, W1xc, W1h, tf_pre, Wr1, br1, Wr2, br2, W3,
-                  b3, dts, interpret):
+def _day_fwd_impl(x0, h, ze, Wq, W1xc, W1h, tf_pre, blocks, W3, b3, dts,
+                  interpret):
     """Forward kernel: in-kernel loop over all substeps, stash carries."""
     N, Da = x0.shape
     Z, Dz = ze.shape
     Hc = h.shape[1]
     n_steps = dts.shape[0]
+    n_blocks = len(blocks)
+    flat_blocks = [_to16(w) for blk in blocks for w in blk]
     scale = np.float32(1.0 / np.sqrt(float(Dz)))
 
     xp, n_tiles = _pad_tiles(x0, FWD_TILE_N)
@@ -164,8 +163,14 @@ def _day_fwd_impl(x0, h, ze, Wq, W1xc, W1h, tf_pre, Wr1, br1, Wr2, br2, W3,
     Np = n_tiles * FWD_TILE_N
 
     def kernel(x_ref, h_ref, ze_ref, tfp_ref, dts_ref,
-               wq_ref, w1xc_ref, w1h_ref, wr1_ref, br1_ref,
-               wr2_ref, br2_ref, w3_ref, b3_ref, xs_ref):
+               wq_ref, w1xc_ref, w1h_ref, *rest):
+        blk_refs = rest[: 4 * n_blocks]
+        w3_ref, b3_ref, xs_ref = rest[4 * n_blocks:]
+        blk = tuple(
+            (blk_refs[4 * i][:], blk_refs[4 * i + 1][:],
+             blk_refs[4 * i + 2][:], blk_refs[4 * i + 3][:])
+            for i in range(n_blocks)
+        )
         hb = _to16(h_ref[:])
         ze16 = ze_ref[:]
         hpre = jnp.dot(hb, w1h_ref[:], preferred_element_type=jnp.float32)
@@ -178,8 +183,7 @@ def _day_fwd_impl(x0, h, ze, Wq, W1xc, W1h, tf_pre, Wr1, br1, Wr2, br2, W3,
             def rhs(xc, row):
                 k, _ = _stage_math(
                     _to16(xc), hpre, tfp[row][None, :], ze16, scale,
-                    wq_ref[:], w1xc_ref[:], wr1_ref[:], br1_ref[:],
-                    wr2_ref[:], br2_ref[:], w3_ref[:], b3_ref[:],
+                    wq_ref[:], w1xc_ref[:], blk, w3_ref[:], b3_ref[:],
                 )
                 return k
 
@@ -205,8 +209,8 @@ def _day_fwd_impl(x0, h, ze, Wq, W1xc, W1h, tf_pre, Wr1, br1, Wr2, br2, W3,
             pl.BlockSpec((n_steps,), lambda i: (0,),
                          memory_space=pltpu.SMEM),
             _rep(Wq.shape), _rep(W1xc.shape), _rep(W1h.shape),
-            _rep(Wr1.shape), _rep(br1.shape), _rep(Wr2.shape),
-            _rep(br2.shape), _rep(W3.shape), _rep(b3.shape),
+            *[_rep(w.shape) for w in flat_blocks],
+            _rep(W3.shape), _rep(b3.shape),
         ],
         out_specs=pl.BlockSpec(
             (n_steps + 1, FWD_TILE_N, Da), lambda i: (0, i, 0),
@@ -216,14 +220,14 @@ def _day_fwd_impl(x0, h, ze, Wq, W1xc, W1h, tf_pre, Wr1, br1, Wr2, br2, W3,
         interpret=interpret,
     )(
         xp, hp, _to16(ze), tf_pre, dts,
-        _to16(Wq), _to16(W1xc), _to16(W1h), _to16(Wr1), _to16(br1),
-        _to16(Wr2), _to16(br2), _to16(W3), _to16(b3),
+        _to16(Wq), _to16(W1xc), _to16(W1h), *flat_blocks,
+        _to16(W3), _to16(b3),
     )
     return xs_all[:, :N]
 
 
-def _day_bwd_impl(xs_all, g_xs, h, ze, Wq, W1xc, W1h, tf_pre, Wr1, br1,
-                  Wr2, br2, W3, b3, dts, interpret):
+def _day_bwd_impl(xs_all, g_xs, h, ze, Wq, W1xc, W1h, tf_pre, blocks, W3,
+                  b3, dts, interpret):
     """Backward kernel: reverse sweep with in-VMEM grad accumulation.
 
     Weight/zone-emb/time-table grads use constant-index output blocks:
@@ -235,6 +239,8 @@ def _day_bwd_impl(xs_all, g_xs, h, ze, Wq, W1xc, W1h, tf_pre, Wr1, br1,
     Z, Dz = ze.shape
     Hc = h.shape[1]
     H = W1xc.shape[1]
+    n_blocks = len(blocks)
+    flat_blocks = [_to16(w) for blk in blocks for w in blk]
     scale = np.float32(1.0 / np.sqrt(float(Dz)))
 
     n_tiles = -(-N // BWD_TILE_N)
@@ -246,70 +252,75 @@ def _day_bwd_impl(xs_all, g_xs, h, ze, Wq, W1xc, W1h, tf_pre, Wr1, br1,
     hp, _ = _pad_tiles(h, BWD_TILE_N)
     Np = n_tiles * BWD_TILE_N
 
-    def kernel(xs_ref, gxs_ref, h_ref, ze_ref, tfp_ref, dts_ref,
-               wq_ref, w1xc_ref, w1h_ref, wr1_ref, br1_ref, wr2_ref,
-               br2_ref, w3_ref, b3_ref,
-               gx0_ref, gh_ref, gze_ref, gwq_ref, gw1xc_ref, gw1h_ref,
-               gtfp_ref, gwr1_ref, gbr1_ref, gwr2_ref, gbr2_ref, gw3_ref,
-               gb3_ref):
+    def kernel(*refs):
+        (xs_ref, gxs_ref, h_ref, ze_ref, tfp_ref, dts_ref,
+         wq_ref, w1xc_ref, w1h_ref) = refs[:9]
+        blk_refs = refs[9: 9 + 4 * n_blocks]
+        (w3_ref, b3_ref,
+         gx0_ref, gh_ref, gze_ref, gwq_ref, gw1xc_ref, gw1h_ref,
+         gtfp_ref) = refs[9 + 4 * n_blocks: 18 + 4 * n_blocks]
+        gblk_refs = refs[18 + 4 * n_blocks: 18 + 8 * n_blocks]
+        gw3_ref, gb3_ref = refs[18 + 8 * n_blocks:]
+
+        blk = tuple(
+            (blk_refs[4 * i][:], blk_refs[4 * i + 1][:],
+             blk_refs[4 * i + 2][:], blk_refs[4 * i + 3][:])
+            for i in range(n_blocks)
+        )
         hb = _to16(h_ref[:])
         ze16 = ze_ref[:]
         hpre = jnp.dot(hb, w1h_ref[:], preferred_element_type=jnp.float32)
-        wq16, w1xc16 = wq_ref[:], w1xc_ref[:]
-        wr116, wr216, w316 = wr1_ref[:], wr2_ref[:], w3_ref[:]
+        wq16, w1xc16, w316 = wq_ref[:], w1xc_ref[:], w3_ref[:]
         # transposed copies hoisted out of the 4 * n_steps stage VJPs
         wqT = wq16.T
         w1xcT = w1xc16.T
-        wr1T = wr116.T
-        wr2T = wr216.T
         w3T = w316.T
         zeT = ze16.T
+        blkT = tuple((b[0].T, b[2].T) for b in blk)  # (Wr1T, Wr2T)
 
         @pl.when(pl.program_id(0) == 0)
         def _init():
-            gze_ref[:] = jnp.zeros_like(gze_ref)
-            gwq_ref[:] = jnp.zeros_like(gwq_ref)
-            gw1xc_ref[:] = jnp.zeros_like(gw1xc_ref)
-            gw1h_ref[:] = jnp.zeros_like(gw1h_ref)
-            gtfp_ref[:] = jnp.zeros_like(gtfp_ref)
-            gwr1_ref[:] = jnp.zeros_like(gwr1_ref)
-            gbr1_ref[:] = jnp.zeros_like(gbr1_ref)
-            gwr2_ref[:] = jnp.zeros_like(gwr2_ref)
-            gbr2_ref[:] = jnp.zeros_like(gbr2_ref)
-            gw3_ref[:] = jnp.zeros_like(gw3_ref)
-            gb3_ref[:] = jnp.zeros_like(gb3_ref)
+            for r in ((gze_ref, gwq_ref, gw1xc_ref, gw1h_ref, gtfp_ref,
+                       gw3_ref, gb3_ref) + tuple(gblk_refs)):
+                r[:] = jnp.zeros_like(r)
 
         def stage_vjp(gk, inter, acc):
             """VJP of one RHS eval. gk: (TILE, Da) f32 grad wrt k.
             Returns (gx wrt stage input, gtf (1, H) for this stage's
-            time row, updated accumulator 10-tuple)."""
-            (q16, attn16, z116, rt16, zf16, feats) = inter
-            (gzeA, gwqA, gw1A, ghpA, gwr1A, gbr1A, gwr2A, gbr2A, gw3A,
-             gb3A) = acc
+            time row, updated accumulator)."""
+            (q16, attn16, block_inter, feats) = inter
+            (gzeA, gwqA, gw1A, ghpA, blkA, gw3A, gb3A) = acc
             gk16 = _to16(gk)
-            # k = zf @ W3 + b3
-            gw3A += _nt_dot(zf16, gk16)
+            # k = z_out @ W3 + b3  (z_out = last block's output)
+            z_out16 = block_inter[-1][2]
+            gw3A += _nt_dot(z_out16, gk16)
             gb3A += jnp.sum(gk, axis=0, keepdims=True)
-            gzf = jnp.dot(gk16, w3T, preferred_element_type=jnp.float32)
-            # zf = tanh(z1 + r3)
-            zf = zf16.astype(jnp.float32)
-            gpre_f = gzf * (1.0 - zf * zf)
-            gz1 = gpre_f
-            # r3 = rt @ Wr2 + br2
-            gpf16 = _to16(gpre_f)
-            gwr2A += _nt_dot(rt16, gpf16)
-            gbr2A += jnp.sum(gpre_f, axis=0, keepdims=True)
-            grt = jnp.dot(gpf16, wr2T, preferred_element_type=jnp.float32)
-            # rt = tanh(z1 @ Wr1 + br1)
-            rt = rt16.astype(jnp.float32)
-            gpre2 = grt * (1.0 - rt * rt)
-            gp216 = _to16(gpre2)
-            gwr1A += _nt_dot(z116, gp216)
-            gbr1A += jnp.sum(gpre2, axis=0, keepdims=True)
-            gz1 += jnp.dot(gp216, wr1T, preferred_element_type=jnp.float32)
-            # z1 = tanh(feats @ W1xc + hpre + tfp_row)
-            z1 = z116.astype(jnp.float32)
-            gpre1 = gz1 * (1.0 - z1 * z1)
+            gz = jnp.dot(gk16, w3T, preferred_element_type=jnp.float32)
+            # residual blocks, reversed: z_out = tanh(z_in + rt @ Wr2 + b)
+            blkA_new = list(blkA)
+            for b in range(n_blocks - 1, -1, -1):
+                z_in16, rt16, zo16 = block_inter[b]
+                (gwr1A, gbr1A, gwr2A, gbr2A) = blkA[b]
+                wr1T, wr2T = blkT[b]
+                zo = zo16.astype(jnp.float32)
+                gpre = gz * (1.0 - zo * zo)
+                gp16 = _to16(gpre)
+                gwr2A += _nt_dot(rt16, gp16)
+                gbr2A += jnp.sum(gpre, axis=0, keepdims=True)
+                grt = jnp.dot(gp16, wr2T,
+                              preferred_element_type=jnp.float32)
+                rt = rt16.astype(jnp.float32)
+                gpre2 = grt * (1.0 - rt * rt)
+                gp216 = _to16(gpre2)
+                gwr1A += _nt_dot(z_in16, gp216)
+                gbr1A += jnp.sum(gpre2, axis=0, keepdims=True)
+                gz = gpre + jnp.dot(gp216, wr1T,
+                                    preferred_element_type=jnp.float32)
+                blkA_new[b] = (gwr1A, gbr1A, gwr2A, gbr2A)
+            # z1 = tanh(feats @ W1xc + hpre + tfp_row); z1 == first
+            # block's input
+            z1 = block_inter[0][0].astype(jnp.float32)
+            gpre1 = gz * (1.0 - z1 * z1)
             gp116 = _to16(gpre1)
             gw1A += _nt_dot(feats, gp116)
             ghpA += gpre1
@@ -337,14 +348,13 @@ def _day_bwd_impl(xs_all, g_xs, h, ze, Wq, W1xc, W1h, tf_pre, Wr1, br1,
             gwqA += _nt_dot(feats[:, :Da], gq16)
             gx = gxb + jnp.dot(gq16, wqT,
                                preferred_element_type=jnp.float32)
-            acc = (gzeA, gwqA, gw1A, ghpA, gwr1A, gbr1A, gwr2A, gbr2A,
-                   gw3A, gb3A)
+            acc = (gzeA, gwqA, gw1A, ghpA, tuple(blkA_new), gw3A, gb3A)
             return gx, gtf, acc
 
         def rhs_full(xc, tfp_row):
             return _stage_math(
-                _to16(xc), hpre, tfp_row, ze16, scale, wq16, w1xc16,
-                wr116, br1_ref[:], wr216, br2_ref[:], w316, b3_ref[:],
+                _to16(xc), hpre, tfp_row, ze16, scale, wq16, w1xc16, blk,
+                w316, b3_ref[:],
             )
 
         acc0 = (
@@ -352,10 +362,13 @@ def _day_bwd_impl(xs_all, g_xs, h, ze, Wq, W1xc, W1h, tf_pre, Wr1, br1,
             jnp.zeros((Da, Dz), jnp.float32),
             jnp.zeros((Da + Dz, H), jnp.float32),
             jnp.zeros((BWD_TILE_N, H), jnp.float32),
-            jnp.zeros((H, H), jnp.float32),
-            jnp.zeros((1, H), jnp.float32),
-            jnp.zeros((H, H), jnp.float32),
-            jnp.zeros((1, H), jnp.float32),
+            tuple(
+                (jnp.zeros((H, H), jnp.float32),
+                 jnp.zeros((1, H), jnp.float32),
+                 jnp.zeros((H, H), jnp.float32),
+                 jnp.zeros((1, H), jnp.float32))
+                for _ in range(n_blocks)
+            ),
             jnp.zeros((H, Da), jnp.float32),
             jnp.zeros((1, Da), jnp.float32),
         )
@@ -393,8 +406,7 @@ def _day_bwd_impl(xs_all, g_xs, h, ze, Wq, W1xc, W1h, tf_pre, Wr1, br1,
             0, n_steps, rev_step,
             (jnp.zeros((BWD_TILE_N, Da), jnp.float32), acc0),
         )
-        (gzeA, gwqA, gw1A, ghpA, gwr1A, gbr1A, gwr2A, gbr2A, gw3A,
-         gb3A) = acc
+        (gzeA, gwqA, gw1A, ghpA, blkA, gw3A, gb3A) = acc
 
         gx0_ref[:] = g_final
         # hpre = hb @ W1h : gh is per-tile, gW1h accumulates across tiles
@@ -404,10 +416,9 @@ def _day_bwd_impl(xs_all, g_xs, h, ze, Wq, W1xc, W1h, tf_pre, Wr1, br1,
         gwq_ref[:] += gwqA
         gw1xc_ref[:] += gw1A
         gw1h_ref[:] += _nt_dot(hb, _to16(ghpA))
-        gwr1_ref[:] += gwr1A
-        gbr1_ref[:] += gbr1A
-        gwr2_ref[:] += gwr2A
-        gbr2_ref[:] += gbr2A
+        for b in range(n_blocks):
+            for j in range(4):
+                gblk_refs[4 * b + j][:] += blkA[b][j]
         gw3_ref[:] += gw3A
         gb3_ref[:] += gb3A
 
@@ -420,6 +431,10 @@ def _day_bwd_impl(xs_all, g_xs, h, ze, Wq, W1xc, W1h, tf_pre, Wr1, br1,
         memory_space=pltpu.VMEM,
     )
 
+    blk_grad_shapes = []
+    for _ in range(n_blocks):
+        blk_grad_shapes += [(H, H), (1, H), (H, H), (1, H)]
+
     outs = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -430,15 +445,15 @@ def _day_bwd_impl(xs_all, g_xs, h, ze, Wq, W1xc, W1h, tf_pre, Wr1, br1,
             pl.BlockSpec((n_steps,), lambda i: (0,),
                          memory_space=pltpu.SMEM),
             _rep(Wq.shape), _rep(W1xc.shape), _rep(W1h.shape),
-            _rep(Wr1.shape), _rep(br1.shape), _rep(Wr2.shape),
-            _rep(br2.shape), _rep(W3.shape), _rep(b3.shape),
+            *[_rep(w.shape) for w in flat_blocks],
+            _rep(W3.shape), _rep(b3.shape),
         ],
         out_specs=[
             tile_spec(Da), tile_spec(Hc),
             _rep((Z, Dz)), _rep((Da, Dz)), _rep((Da + Dz, H)),
-            _rep((Hc, H)), _rep((n_steps, 4, H)), _rep((H, H)),
-            _rep((1, H)), _rep((H, H)), _rep((1, H)), _rep((H, Da)),
-            _rep((1, Da)),
+            _rep((Hc, H)), _rep((n_steps, 4, H)),
+            *[_rep(s) for s in blk_grad_shapes],
+            _rep((H, Da)), _rep((1, Da)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Np, Da), jnp.float32),
@@ -448,10 +463,8 @@ def _day_bwd_impl(xs_all, g_xs, h, ze, Wq, W1xc, W1h, tf_pre, Wr1, br1,
             jax.ShapeDtypeStruct((Da + Dz, H), jnp.float32),
             jax.ShapeDtypeStruct((Hc, H), jnp.float32),
             jax.ShapeDtypeStruct((n_steps, 4, H), jnp.float32),
-            jax.ShapeDtypeStruct((H, H), jnp.float32),
-            jax.ShapeDtypeStruct((1, H), jnp.float32),
-            jax.ShapeDtypeStruct((H, H), jnp.float32),
-            jax.ShapeDtypeStruct((1, H), jnp.float32),
+            *[jax.ShapeDtypeStruct(s, jnp.float32)
+              for s in blk_grad_shapes],
             jax.ShapeDtypeStruct((H, Da), jnp.float32),
             jax.ShapeDtypeStruct((1, Da), jnp.float32),
         ],
@@ -464,15 +477,20 @@ def _day_bwd_impl(xs_all, g_xs, h, ze, Wq, W1xc, W1h, tf_pre, Wr1, br1,
         ),
     )(
         xsp, gxsp, hp, _to16(ze), tf_pre, dts,
-        _to16(Wq), _to16(W1xc), _to16(W1h), _to16(Wr1), _to16(br1),
-        _to16(Wr2), _to16(br2), _to16(W3), _to16(b3),
+        _to16(Wq), _to16(W1xc), _to16(W1h), *flat_blocks,
+        _to16(W3), _to16(b3),
     )
-    (gx0p, ghp_, gze, gWq, gW1xc, gW1h, gtfp, gWr1, gbr1, gWr2, gbr2,
-     gW3, gb3) = outs
+    gx0p, ghp_, gze, gWq, gW1xc, gW1h, gtfp = outs[:7]
+    flat_gblk = outs[7: 7 + 4 * n_blocks]
+    gW3, gb3 = outs[7 + 4 * n_blocks:]
+    gblocks = tuple(
+        (flat_gblk[4 * i], flat_gblk[4 * i + 1][0],
+         flat_gblk[4 * i + 2], flat_gblk[4 * i + 3][0])
+        for i in range(n_blocks)
+    )
     gx0 = gx0p[:N] + g_xs[0]  # x0 is also returned directly as row 0
     gh = ghp_[:N]
-    return (gx0, gh, gze, gWq, gW1xc, gW1h, gtfp, gWr1, gbr1[0], gWr2,
-            gbr2[0], gW3, gb3[0])
+    return (gx0, gh, gze, gWq, gW1xc, gW1h, gtfp, gblocks, gW3, gb3[0])
 
 
 # ---------------------------------------------------------------------------

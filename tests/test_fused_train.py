@@ -1,6 +1,6 @@
 """Fused training kernels (ops/pallas/fused_train.py): hand-written VJP
 vs jax autodiff of a pure-JAX f32 reference, and the integrated train
-step vs the XLA step.
+step vs the XLA step — at one and two residual drift blocks.
 
 Runs in Pallas interpret mode on the CPU mesh (conftest forces cpu).
 """
@@ -15,22 +15,31 @@ from ananke_abm_tpu.ops.pallas.fused_train import rk4_day_rollout
 N, Da, Dz, Z, H, Hc, T, S = 40, 8, 16, 12, 16, 8, 4, 2
 
 
-@pytest.fixture(scope="module")
-def problem():
-    key = jax.random.PRNGKey(0)
-    ks = jax.random.split(key, 16)
+def _mk_problem(n_blocks):
+    key = jax.random.PRNGKey(n_blocks)
+    ks = jax.random.split(key, 8 + 4 * n_blocks)
     r = lambda i, *s: 0.3 * jax.random.normal(ks[i], s, jnp.float32)
+    blocks = tuple(
+        (r(8 + 4 * i, H, H), r(9 + 4 * i, H), r(10 + 4 * i, H, H),
+         r(11 + 4 * i, H))
+        for i in range(n_blocks)
+    )
     args = (
         r(0, N, Da), r(1, N, Hc), r(2, Z, Dz),
         r(3, Da + Dz + Hc + 2, H), r(4, H), r(5, Da, Dz),
-        r(6, H, H), r(7, H), r(8, H, H), r(9, H), r(10, H, Da), r(11, Da),
+        blocks, r(6, H, Da), r(7, Da),
     )
     times = jnp.linspace(0.0, 2.0, T)
-    tgt = jax.random.normal(ks[12], (T, N, Da))
+    tgt = jax.random.normal(ks[6], (T, N, Da))
     return args, times, tgt
 
 
-def _ref_rollout(times, x0, h, ze, W1, b1, Wq, Wr1, br1, Wr2, br2, W3, b3):
+@pytest.fixture(scope="module", params=[1, 2])
+def problem(request):
+    return _mk_problem(request.param)
+
+
+def _ref_rollout(times, x0, h, ze, W1, b1, Wq, blocks, W3, b3):
     """Plain-jnp f32 reference of the GAT-ODE day rollout."""
 
     def rhs(x, t):
@@ -43,10 +52,11 @@ def _ref_rollout(times, x0, h, ze, W1, b1, Wq, Wr1, br1, Wr2, br2, W3, b3):
             (x.shape[0], 2),
         )
         feats = jnp.concatenate([x, ctx, h, tf], axis=-1)
-        z1 = jnp.tanh(feats @ W1 + b1)
-        rt = jnp.tanh(z1 @ Wr1 + br1)
-        zf = jnp.tanh(z1 + rt @ Wr2 + br2)
-        return zf @ W3 + b3
+        z = jnp.tanh(feats @ W1 + b1)
+        for (Wr1, br1, Wr2, br2) in blocks:
+            rt = jnp.tanh(z @ Wr1 + br1)
+            z = jnp.tanh(z + rt @ Wr2 + br2)
+        return z @ W3 + b3
 
     xs = [x0]
     x = x0
@@ -83,12 +93,13 @@ def test_gradients_match_f32_reference(problem):
         xs = rk4_day_rollout(*a, times, substeps=S, interpret=True)
         return jnp.mean((xs - tgt) ** 2)
 
-    g_ref = jax.grad(loss_ref, argnums=tuple(range(12)))(*args)
-    g_fused = jax.grad(loss_fused, argnums=tuple(range(12)))(*args)
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(9)))(*args)
+    g_fused = jax.grad(loss_fused, argnums=tuple(range(9)))(*args)
     for name, a, b in zip(
-        "x0 h ze W1 b1 Wq Wr1 br1 Wr2 br2 W3 b3".split(), g_ref, g_fused
+        "x0 h ze W1 b1 Wq blocks W3 b3".split(), g_ref, g_fused
     ):
-        fa, fb = a.ravel(), b.ravel()
+        fa = jnp.concatenate([x.ravel() for x in jax.tree.leaves(a)])
+        fb = jnp.concatenate([x.ravel() for x in jax.tree.leaves(b)])
         cos = float(
             fa @ fb / (jnp.linalg.norm(fa) * jnp.linalg.norm(fb) + 1e-30)
         )
@@ -114,8 +125,8 @@ def test_grad_zero_on_padded_rows(problem):
 
 
 class TestIntegratedStep:
-    @pytest.fixture(scope="class")
-    def setup(self):
+    @pytest.fixture(scope="class", params=[1, 2])
+    def setup(self, request):
         from ananke_abm_tpu.data_generator.agent_trajectories import (
             generate_agent_population,
         )
@@ -127,7 +138,7 @@ class TestIntegratedStep:
             make_step_fns,
         )
 
-        config = GATODEConfig(substeps=2, num_blocks=1)
+        config = GATODEConfig(substeps=2, num_blocks=request.param)
         data = generate_agent_population(96, num_times=5, seed=3,
                                          num_zones=16)
         model = build_model(config, 7, 8)
@@ -150,8 +161,10 @@ class TestIntegratedStep:
         params, _, (pf, hz, tg), (_, loss_ref), (_, loss_f) = setup
         lr, ar = loss_ref(params, pf, hz, tg)
         lf, af = loss_f(params, pf, hz, tg)
-        assert abs(float(lr) - float(lf)) < 5e-3 * abs(float(lr))
-        assert abs(float(ar) - float(af)) < 1e-6
+        # bf16 rounding compounds with drift depth: ~0.6% at 2 blocks
+        assert abs(float(lr) - float(lf)) < 1e-2 * abs(float(lr))
+        # accuracy counts flip on near-tie logits under bf16 rounding
+        assert abs(float(ar) - float(af)) < 5e-3
 
     def test_grads_match_xla_step(self, setup):
         params, _, (pf, hz, tg), (_, loss_ref), (_, loss_f) = setup
@@ -169,17 +182,17 @@ class TestIntegratedStep:
         _, _, lf2, _ = step_f(pf1, sf1, pf, hz, tg)
         pr1, sr1, lr1, _ = step_ref(params, s0, pf, hz, tg)
         _, _, lr2, _ = step_ref(pr1, sr1, pf, hz, tg)
-        assert abs(float(lf1) - float(lr1)) < 5e-3 * abs(float(lr1))
-        assert abs(float(lf2) - float(lr2)) < 2e-2 * abs(float(lr2))
+        assert abs(float(lf1) - float(lr1)) < 1e-2 * abs(float(lr1))
+        assert abs(float(lf2) - float(lr2)) < 3e-2 * abs(float(lr2))
 
-    def test_requires_num_blocks_one(self, setup):
+    def test_requires_rk4(self, setup):
         from ananke_abm_tpu.models.gnn_embed.train import (
             GATODEConfig,
             make_fused_train_step,
         )
 
         params, opt, _, _, _ = setup
-        bad = GATODEConfig(substeps=2, num_blocks=2)
+        bad = GATODEConfig(substeps=2, num_blocks=1, method="dopri5")
         with pytest.raises(ValueError):
             make_fused_train_step(None, opt, bad, (None, None, None))
 
