@@ -123,6 +123,12 @@ def build_fused_loss_fn(model, config, zone_feats, adj, times,
         )
     if getattr(model, "attn_temp", 1.0) != 1.0:
         raise ValueError("fused train step requires attn_temp == 1.0")
+    if getattr(config, "num_blocks", 1) < 1:
+        raise ValueError(
+            "fused train step requires num_blocks >= 1 (the VJP kernel's "
+            "reverse sweep assumes at least one residual drift block); "
+            "use make_step_fns for a block-free drift"
+        )
     from ananke_abm_tpu.ops.pallas.fused_train import (
         decode_ce,
         rk4_day_rollout,

@@ -410,15 +410,25 @@ def make_pallas_rollout(model, zone_feats, adj, times, substeps=2, mesh=None,
             method=model.initial_state,
         )
 
+        wd_bf16 = params["decode_proj"]["kernel"].astype(jnp.bfloat16)
+
         def decode_ids(x):
-            logits = model.apply(
-                {"params": params}, x, zone_emb, method=model.decode
+            # SAME bf16 decode math as the in-kernel decode of
+            # rk4_interval_decode_fused (bf16 matmuls, f32 accumulation),
+            # so the per-step and interval-fused paths emit identical ids
+            # at any num_blocks — both are bf16 serving paths and must be
+            # interchangeable.
+            d = jnp.dot(
+                x.astype(jnp.bfloat16), wd_bf16,
+                preferred_element_type=jnp.float32,
+            )
+            logits = jnp.dot(
+                d.astype(jnp.bfloat16), ze_bf16.T,
+                preferred_element_type=jnp.float32,
             )
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
         if fuse_decode:
-            wd_bf16 = params["decode_proj"]["kernel"].astype(jnp.bfloat16)
-
             def interval(x, t0t1):
                 t0, t1 = t0t1
                 x, ids = rk4_interval_decode_fused(

@@ -87,8 +87,14 @@ def rk4_day_rollout(x0, h, zone_emb, W1_full, b1, Wq, blocks, W3, b3,
     [x, ctx, h, sin_t, cos_t] (gnn_embed/model.py:46); ``blocks``: tuple
     of (Wr1, br1, Wr2, br2) per residual drift block; times: (T,).
     Returns xs (T, N, Da) f32 at the output times (row 0 == x0), with
-    gradients wrt every array argument via the hand-written VJP kernels.
+    gradients wrt every array argument via the hand-written VJP kernels —
+    EXCEPT ``times``: the time grid is treated as fixed data
+    (stop_gradient below). The VJP kernels do not propagate the direct
+    dt-dependence of the RK4 update, so rather than return a silently
+    partial gradient (sin/cos feature path only), times are explicitly
+    non-differentiable.
     """
+    times = jax.lax.stop_gradient(times)
     Da = x0.shape[1]
     Dz = zone_emb.shape[1]
     W1xc, W1h, W1t = split_w1(W1_full, Da, Dz)

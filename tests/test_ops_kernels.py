@@ -144,7 +144,8 @@ class TestSegmentOps:
 
 
 class TestFusedStep:
-    def test_full_rk4_step_matches_f32(self):
+    @pytest.mark.parametrize("num_blocks", [1, 2])
+    def test_full_rk4_step_matches_f32(self, num_blocks):
         """bf16 fused-step kernel == f32 RK4 step within bf16 tolerance."""
         from ananke_abm_tpu.ode.rk4 import _rk4_step
         from ananke_abm_tpu.ops.pallas.fused_step import (
@@ -153,7 +154,7 @@ class TestFusedStep:
         )
 
         cfg = GATODEConfig(
-            num_blocks=1, substeps=1, zone_dim=16, agent_dim=8,
+            num_blocks=num_blocks, substeps=1, zone_dim=16, agent_dim=8,
             context_dim=8, hidden_dim=16, gat_heads=2, gat_layers=1,
         )
         model = build_model(cfg, 7, 8)

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ananke_abm_tpu.data_generator.agent_trajectories import (
     generate_agent_population,
@@ -14,10 +15,11 @@ from ananke_abm_tpu.models.gnn_embed.train import (
 )
 
 
-def test_fused_matches_unfused():
+@pytest.mark.parametrize("num_blocks", [1, 2])
+def test_fused_matches_unfused(num_blocks):
     cfg = GATODEConfig(
         zone_dim=16, agent_dim=8, context_dim=8, hidden_dim=16,
-        gat_heads=2, gat_layers=1, num_blocks=1, substeps=2,
+        gat_heads=2, gat_layers=1, num_blocks=num_blocks, substeps=2,
     )
     d = generate_agent_population(128, num_times=10, num_zones=12, seed=0)
     model = build_model(cfg, 7, 8)
@@ -40,10 +42,10 @@ def test_fused_matches_unfused():
     assert fused.shape == (128, 10)
 
 
-def _tiny_setup(n_agents=128, num_times=10, num_zones=12):
+def _tiny_setup(n_agents=128, num_times=10, num_zones=12, num_blocks=1):
     cfg = GATODEConfig(
         zone_dim=16, agent_dim=8, context_dim=8, hidden_dim=16,
-        gat_heads=2, gat_layers=1, num_blocks=1, substeps=2,
+        gat_heads=2, gat_layers=1, num_blocks=num_blocks, substeps=2,
     )
     d = generate_agent_population(
         n_agents, num_times=num_times, num_zones=num_zones, seed=0
@@ -105,13 +107,14 @@ def test_pallas_rollout_sees_updated_params():
     assert (out0 != out1).any(), "updated params did not change the rollout"
 
 
-def test_interval_fused_decode_matches_per_step_kernel():
+@pytest.mark.parametrize("num_blocks", [1, 2])
+def test_interval_fused_decode_matches_per_step_kernel(num_blocks):
     """rk4_interval_decode_fused (substeps + decode in one kernel) must
     reproduce the per-step kernel + XLA decode path exactly."""
     from ananke_abm_tpu.ops.pallas.fused_step import make_pallas_rollout
 
     cfg, model, params, (zf, adj, times, pf, hz) = _tiny_setup(
-        n_agents=96, num_times=6, num_zones=10
+        n_agents=96, num_times=6, num_zones=10, num_blocks=num_blocks
     )
     r0 = make_pallas_rollout(model, zf, adj, times, substeps=2)
     r1 = make_pallas_rollout(
