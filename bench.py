@@ -29,7 +29,9 @@ N_AGENTS = 1_048_576
 NUM_TIMES = 48  # 30-min output grid over 24h
 SUBSTEPS = 2  # RK4 substeps per interval -> 96 RK4 steps/day
 NUM_ZONES = 64
-NUM_BLOCKS = 1  # drift residual blocks (kernel contract)
+# Shipping default: GATODEConfig.num_blocks == 2 (models/gnn_embed/train.py).
+# The driver bench measures the framework as users get it (VERDICT r2 #1).
+NUM_BLOCKS = 2
 BASELINE_AGENTS = 2048  # torch-CPU baseline sample size (extrapolated)
 
 # Training-throughput workload (BASELINE config 4: ~500-zone bipartite
@@ -132,8 +134,7 @@ def measure_train_step() -> dict:
     )
     optimizer = optax.adamw(1e-3)
     opt_state = optimizer.init(params)
-    # fused Pallas fwd+VJP train step (ops/pallas/fused_train.py):
-    # 58 ms/step vs 93 ms for the XLA+remat step at these dims (v5e)
+    # fused Pallas fwd+VJP train step (ops/pallas/fused_train.py)
     train_step, _ = make_fused_train_step(model, optimizer, config, static)
     pf = jnp.asarray(data["person_feats"])
     hz = jnp.asarray(data["home_zone"])
@@ -196,15 +197,16 @@ def measure_torch_cpu_baseline() -> float:
     gat_w = lin(F, Dz)
     ctx_enc = torch.nn.Sequential(lin(P, H), torch.nn.ReLU(), lin(H, 32))
     q_proj = lin(Da, Dz)
-    # drift matches the TPU model's num_blocks=1 residual MLP (4 matmuls)
-    d_in, d_b1, d_b2, d_out = (
-        lin(Da + Dz + 32 + 2, H), lin(H, H), lin(H, H), lin(H, Da),
-    )
+    # drift matches the TPU model's residual MLP at the benched NUM_BLOCKS
+    d_in = lin(Da + Dz + 32 + 2, H)
+    d_blocks = [(lin(H, H), lin(H, H)) for _ in range(NUM_BLOCKS)]
+    d_out = lin(H, Da)
 
     def drift(f):
         z = torch.tanh(d_in(f))
-        r = d_b2(torch.tanh(d_b1(z)))
-        return d_out(torch.tanh(z + r))
+        for b1, b2 in d_blocks:
+            z = torch.tanh(z + b2(torch.tanh(b1(z))))
+        return d_out(z)
 
     init_proj = lin(Dz + 32, Da)
     dec_proj = lin(Da, Dz)
@@ -249,7 +251,11 @@ def measure_torch_cpu_baseline() -> float:
 def get_baseline() -> float:
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
-            return json.load(f)["torch_cpu_agents_per_s"]
+            cached = json.load(f)
+        # re-measure when the cached denominator was taken at a different
+        # workload (e.g. pre-round-3 num_blocks=1 cache)
+        if cached.get("workload", {}).get("num_blocks") == NUM_BLOCKS:
+            return cached["torch_cpu_agents_per_s"]
     val = measure_torch_cpu_baseline()
     with open(BASELINE_CACHE, "w") as f:
         json.dump(
@@ -260,6 +266,7 @@ def get_baseline() -> float:
                     "num_times": NUM_TIMES,
                     "substeps": SUBSTEPS,
                     "num_zones": NUM_ZONES,
+                    "num_blocks": NUM_BLOCKS,
                 },
             },
             f,
