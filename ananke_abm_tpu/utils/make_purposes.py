@@ -22,6 +22,10 @@ minmax(duration_cv) across purposes; is_primary / can_open_close_day
 heuristics with YAML/CSV overrides (is_primary, can_open_close_day,
 notes, extra columns passthrough); sort by participation desc then
 purpose.
+
+Implementation is this repo's own: all per-purpose statistics come from
+one vectorized ``groupby(...).agg`` table (no per-group Python loop), and
+the override merge is a single indexed ``combine_first``-style update.
 """
 from __future__ import annotations
 
@@ -33,6 +37,8 @@ import pandas as pd
 
 MINUTES_PER_DAY = 1440.0
 
+# Output schema contract (column names + lead ordering). Any column the
+# catalog produces that is not listed here is appended after these.
 LEAD_COLUMNS = [
     "purpose",
     "is_primary",
@@ -53,97 +59,114 @@ LEAD_COLUMNS = [
 _PRIMARY_DEFAULTS = {"home", "work", "education", "school", "uni",
                      "university"}
 
+# column-alias tables for the VISTA-ish inputs we accept
+_ALIASES = {
+    "purpose": ("purpose", "activity", "activity_type", "act"),
+    "start": ("startime", "starttime", "start_time", "start", "start_min",
+              "start_minutes"),
+    "duration": ("total_duration", "duration", "dur", "dur_min",
+                 "duration_minutes"),
+    "person": ("persid", "person_id", "pid", "person"),
+    "day": ("day", "date", "diary_day", "day_id"),
+}
 
-def _safe_col(df: pd.DataFrame, preferred: str, fallbacks: list) -> str:
-    """Existing column matching ``preferred`` or a fallback, case-insensitive."""
-    lower = {c.lower(): c for c in df.columns}
-    if preferred and preferred.lower() in lower:
-        return lower[preferred.lower()]
-    for name in fallbacks:
-        if name.lower() in lower:
-            return lower[name.lower()]
+_FLAG_WORDS = {
+    "y": True, "yes": True, "true": True, "1": True,
+    "n": False, "no": False, "false": False, "0": False,
+}
+
+
+def _resolve_column(df: pd.DataFrame, requested: str, role: str) -> str:
+    """Map a requested column name (or any known alias for ``role``) onto
+    the DataFrame's actual spelling, ignoring case."""
+    by_lower = {c.lower(): c for c in df.columns}
+    candidates = (requested,) if requested else ()
+    for cand in (*candidates, *_ALIASES[role]):
+        hit = by_lower.get(cand.lower())
+        if hit is not None:
+            return hit
+    wanted = [requested, *_ALIASES[role]]
     raise KeyError(
-        f"Could not find any of columns {[preferred, *fallbacks]} in CSV. "
-        f"Available: {list(df.columns)}"
+        f"activities CSV has no {role} column: tried {wanted}, "
+        f"columns present are {sorted(df.columns)}"
     )
 
 
-def _circular_variance(start_minutes: np.ndarray, period: float) -> float:
-    """Circular variance in [0, 1] on a ``period``-minute circle."""
-    if start_minutes.size == 0:
-        return float("nan")
-    theta = 2 * np.pi * (start_minutes % period) / period
-    r = np.sqrt(np.mean(np.cos(theta)) ** 2 + np.mean(np.sin(theta)) ** 2)
-    return float(1.0 - r)
-
-
-def _cv(x: np.ndarray) -> float:
-    """Coefficient of variation std(ddof=1)/mean; NaN when mean ~ 0."""
-    if x.size == 0:
-        return float("nan")
-    m = float(np.mean(x))
-    s = float(np.std(x, ddof=1)) if x.size > 1 else 0.0
-    return float("nan") if abs(m) < 1e-9 else s / m
-
-
-def _minmax01(x: pd.Series) -> pd.Series:
-    if x.isna().all():
-        return x
-    mn, mx = x.min(), x.max()
-    if pd.isna(mn) or pd.isna(mx) or abs(mx - mn) < 1e-12:
-        return pd.Series(0.5, index=x.index)  # constant -> mid
-    return (x - mn) / (mx - mn)
-
-
-def _boolify(v):
-    if v is None:
+def _parse_flag(value) -> Optional[bool]:
+    """Loose bool parsing for override cells; unrecognized -> None."""
+    if value is None:
         return None
-    s = str(v).strip().lower()
-    if s in {"y", "yes", "true", "1"}:
-        return True
-    if s in {"n", "no", "false", "0"}:
-        return False
-    return None
+    return _FLAG_WORDS.get(str(value).strip().lower())
 
 
-def _load_overrides(overrides: Optional[str],
-                    override_csv: Optional[str]) -> Optional[pd.DataFrame]:
-    """YAML (mapping keyed by purpose, or list of rows) and/or CSV."""
-    df = None
+def _unit_rescale(x: pd.Series) -> pd.Series:
+    """Min-max rescale a series to [0, 1]; a (near-)constant or all-NaN
+    series maps to 0.5 everywhere it is finite (neutral dispersion)."""
+    finite = x.dropna()
+    if finite.empty:
+        return x
+    span = float(finite.max() - finite.min())
+    if not np.isfinite(span) or span < 1e-12:
+        return x.where(x.isna(), 0.5)
+    return (x - finite.min()) / span
+
+
+def _titleize(s: pd.Series) -> pd.Series:
+    """Purpose-label normalization: trim, collapse whitespace, Title Case."""
+    return (s.astype(str).str.strip()
+            .str.replace(r"\s+", " ", regex=True).str.title())
+
+
+def _circ_var(theta_grouped: pd.core.groupby.SeriesGroupBy) -> pd.Series:
+    """Circular variance per group from pre-mapped angles: 1 - |mean e^{i t}|."""
+    c = theta_grouped.apply(lambda t: np.cos(t).mean())
+    s = theta_grouped.apply(lambda t: np.sin(t).mean())
+    return 1.0 - np.hypot(c, s)
+
+
+def _read_override_frames(overrides: Optional[str],
+                          override_csv: Optional[str]) -> list:
+    frames = []
     if overrides and os.path.exists(overrides):
         if overrides.endswith((".yml", ".yaml")):
             import yaml
 
             with open(overrides, "r", encoding="utf-8") as f:
-                y = yaml.safe_load(f) or {}
-            if isinstance(y, dict) and "purpose" not in y and "items" not in y:
-                rows = []
-                for k, v in y.items():
-                    row = {"purpose": k}
-                    if isinstance(v, dict):
-                        row.update(v)
-                    else:
-                        row["notes"] = str(v)
-                    rows.append(row)
-                df = pd.DataFrame(rows)
+                doc = yaml.safe_load(f) or {}
+            if isinstance(doc, dict) and not ({"purpose", "items"} & set(doc)):
+                # mapping keyed by purpose: value is a row dict or a note
+                records = [
+                    {"purpose": name, **val} if isinstance(val, dict)
+                    else {"purpose": name, "notes": str(val)}
+                    for name, val in doc.items()
+                ]
+                frames.append(pd.DataFrame.from_records(records))
             else:
-                df = pd.DataFrame(y)
+                frames.append(pd.DataFrame(doc))
         else:
-            df = pd.read_csv(overrides)
+            frames.append(pd.read_csv(overrides))
     if override_csv and os.path.exists(override_csv):
-        d2 = pd.read_csv(override_csv)
-        df = d2 if df is None else pd.concat([df, d2], ignore_index=True)
-    if df is None:
+        frames.append(pd.read_csv(override_csv))
+    return frames
+
+
+def _load_overrides(overrides: Optional[str],
+                    override_csv: Optional[str]) -> Optional[pd.DataFrame]:
+    """Combine YAML (mapping keyed by purpose, or list of rows) and/or CSV
+    overrides into one frame, last writer wins per purpose."""
+    frames = _read_override_frames(overrides, override_csv)
+    if not frames:
         return None
-    if "purpose" not in df.columns:
+    ov = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+    if "purpose" not in ov.columns:
         raise ValueError(
-            "Overrides must include a 'purpose' column or be a YAML "
-            "mapping keyed by purpose."
+            "override table needs a 'purpose' key: give the CSV a 'purpose' "
+            "column, or key the YAML mapping by purpose name"
         )
-    for c in ("is_primary", "can_open_close_day"):
-        if c in df.columns:
-            df[c] = df[c].apply(_boolify)
-    return df.drop_duplicates(subset=["purpose"], keep="last")
+    for flag_col in ov.columns.intersection(["is_primary",
+                                             "can_open_close_day"]):
+        ov[flag_col] = ov[flag_col].map(_parse_flag)
+    return ov.drop_duplicates(subset=["purpose"], keep="last")
 
 
 def build_purposes_catalog(
@@ -168,136 +191,106 @@ def build_purposes_catalog(
     days get participation < 1 even if every *observed* day has them.
     """
     act = pd.read_csv(activities_csv)
-    p_col = _safe_col(act, purpose_col,
-                      ["purpose", "activity", "activity_type", "act"])
-    s_col = _safe_col(act, start_col,
-                      ["startime", "starttime", "start_time", "start",
-                       "start_min", "start_minutes"])
-    d_col = _safe_col(act, dur_col,
-                      ["total_duration", "duration", "dur", "dur_min",
-                       "duration_minutes"])
-    pid_col = _safe_col(act, person_col,
-                        ["persid", "person_id", "pid", "person"])
+    p_col = _resolve_column(act, purpose_col, "purpose")
+    s_col = _resolve_column(act, start_col, "start")
+    d_col = _resolve_column(act, dur_col, "duration")
+    pid_col = _resolve_column(act, person_col, "person")
     if day_col:
-        day_col = _safe_col(act, day_col, ["day", "date", "diary_day",
-                                           "day_id"])
+        day_col = _resolve_column(act, day_col, "day")
     else:
         day_col = "__day__"
-        act[day_col] = 1
+        act[day_col] = 1  # pseudo-day: every row shares one diary day
 
-    for c in (s_col, d_col):
-        act[c] = pd.to_numeric(act[c], errors="coerce")
-    act = act.dropna(subset=[p_col, s_col, d_col]).copy()
+    # one flat working frame with normalized/typed columns only
+    work = pd.DataFrame({
+        "purpose": _titleize(act[p_col]),
+        "start": pd.to_numeric(act[s_col], errors="coerce"),
+        "dur": pd.to_numeric(act[d_col], errors="coerce"),
+        "pday": act[pid_col].astype(str) + "||" + act[day_col].astype(str),
+    })
+    work = work.dropna(subset=["purpose", "start", "dur"])
 
-    act["_purpose_norm"] = (
-        act[p_col].astype(str).str.strip()
-        .str.replace(r"\s+", " ", regex=True).str.title()
-    )
-    act["_person_day"] = (
-        act[pid_col].astype(str) + "||" + act[day_col].astype(str)
-    )
-
-    all_person_days = act["_person_day"].nunique()
+    denom = work["pday"].nunique()
     if persons_csv and os.path.exists(persons_csv):
         persons = pd.read_csv(persons_csv)
-        ppid = _safe_col(persons, person_col,
-                         ["persid", "person_id", "pid", "person"])
+        ppid = _resolve_column(persons, person_col, "person")
         n_days = max(1, act[day_col].nunique())
-        all_person_days = max(
-            all_person_days, persons[ppid].nunique() * n_days
-        )
+        denom = max(denom, persons[ppid].nunique() * n_days)
 
-    rows = []
-    for purpose, g in act.groupby("_purpose_norm", sort=False):
-        dur = g[d_col].to_numpy(dtype=np.float64)
-        start = g[s_col].to_numpy(dtype=np.float64)
-        n_pd = int(g["_person_day"].nunique())
+    # per-purpose stats in one vectorized agg pass (ddof=1 std, matching
+    # the reference; single-occurrence groups get std 0, cv NaN via 0/mean
+    # guard below)
+    g = work.groupby("purpose", sort=False)
+    q = lambda p: (lambda a: a.quantile(p))
+    out = g.agg(
+        n_occurrences=("dur", "size"),
+        n_person_days_with_purpose=("pday", "nunique"),
+        mean_duration_min=("dur", "mean"),
+        median_duration_min=("dur", "median"),
+        p10_duration_min=("dur", q(0.10)),
+        p90_duration_min=("dur", q(0.90)),
+        _q25_dur=("dur", q(0.25)),
+        _q75_dur=("dur", q(0.75)),
+        std_duration_min=("dur", "std"),
+        mean_start_min=("start", "mean"),
+        median_start_min=("start", "median"),
+        p10_start_min=("start", q(0.10)),
+        p90_start_min=("start", q(0.90)),
+        std_start_min=("start", "std"),
+    )
+    out["iqr_duration_min"] = out.pop("_q75_dur") - out.pop("_q25_dur")
+    for std_col in ("std_duration_min", "std_start_min"):
+        out[std_col] = out[std_col].fillna(0.0)  # size-1 groups
+    mean_dur = out["mean_duration_min"]
+    out["duration_cv"] = np.where(
+        mean_dur.abs() < 1e-9, np.nan, out["std_duration_min"] / mean_dur
+    )
+    theta = 2 * np.pi * (work["start"] % day_horizon_minutes) / day_horizon_minutes
+    out["start_circ_var"] = _circ_var(theta.groupby(work["purpose"]))
+    out = out.reset_index()
 
-        def q(a, p):
-            return float(np.quantile(a, p)) if a.size else float("nan")
-
-        rows.append({
-            "purpose": purpose,
-            "n_occurrences": int(len(g)),
-            "n_person_days_with_purpose": n_pd,
-            "person_day_participation_rate": (
-                n_pd / all_person_days if all_person_days > 0 else np.nan
-            ),
-            "mean_duration_min": float(np.mean(dur)) if dur.size else np.nan,
-            "median_duration_min": q(dur, 0.5),
-            "p10_duration_min": q(dur, 0.10),
-            "p90_duration_min": q(dur, 0.90),
-            "iqr_duration_min": (
-                q(dur, 0.75) - q(dur, 0.25) if dur.size else np.nan
-            ),
-            "std_duration_min": (
-                float(np.std(dur, ddof=1)) if dur.size > 1 else 0.0
-            ),
-            "duration_cv": _cv(dur),
-            "mean_start_min": float(np.mean(start)) if start.size else np.nan,
-            "median_start_min": q(start, 0.5),
-            "p10_start_min": q(start, 0.10),
-            "p90_start_min": q(start, 0.90),
-            "std_start_min": (
-                float(np.std(start, ddof=1)) if start.size > 1 else 0.0
-            ),
-            "start_circ_var": _circular_variance(start, day_horizon_minutes),
-        })
-
-    out = pd.DataFrame(rows)
-
-    # flexibility: cross-purpose normalized dispersion mix
+    out["person_day_participation_rate"] = (
+        out["n_person_days_with_purpose"] / denom if denom > 0 else np.nan
+    )
     out["flexibility"] = (
-        _minmax01(out["start_circ_var"].astype(float)) * 0.6
-        + _minmax01(out["duration_cv"].astype(float)) * 0.4
+        0.6 * _unit_rescale(out["start_circ_var"].astype(float))
+        + 0.4 * _unit_rescale(out["duration_cv"].astype(float))
     )
-    out["is_primary"] = out["purpose"].apply(
-        lambda p: p.lower() in _PRIMARY_DEFAULTS
-    )
-    out["can_open_close_day"] = out["purpose"].apply(
-        lambda p: p.lower() == home_name.lower()
-    )
-    out["skip_probability"] = 1.0 - _minmax01(
+    out["skip_probability"] = 1.0 - _unit_rescale(
         out["person_day_participation_rate"].astype(float)
     )
+    lowered = out["purpose"].str.lower()
+    out["is_primary"] = lowered.isin(_PRIMARY_DEFAULTS)
+    out["can_open_close_day"] = lowered == home_name.lower()
 
     ov = _load_overrides(overrides, override_csv)
     if ov is not None:
-        # normalize override keys the same way catalog purposes were
-        # (strip / collapse whitespace / Title Case), so overrides keyed
-        # by the source CSV's raw spelling still match
-        ov = ov.copy()
-        ov["purpose"] = (
-            ov["purpose"].astype(str).str.strip()
-            .str.replace(r"\s+", " ", regex=True).str.title()
-        )
-        out = out.merge(ov, on="purpose", how="left", suffixes=("", "__ov"))
-        for c in ov.columns:
-            c_ov = c + "__ov"
-            if c_ov in out.columns:
-                out[c] = np.where(out[c_ov].notna(), out[c_ov], out[c])
-                out = out.drop(columns=[c_ov])
-            elif c != "purpose" and c not in out.columns:
-                pass  # merged directly (new column, kept as-is)
+        # match override keys through the same label normalization so
+        # overrides keyed by the source CSV's raw spelling still hit
+        ov = ov.assign(purpose=_titleize(ov["purpose"]))
+        ov = ov.set_index("purpose").reindex(out["purpose"]).reset_index()
+        for c in ov.columns.drop("purpose"):
+            if c in out.columns:
+                out[c] = ov[c].where(ov[c].notna(), out[c])
+            else:
+                out[c] = ov[c]
 
     if "notes" not in out.columns:
         out["notes"] = ""
 
-    cols = [c for c in LEAD_COLUMNS if c in out.columns] + [
-        c for c in out.columns if c not in LEAD_COLUMNS
-    ]
-    out = out[cols]
+    ordered = [c for c in LEAD_COLUMNS if c in out.columns]
+    out = out[ordered + [c for c in out.columns if c not in ordered]]
     out = out.sort_values(
         ["person_day_participation_rate", "purpose"], ascending=[False, True]
     ).reset_index(drop=True)
-    for c in ("is_primary", "can_open_close_day"):
-        out[c] = out[c].map(
-            {True: 1, False: 0, 1: 1, 0: 0, 1.0: 1, 0.0: 0}
+    for flag_col in ("is_primary", "can_open_close_day"):
+        out[flag_col] = (
+            out[flag_col].map(lambda v: None if pd.isna(v) else int(bool(v)))
         )
 
     if out_csv:
-        d = os.path.dirname(out_csv)
-        if d:
-            os.makedirs(d, exist_ok=True)
+        parent = os.path.dirname(out_csv)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
         out.to_csv(out_csv, index=False)
     return out
