@@ -70,13 +70,28 @@ class ScheduleEncoderCNN(nn.Module):
 
 
 class ScheduleEncoderRNN(nn.Module):
-    """Bidirectional GRU encoder; summary = concat(final fwd, final bwd)."""
+    """Bidirectional recurrent encoder; summary = concat(final fwd, final
+    bwd hidden states).
+
+    ``cell="gru"`` (default, TPU-friendly: 3 gates/step) or ``cell="lstm"``
+    — the reference ``ScheduleEncoderRNN`` is a BiLSTM
+    (src/ananke_abm/models/gen_schedule/models/encoders.py:125-166); the
+    lstm option reproduces that architecture exactly (the summary is the
+    hidden state h, not the cell state c)."""
 
     P: int
     z_dim: int
     emb_dim: int
     rnn_hidden_dim: int = 64
     use_emb_layernorm: bool = False
+    cell: str = "gru"
+
+    def _make_cell(self):
+        if self.cell == "gru":
+            return nn.GRUCell(self.rnn_hidden_dim)
+        if self.cell == "lstm":
+            return nn.OptimizedLSTMCell(self.rnn_hidden_dim)
+        raise ValueError(f"Unknown rnn cell {self.cell!r}; use gru|lstm")
 
     @nn.compact
     def __call__(self, y_seq, deterministic: bool = True):
@@ -84,12 +99,14 @@ class ScheduleEncoderRNN(nn.Module):
         if self.use_emb_layernorm:
             emb = nn.LayerNorm()(emb)
 
-        fwd = nn.RNN(nn.GRUCell(self.rnn_hidden_dim), return_carry=True)
+        fwd = nn.RNN(self._make_cell(), return_carry=True)
         bwd = nn.RNN(
-            nn.GRUCell(self.rnn_hidden_dim), return_carry=True, reverse=True
+            self._make_cell(), return_carry=True, reverse=True
         )
         carry_f, _ = fwd(emb)
         carry_b, _ = bwd(emb)
+        if self.cell == "lstm":  # carry = (c, h); summarize h
+            carry_f, carry_b = carry_f[1], carry_b[1]
         summary = jnp.concatenate([carry_f, carry_b], axis=-1)
         mu = nn.Dense(self.z_dim)(summary)
         logvar = nn.Dense(self.z_dim)(summary)

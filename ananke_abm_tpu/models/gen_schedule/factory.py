@@ -43,6 +43,7 @@ def build_model(cfg: dict, meta: dict):
             encoder_kind="rnn",
             rnn_hidden_dim=cfg["model"].get("rnn_hidden_dim", 64),
             use_emb_layernorm=cfg["model"].get("use_emb_layernorm", False),
+            rnn_cell=cfg["model"].get("rnn_cell", "gru"),
         )
         return model, None
 

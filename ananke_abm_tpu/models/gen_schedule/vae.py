@@ -41,6 +41,7 @@ class ScheduleVAE(nn.Module):
     cnn_dropout: float = 0.1
     rnn_hidden_dim: int = 64
     use_emb_layernorm: bool = False
+    rnn_cell: str = "gru"
     use_pds: bool = False
 
     def setup(self):
@@ -60,6 +61,7 @@ class ScheduleVAE(nn.Module):
                 emb_dim=self.emb_dim,
                 rnn_hidden_dim=self.rnn_hidden_dim,
                 use_emb_layernorm=self.use_emb_layernorm,
+                cell=self.rnn_cell,
             )
         else:
             raise ValueError(f"Unknown encoder_kind {self.encoder_kind!r}")

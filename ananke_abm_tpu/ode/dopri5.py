@@ -144,10 +144,12 @@ def _initial_step(rhs, t0, y0, f0, args, rtol, atol, direction=1.0):
     f1 = rhs(t0 + direction * h0, y1, args)
     d2 = norm(tree_map(jnp.subtract, f1, f0), scale) / h0
     dm = jnp.maximum(d1, d2)
+    # Hairer HINIT: h1 = (0.01 / max(d1, d2))^(1/(p+1)) with p = 5 for the
+    # DOPRI5 pair, so the exponent is 1/6 (not 1/5).
     h1 = jnp.where(
         dm <= 1e-15,
         jnp.maximum(1e-6, h0 * 1e-3),
-        (0.01 / dm) ** 0.2,
+        (0.01 / dm) ** (1.0 / 6.0),
     )
     return jnp.minimum(100.0 * h0, h1)
 

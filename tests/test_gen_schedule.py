@@ -246,6 +246,28 @@ class TestEndToEnd:
         result = train(cfg, os.path.join(root, "run_rnn"), seed=1)
         assert result["epochs_ran"] == 1
 
+    def test_rnn_lstm_cell_trains(self, prepared):
+        """rnn_cell="lstm" reproduces the reference BiLSTM architecture
+        (reference encoders.py:125-166)."""
+        root, grid = prepared
+        from ananke_abm_tpu.models.gen_schedule.pipeline.train import train
+
+        cfg = {
+            "data": {"npz": grid},
+            "train": {
+                "epochs": 1, "min_epochs": 1, "patience": 0, "batch_size": 32,
+                "lr": 1e-3, "weight_decay": 0.0, "grad_clip": 1.0,
+                "beta_target": 1.0, "beta_warm_frac": 1.0,
+                "lambda_tv": 0.01, "lambda_home": 0.1,
+            },
+            "model": {
+                "method": "baseline_rnn", "z_dim": 4, "emb_dim": 8,
+                "rnn_hidden_dim": 8, "rnn_cell": "lstm",
+            },
+        }
+        result = train(cfg, os.path.join(root, "run_lstm"), seed=1)
+        assert result["epochs_ran"] == 1
+
 
 class TestEpochFusion:
     """train.epochs_per_jit > 1 (fused multi-epoch scan) must reproduce the
