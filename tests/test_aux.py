@@ -132,3 +132,50 @@ class TestAsyncCheckpointer:
         obj = load_checkpoint(p)
         assert obj["step"] == 2
         np.testing.assert_array_equal(obj["x"], np.ones(4) * 2)
+
+
+class TestSampleCoverage:
+    def test_table_and_plot(self, tmp_path):
+        """Sequence-coverage analysis (reference
+        gen_schedule_check/visualize_multi_samples.ipynb workflow)."""
+        import pandas as pd
+
+        from ananke_abm_tpu.utils.sample_coverage import (
+            plot_sample_coverage,
+            sample_coverage_table,
+            sequence_counts,
+        )
+
+        # full population: 4 persons, 3 distinct sequences (A,B shared)
+        full = pd.DataFrame({
+            "persid": [1, 1, 2, 2, 3, 3, 4, 4],
+            "purpose": ["Home", "Work", "Home", "Work",
+                        "Home", "Shop", "Home", "Edu"],
+        })
+        full_csv = str(tmp_path / "full.csv")
+        full.to_csv(full_csv, index=False)
+        # half sample keeps persons 1 and 3 -> 2 of 3 sequences,
+        # covering persons 1, 2, 3 of 4 person-days
+        half = full[full.persid.isin([1, 3])]
+        half_csv = str(tmp_path / "half.csv")
+        half.to_csv(half_csv, index=False)
+
+        counts = sequence_counts(full)
+        assert counts.sum() == 4 and len(counts) == 3
+
+        out_csv = str(tmp_path / "coverage.csv")
+        table = sample_coverage_table(
+            full_csv, [(0.5, half_csv)], out_csv=out_csv
+        )
+        assert list(table["sample_rate"]) == [0.0, 0.5, 1.0]
+        row = table[table.sample_rate == 0.5].iloc[0]
+        assert row["sampled_unique_sequences"] == pytest.approx(2 / 3)
+        assert row["sampled_sequence_coverage"] == pytest.approx(3 / 4)
+        assert (table.iloc[-1][["sampled_unique_sequences",
+                                "sampled_sequence_coverage"]] == 1.0).all()
+
+        png = str(tmp_path / "coverage.png")
+        plot_sample_coverage(table, png)
+        import os
+
+        assert os.path.getsize(png) > 0
