@@ -38,8 +38,13 @@ from ananke_abm_tpu.ops.pallas.fused_step import (
     _to16,
 )
 
-FWD_TILE_N = 512  # fwd kernel holds one stage at a time
-BWD_TILE_N = 256  # bwd kernel holds all 4 stages' intermediates (bf16)
+# Tile sizes swept on v5e at config-4 dims (32k x 500): fwd 512->1024
+# is -6% step time; bwd 256->1024 is -22% (fewer per-tile fixed costs:
+# accumulator zero/add passes, transposed weight copies, fori_loop
+# bookkeeping — and K=1024 TN-form weight-grad matmuls). 2048 exceeds
+# VMEM at these dims. Non-powers-of-two (640/768) measured slower.
+FWD_TILE_N = 1024  # fwd kernel holds one stage at a time
+BWD_TILE_N = 1024  # bwd kernel holds all 4 stages' intermediates (bf16)
 
 
 def split_w1(W1, Da, Dz):
@@ -224,6 +229,11 @@ def _day_fwd_impl(x0, h, ze, Wq, W1xc, W1h, tf_pre, blocks, W3, b3, dts,
         ),
         out_shape=jax.ShapeDtypeStruct((n_steps + 1, Np, Da), jnp.float32),
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            # one stage's f32 attention intermediates at TILE=1024 x Z
+            # already clear the 16MB scoped default
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )(
         xp, hp, _to16(ze), tf_pre, dts,
         _to16(Wq), _to16(W1xc), _to16(W1h), *flat_blocks,
