@@ -105,7 +105,10 @@ def total_loss(
     )
 
     # velocity regularization
-    v_abs = jnp.linalg.norm(v, axis=-1)  # (B, T)
+    # eps inside the sqrt: |v| has a 0/0 gradient at v == 0, and the
+    # zero-initialized drift starts training EXACTLY there — a bare
+    # norm() poisons every drift gradient with NaN on step one.
+    v_abs = jnp.sqrt(jnp.sum(v * v, axis=-1) + 1e-12)  # (B, T)
     stay_vel = _masked_mean(v_abs**2, stay_aux_mask)
     low = jnp.maximum(config.v_min_move - v_abs, 0.0)
     high = jnp.maximum(v_abs - config.v_max_move, 0.0)

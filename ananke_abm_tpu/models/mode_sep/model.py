@@ -33,7 +33,15 @@ class ResidualBlock(nn.Module):
 
 
 class DriftNet(nn.Module):
-    """Acceleration network a = f([p, v, h, sin t, cos t])."""
+    """Acceleration network a = f([p, v, h, sin t, cos t]).
+
+    The output layer is ZERO-initialized (standard neural-ODE practice):
+    the dynamics start at rest, so the day-horizon solve is bounded at
+    init and the squared velocity penalties produce finite first
+    gradients. (The reference's default torch init makes the same
+    unbounded relu-drift merely *less* explosive by luck of scale —
+    epoch-1 loss ~1e7 — while an unlucky draw overflows the loss and
+    freezes training under global-norm clipping.)"""
 
     emb_dim: int
     hidden_dim: int
@@ -51,7 +59,7 @@ class DriftNet(nn.Module):
         x = nn.relu(x)
         for _ in range(self.num_blocks):
             x = ResidualBlock(self.hidden_dim)(x)
-        return nn.Dense(self.emb_dim)(x)
+        return nn.Dense(self.emb_dim, kernel_init=nn.initializers.zeros)(x)
 
 
 class ModeSepModel(nn.Module):

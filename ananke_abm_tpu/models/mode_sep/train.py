@@ -40,6 +40,24 @@ def union_to_device(union: UnionBatch):
     return jnp.asarray(union.times_union), batch
 
 
+def _zero_nonfinite() -> optax.GradientTransformation:
+    """Replace non-finite gradient values (nan AND +-inf) with zero.
+
+    optax.zero_nans only handles nan; an inf leaf still drives the
+    global norm to inf and clip_by_global_norm then multiplies every
+    update by zero — silently freezing training forever."""
+
+    def update_fn(updates, state, params=None):
+        del params
+        return jax.tree_util.tree_map(
+            lambda g: jnp.where(jnp.isfinite(g), g, jnp.zeros_like(g)),
+            updates,
+        ), state
+
+    return optax.GradientTransformation(lambda params: optax.EmptyState(),
+                                        update_fn)
+
+
 def make_train_step(model, optimizer, config, dist_mat, times, batch_size):
     @jax.jit
     def train_step(params, opt_state, full_batch, rows, rng):
@@ -101,7 +119,13 @@ def train(
         full_batch["traits"][:bsz],
     )["params"]
 
+    # Sanitize before the clip: a non-finite gradient (overflowing
+    # squared-velocity penalty early in training) would otherwise make
+    # the global norm inf/nan, scale every update to zero, and freeze
+    # the run permanently — zeroing just the bad values lets the finite
+    # components keep training.
     optimizer = optax.chain(
+        _zero_nonfinite(),
         optax.clip_by_global_norm(config.grad_clip),
         optax.adamw(config.lr, weight_decay=config.weight_decay),
     )

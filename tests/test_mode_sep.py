@@ -159,3 +159,48 @@ class TestEndToEnd:
         )
         result = train(PERIODS, SNAPS, str(tmp_path / "sde"), config=cfg)
         assert np.isfinite(result["best_loss"])
+
+
+class TestGradientRobustness:
+    def test_drift_grads_finite_at_rest(self, loaded):
+        """The drift output layer is zero-initialized, so v == 0 exactly
+        on step one; every loss term (incl. |v| penalties) must still
+        have finite gradients there (regression: a bare norm() gave the
+        drift NaN gradients, which the non-finite-grad guard then zeroed
+        — silently freezing the drift for the entire run)."""
+        import jax
+        import jax.numpy as jnp
+
+        from ananke_abm_tpu.models.mode_sep.losses import total_loss
+        from ananke_abm_tpu.models.mode_sep.model import ModeSepModel
+        from ananke_abm_tpu.models.mode_sep.train import union_to_device
+
+        people, shared = loaded
+        config = ModeSepConfig()
+        union = build_union_batch(
+            people, config.K_internal, config.time_match_tol
+        )
+        times, fb = union_to_device(union)
+        model = ModeSepModel(Z=shared.id_maps.Z, config=config)
+        key = jax.random.PRNGKey(0)
+        params = model.init(
+            {"params": key, "sde": key}, times,
+            fb["home_idx"], fb["work_idx"], fb["traits"],
+        )["params"]
+
+        def loss(params):
+            pred_emb, logits, v = model.apply(
+                {"params": params}, times, fb["home_idx"], fb["work_idx"],
+                fb["traits"], rngs={"sde": key},
+            )
+            tot, _ = total_loss(
+                config, logits, pred_emb, v,
+                params["class_table"], jnp.asarray(shared.dist_mat), fb,
+            )
+            return tot
+
+        g = jax.grad(loss)(params)
+        for path, leaf in jax.tree_util.tree_flatten_with_path(g)[0]:
+            assert bool(jnp.isfinite(leaf).all()), (
+                f"non-finite grad at {jax.tree_util.keystr(path)}"
+            )
