@@ -3,14 +3,34 @@ segment-sum neighborhood aggregation.
 
 These are the edge-list counterparts of the dense adjacency-masked GAT
 (models/gnn_embed/gat.py) for zone graphs too large for dense (Z, Z)
-attention. Built on ``jax.ops.segment_sum`` — XLA lowers these to
-efficient sorted-segment reductions on TPU; the Pallas double-buffered
-variant is the designated follow-up for pod-scale graphs.
+attention. Two implementations:
+
+- XLA ``jax.ops.segment_sum`` (this module): correct everywhere, but its
+  gather/scatter lowering is catastrophically slow on TPU.
+- Pallas one-hot-matmul kernels (ops/pallas/edge_segment.py): gather and
+  scatter both run on the MXU.
+
+Measured head-to-head (v5e, D=64, avg degree 16): the Pallas kernel is
+**458x** faster at Z=512 (1.74 vs 798 ms — the XLA scatter path
+degenerates at small Z) and **6.4x** at Z=2048 (1.65 vs 10.6 ms); the
+plain segment-sum is 1.16x at Z=2048/E=131k. Dispatch rule:
+``gat_edge_layer`` uses the Pallas kernel on TPU whenever
+Z <= _PALLAS_MAX_Z (the (TILE_E, Z) one-hot VMEM bound); beyond that it
+falls back to XLA until the zone-axis-tiled variant lands.
 """
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+_PALLAS_MAX_Z = 4096
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
 
 
 def segment_softmax(scores, segment_ids, num_segments):
@@ -36,19 +56,33 @@ def edge_softmax_attention(
     )
 
 
-def gat_edge_layer(h, edge_src, edge_dst, W, a_src, a_dst, num_nodes=None):
+def gat_edge_layer(h, edge_src, edge_dst, W, a_src, a_dst, num_nodes=None,
+                   use_pallas: str | bool = "auto"):
     """Sparse single-head GAT layer over an edge list.
 
     h: (Z, F); W: (F, D); a_src/a_dst: (D,). Equivalent (up to heads) to
     the dense GATLayer with adjacency = edge list.
+
+    ``use_pallas``: "auto" picks the one-hot-matmul Pallas kernel on TPU
+    for Z <= 4096 (measured 6-458x faster than the XLA scatter path, see
+    module docstring); True forces it; False forces XLA.
     """
     if num_nodes is None:
         num_nodes = h.shape[0]
     Wh = h @ W  # (Z, D)
-    e = (
-        (Wh @ a_src)[edge_src] + (Wh @ a_dst)[edge_dst]
+    qs = Wh @ a_src  # (Z,)
+    qd = Wh @ a_dst
+    if use_pallas == "auto":
+        use_pallas = _on_tpu() and num_nodes <= _PALLAS_MAX_Z
+    if use_pallas:
+        from ananke_abm_tpu.ops.pallas.edge_segment import (
+            gat_edge_aggregate_pallas,
+        )
+
+        return gat_edge_aggregate_pallas(Wh, qs, qd, edge_src, edge_dst)
+    e = jax.nn.leaky_relu(
+        qs[edge_src] + qd[edge_dst], negative_slope=0.2
     )  # (E,)
-    e = jax.nn.leaky_relu(e, negative_slope=0.2)
     return edge_softmax_attention(Wh[edge_src], e, edge_dst, num_nodes)
 
 
