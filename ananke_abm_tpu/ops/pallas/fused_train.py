@@ -518,7 +518,7 @@ def _day_bwd_impl(xs_all, g_xs, h, ze, Wq, W1xc, W1h, tf_pre, blocks, W3,
 # the chip. Rows are the flattened (agent, time) axis.
 # ---------------------------------------------------------------------------
 
-CE_TILE_M = 1024
+CE_TILE_M = 2048  # swept on v5e: 2048 is ~13% faster than 1024; 4096 exceeds VMEM
 
 
 def decode_ce(xs_rows, targets, Wd, ze, *, interpret=None):
@@ -602,6 +602,9 @@ def _ce_fwd_impl(xs_rows, targets, Wd, ze, interpret):
             jax.ShapeDtypeStruct((Mp,), jnp.int32),
         ],
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )(xp, tp, _to16(Wd), _to16(ze))
     return nll[:M], correct[:M]
 
@@ -667,5 +670,8 @@ def _ce_bwd_impl(xs_rows, targets, Wd, ze, g_nll, interpret):
             jax.ShapeDtypeStruct((Z, Dz), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )(xp, tp, gp, _to16(Wd), _to16(ze))
     return gxs[:M], gWd, gze
