@@ -115,8 +115,16 @@ def _stage_math(xb, hpre, tfp_row, ze, scale, wq, w1xc, blocks, w3, b3):
     # for scores > 80, unreachable at trained scales. Saves a per-stage
     # lane reduction: +12% rollout throughput at 1M agents (v5e).
     p_att = jnp.exp(jnp.minimum(scores, 80.0))
-    attn = p_att / jnp.sum(p_att, axis=-1, keepdims=True)  # f32
-    ctx = jnp.dot(_to16(attn), ze, preferred_element_type=jnp.float32)
+    inv = 1.0 / jnp.sum(p_att, axis=-1, keepdims=True)  # (N, 1)
+    # normalize AFTER the ctx matmul: the (N, 1) reciprocal-multiply on
+    # the (N, Dz) product replaces a (N, Z) division — interleaved A/B
+    # at 1M agents (v5e, Z=64): +0.9% rollout throughput, consistently.
+    # ~0.3% of decode ids move within bf16 noise (both forms are bf16
+    # roundings of the same f32 attention). ``attn`` is still produced
+    # for the training VJP — Mosaic dead-code-eliminates it in the
+    # serving kernels.
+    ctx = jnp.dot(_to16(p_att), ze, preferred_element_type=jnp.float32) * inv
+    attn = p_att * inv  # f32
     feats = jnp.concatenate([xb, _to16(ctx)], axis=-1)
     z = jnp.tanh(
         jnp.dot(feats, w1xc, preferred_element_type=jnp.float32)
