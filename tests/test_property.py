@@ -186,3 +186,46 @@ class TestUnionGridProperties:
         assert not np.logical_and(
             np.asarray(batch.is_gt), np.asarray(batch.stay_non_gt)
         ).any()
+
+
+class TestRunLengthSegmentation:
+    """segments_run_length (numpy prefix trick) and the native C++ kernel
+    must both equal the obvious per-row Python loop, for arbitrary
+    label grids."""
+
+    @staticmethod
+    def _naive(Y):
+        person, purpose, length = [], [], []
+        for i, row in enumerate(Y):
+            j = 0
+            while j < len(row):
+                k = j
+                while k < len(row) and row[k] == row[j]:
+                    k += 1
+                person.append(i); purpose.append(row[j]); length.append(k - j)
+                j = k
+        return (np.asarray(person), np.asarray(purpose), np.asarray(length))
+
+    @given(
+        st.lists(
+            st.lists(st.integers(0, 4), min_size=1, max_size=24),
+            min_size=1, max_size=8,
+        ).filter(lambda rows: len({len(r) for r in rows}) == 1)
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_matches_naive(self, rows):
+        from ananke_abm_tpu.models.gen_schedule.compare.utils import (
+            segments_run_length,
+            segments_run_length_fast,
+        )
+
+        Y = np.asarray(rows, dtype=np.int32)
+        want = self._naive(Y)
+        for impl in (segments_run_length, segments_run_length_fast):
+            got = impl(Y)
+            for g, w in zip(got, want):
+                np.testing.assert_array_equal(np.asarray(g), w)
+        # segments tile each row exactly
+        person, _, length = want
+        for i in range(Y.shape[0]):
+            assert length[person == i].sum() == Y.shape[1]
