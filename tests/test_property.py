@@ -229,3 +229,56 @@ class TestRunLengthSegmentation:
         person, _, length = want
         for i in range(Y.shape[0]):
             assert length[person == i].sum() == Y.shape[1]
+
+
+class TestSemiCRFPathScoreProperty:
+    """semicrf_path_score's vectorized segment machinery (running-max
+    segment ids + scatter-add lengths) vs a naive per-sample loop, for
+    arbitrary label grids — including runs longer than the duration
+    table (clipped to D-1 by contract)."""
+
+    @staticmethod
+    def _naive_score(u_tp, labels_t, dur_pd, A_pp):
+        D = dur_pd.shape[1]
+        score = float(u_tp[np.arange(len(labels_t)), labels_t].sum())
+        # run-length segments
+        j, prev = 0, None
+        while j < len(labels_t):
+            k = j
+            while k < len(labels_t) and labels_t[k] == labels_t[j]:
+                k += 1
+            p, d = int(labels_t[j]), k - j
+            score += float(dur_pd[p, min(d, D) - 1])
+            if prev is not None:
+                score += float(A_pp[prev, p])
+            prev, j = p, k
+        return score
+
+    @given(
+        st.integers(0, 10_000),
+        st.integers(1, 3),
+        st.integers(2, 14),
+        st.integers(2, 4),
+        st.integers(1, 5),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_matches_naive(self, seed, B, T, P, D):
+        import jax.numpy as jnp
+
+        from ananke_abm_tpu.ops.semi_crf import semicrf_path_score
+
+        rng = np.random.default_rng(seed)
+        u = rng.normal(size=(B, T, P)).astype(np.float32)
+        dur = rng.normal(size=(P, D)).astype(np.float32)
+        A = rng.normal(size=(P, P)).astype(np.float32)
+        labels = rng.integers(0, P, size=(B, T))
+        got = np.asarray(
+            semicrf_path_score(
+                jnp.asarray(u), jnp.asarray(labels), jnp.asarray(dur),
+                jnp.asarray(A),
+            )
+        )
+        want = np.asarray(
+            [self._naive_score(u[b], labels[b], dur, A) for b in range(B)]
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
