@@ -7,28 +7,63 @@ reductions plus dynamic gathers — bandwidth-bound scalar machinery the
 TPU hates. This kernel re-expresses BOTH the gather and the scatter as
 one-hot matmuls, which is the TPU-idiomatic form: for an edge tile,
 
-    S_src = onehot(src_ids)           (TILE_E, Z)  bf16, exact 0/1
-    S_dst = onehot(dst_ids)           (TILE_E, Z)
-    v     = S_src @ Wh                -- the gather, on the MXU
+    S_src = onehot(src_ids)           (TILE_E, Zs)  bf16, exact 0/1
+    S_dst = onehot(dst_ids)           (TILE_E, Zd)
     e     = leaky_relu(S_src @ qs + S_dst @ qd)
-    ex    = exp(min(e, 80))           -- max-free softmax (fused_step.py:
-                                          the max cancels in the ratio)
+    -- pass 0 (all edge tiles): per-destination running max
+    dmax  = max(dmax, max_rows(where(S_dst, e, -BIG)))
+    -- pass 1 (all edge tiles again): exact shifted softmax + scatter
+    v     = S_src @ Wh                -- the gather, on the MXU
+    ex    = exp(e - S_dst @ dmax)     -- e - shift <= 0 per destination:
+                                         no overflow OR underflow at any
+                                         caller-supplied score scale,
+                                         bit-matching the XLA
+                                         segment-softmax's max
+                                         subtraction
     numer += S_dst.T @ (v * ex)       -- the scatter, on the MXU
     denom += S_dst.T @ ex
+
+The two passes are one kernel with grid (2, n_tiles): the dmax / numer /
+denom outputs use constant index maps so they stay VMEM-resident across
+the whole grid, and pass 1 reads the dmax block pass 0 finished. Pass 0
+skips the (Zs, D) feature gather, so the overhead over a single sweep is
+the score re-gather plus a VPU masked row-max — the big matmuls
+(feature gather + both scatters) still run once.
+
+Score precision: qs/qd are gathered through the bf16 one-hot matmul as
+hi+lo bf16 pairs (qs = hi + lo, hi = bf16(qs), lo = bf16(qs - hi))
+accumulated in f32, so pre-exp scores carry ~f32 precision (exp
+amplifies argument error; a plain bf16 gather costs ~2^-8 relative on
+the attention weights). Feature values (Wh) stay plain bf16 — the
+documented feature precision.
+
+Differentiation: ``gat_edge_aggregate`` wraps the forward kernel in a
+``jax.custom_vjp`` whose backward is the VJP of the reference XLA
+composition (ops/segment.py) — the Pallas kernel itself is forward-only
+(its cross-tile ``out_ref +=`` accumulation is not auto-differentiable),
+so without the wrapper ``jax.grad`` through the TPU dispatch would
+crash. The backward pays the XLA segment-op cost; a hand-written
+reverse kernel is the designated follow-up if sparse-GAT training ever
+becomes a hot path.
 
 and the per-node normalization ``numer / denom`` happens once at the
 end. numer/denom accumulate across edge tiles in VMEM via the
 constant-index-map + @pl.when(program_id==0) init pattern (the same
 cross-tile accumulation the fused training kernel uses for weight
 grads). No sort, no scatter, no data-dependent control flow; padding
-edges use dst = Z (their one-hot row is all zeros, so they contribute
+edges use dst = Zd (their one-hot row is all zeros, so they contribute
 nothing).
 
 Cost model: 3 one-hot matmuls of 2*E*Z*D-ish FLOPs — linear in E where
 the dense adjacency layer is quadratic in Z, so the edge kernel wins
-when average degree << Z. VMEM bounds the zone axis: the (TILE_E, Z)
-one-hots keep Z <= ~4096 at TILE_E=1024; larger graphs need a zone-axis
-grid dimension (documented follow-up).
+when average degree << Z. VMEM bounds the PRODUCT TILE_E * Z (the
+(TILE_E, Z) one-hots): the edge-tile size adapts to the zone count
+(``_tile_e``), holding TILE_E * Z <= 2^22 elements — TILE_E=1024 up to
+Z=4096, shrinking to the 128-row MXU floor at Z=32768. The one-hot
+matmuls stay MXU-shaped at every size (K = Z >= 4096 when the tile
+shrinks). Beyond Z=32768 the kernel refuses ("auto" dispatch falls back
+to XLA); note the one-hot form is O(E*Z*D) FLOPs, so its advantage over
+the XLA segment path narrows as Z grows regardless of VMEM.
 
 Measured (v5e, D=64, avg degree 16): see ``edge_softmax_attention``
 docstring in ops/segment.py for the dispatch rule.
@@ -46,106 +81,304 @@ from jax.experimental.pallas import tpu as pltpu
 from ananke_abm_tpu.ops.pallas.fused_step import _on_tpu, _to16
 
 TILE_E = 1024
+_ONEHOT_BUDGET = 1 << 22  # max TILE_E * Z elements per one-hot
+_MAX_Z = 32768  # _tile_e's 128-row floor
 
 
-def _pad_edges(edge_src, edge_dst, scores_or_none, num_nodes):
-    """Pad the edge list to a TILE_E multiple; padding edges point at
+def _tile_e(num_nodes: int) -> int:
+    """Edge-tile size for a given zone count: the largest power-of-two
+    tile in [128, 1024] keeping the (TILE_E, Z) one-hots within the VMEM
+    budget. Raises for zone counts past the 128-row floor."""
+    if num_nodes > _MAX_Z:
+        raise ValueError(
+            f"edge kernels support num_nodes <= {_MAX_Z} "
+            f"(got {num_nodes}); use the XLA segment path"
+        )
+    tile = TILE_E
+    while tile > 128 and tile * num_nodes > _ONEHOT_BUDGET:
+        tile //= 2
+    return tile
+
+
+def _sublane_expand(ids_2d):
+    """(n_tiles, tile_e) -> (n_tiles * 8, tile_e) with each tile's ids in
+    the first row of its 8-row group: Mosaic requires the last two block
+    dims divisible by (8, 128), so an id block is (8, tile_e) of which
+    the kernel reads row 0 (rows 1-7 are dead padding)."""
+    n_tiles, tile_e = ids_2d.shape
+    return jnp.broadcast_to(
+        ids_2d[:, None, :], (n_tiles, 8, tile_e)
+    ).reshape(n_tiles * 8, tile_e)
+
+
+def _pad_edges(edge_src, edge_dst, scores_or_none, num_nodes, tile_e):
+    """Pad the edge list to a tile_e multiple and lay it out for
+    (8, tile_e) id blocks (``_sublane_expand``). Padding edges point at
     dst = num_nodes (one-hot row all zero -> no contribution)."""
     E = edge_src.shape[0]
-    n_tiles = max(1, -(-E // TILE_E))
-    pad = n_tiles * TILE_E - E
+    n_tiles = max(1, -(-E // tile_e))
+    pad = n_tiles * tile_e - E
     if pad:
         edge_src = jnp.pad(edge_src, (0, pad))
         edge_dst = jnp.pad(edge_dst, (0, pad), constant_values=num_nodes)
         if scores_or_none is not None:
             scores_or_none = jnp.pad(scores_or_none, (0, pad))
+    edge_src = _sublane_expand(edge_src.reshape(n_tiles, tile_e))
+    edge_dst = _sublane_expand(edge_dst.reshape(n_tiles, tile_e))
     return edge_src, edge_dst, scores_or_none, n_tiles
 
 
+def _trunc_bf16_f32(x_f32):
+    """bf16-truncate an f32 array WITHOUT a dtype round-trip: mask the
+    low 16 mantissa bits via bitcast. The naive ``x - f32(bf16(x))``
+    residual is constant-folded to ZERO under XLA's
+    --xla_allow_excess_precision (the bf16->f32 round-trip is elided),
+    which silently dropped the lo half on TPU — observed as O(1)
+    attention-ratio errors between near-tied large scores. Bit-masking
+    cannot be elided."""
+    xi = jax.lax.bitcast_convert_type(x_f32, jnp.int32)
+    return jax.lax.bitcast_convert_type(
+        jnp.bitwise_and(xi, jnp.int32(-65536)), jnp.float32
+    )
+
+
+def _hi_lo16_pair(x_col):
+    """(Z, 1) f32 -> (Z, 2) bf16 [hi, lo] with x == hi + lo to f32
+    precision when the two matmul output columns are re-added in f32
+    (hi is the bf16 truncation, computed fold-proof; lo the exact f32
+    residual rounded to bf16)."""
+    hi_f32 = _trunc_bf16_f32(x_col)
+    hi = hi_f32.astype(jnp.bfloat16)  # exact: low mantissa bits are 0
+    lo = _to16(x_col - hi_f32)
+    return jnp.concatenate([hi, lo], axis=1)
+
+
+def _pair_gather(onehot16, pair_ref_val):
+    """Gather an f32 value through its bf16 [hi, lo] pair columns:
+    one (tile, Z) @ (Z, 2) matmul, then an f32 column sum."""
+    p = jnp.dot(onehot16, pair_ref_val, preferred_element_type=jnp.float32)
+    return p[:, :1] + p[:, 1:2]  # (tile, 1) f32
+
+
 def gat_edge_aggregate_pallas(
-    Wh, qs, qd, edge_src, edge_dst, *, negative_slope: float = 0.2,
+    Wh, qs, qd, edge_src, edge_dst, *, num_nodes=None,
+    negative_slope: float = 0.2, score_shift: str = "exact",
     interpret=None,
 ):
-    """Sparse GAT neighborhood aggregation over an edge list.
+    """Sparse GAT neighborhood aggregation over an edge list
+    (forward-only kernel; use ``gat_edge_aggregate`` under jax.grad).
 
-    Wh: (Z, D) f32 projected node features; qs, qd: (Z,) f32 per-node
-    score halves (Wh @ a_src, Wh @ a_dst); edge_src/edge_dst: (E,) int32.
-    Returns (Z, D) f32: for each destination node, the softmax-weighted
-    sum of its source neighbors' Wh rows — numerically the composition
+    Wh: (Zs, D) f32 projected node features; qs, qd: (Zs,) f32 per-node
+    score halves (Wh @ a_src, Wh @ a_dst); edge_src/edge_dst: (E,) int32;
+    ``num_nodes``: number of output rows Zd (defaults to Zs). Returns
+    (Zd, D) f32: for each destination node, the softmax-weighted sum of
+    its source neighbors' Wh rows — numerically the composition
     ``edge_softmax_attention(Wh[src], leaky_relu(qs[src]+qd[dst]), dst)``
-    of ops/segment.py, to bf16 feature precision (score math is f32).
+    of ops/segment.py (edges with dst >= num_nodes are dropped, matching
+    segment_sum), to bf16 feature precision with ~f32 score math (hi+lo
+    gather, see module docstring).
+
+    ``score_shift``: "exact" (default) runs the two-pass kernel — true
+    per-destination max subtraction, robust at ANY caller-supplied score
+    scale, like the XLA path. "bounded" runs a single sweep shifted by
+    leaky_relu(max(qs) + qd[d]) — still a per-destination constant
+    (cancels exactly in the ratio) and an upper bound on every incoming
+    score (no overflow), ~2x faster, but destinations whose incoming
+    qs[src] all sit > ~87 below the global max(qs) underflow to zero
+    output. Use "bounded" only where scores are known-moderate (e.g. a
+    trained model's forward).
     """
-    Z, D = Wh.shape
+    if score_shift not in ("exact", "bounded"):
+        raise ValueError(f"score_shift must be exact|bounded, got "
+                         f"{score_shift!r}")
+    exact = score_shift == "exact"
+    Zs, D = Wh.shape
+    Zd = Zs if num_nodes is None else int(num_nodes)
+    if exact and max(Zs, Zd) > 16384:
+        # the max-scan pass's (tile_e, Zd) f32 masked intermediate
+        # VMEM-OOMs at the 128-row tile floor (measured at Z=32768)
+        raise ValueError(
+            "score_shift='exact' supports num_nodes <= 16384; use "
+            "score_shift='bounded' or the XLA segment path"
+        )
     if interpret is None:
         interpret = not _on_tpu()
+    tile_e = _tile_e(max(Zs, Zd))
     edge_src, edge_dst, _, n_tiles = _pad_edges(
-        edge_src.astype(jnp.int32), edge_dst.astype(jnp.int32), None, Z
+        edge_src.astype(jnp.int32), edge_dst.astype(jnp.int32), None, Zd,
+        tile_e,
     )
     slope = np.float32(negative_slope)
+    # qd is indexed by dst ids (< Zd): resize its row axis to Zd
+    qd_d = qd[:Zd]
+    if qd_d.shape[0] < Zd:
+        qd_d = jnp.pad(qd_d, (0, Zd - qd_d.shape[0]))
+    qs_pair = _hi_lo16_pair(qs[:, None])  # (Zs, 2) bf16
+    qd_pair = _hi_lo16_pair(qd_d[:, None])  # (Zd, 2) bf16
+    # finite stand-in for -inf: avoids inf/nan entering the bf16 hi/lo
+    # shift gather (0 * inf = nan would poison the one-hot matmul)
+    NEG_BIG = np.float32(-1e30)
+    if exact:
+        shift_in = jnp.zeros((Zd, 1), jnp.float32)  # unused
+    else:
+        # per-destination upper bound on the incoming scores
+        b = jnp.max(qs) + qd_d.astype(jnp.float32)
+        shift_in = jnp.where(b >= 0, b, slope * b)[:, None]
 
     def kernel(src_ref, dst_ref, wh_ref, qs_ref, qd_ref,
-               numer_ref, denom_ref):
-        @pl.when(pl.program_id(0) == 0)
-        def _init():
+               shift_ref, numer_ref, denom_ref, dmax_ref):
+        # in bounded mode the max-scan phase is skipped entirely:
+        # the single grid sweep is the aggregation phase
+        phase = pl.program_id(0) + (0 if exact else 1)
+        tile = pl.program_id(1)
+
+        @pl.when((phase == 0) & (tile == 0))
+        def _init0():
+            dmax_ref[:] = jnp.full_like(dmax_ref, NEG_BIG)
+
+        src = src_ref[0, :]  # (tile_e,)
+        dst = dst_ref[0, :]
+        col_s = jax.lax.broadcasted_iota(jnp.int32, (tile_e, Zs), 1)
+        col_d = jax.lax.broadcasted_iota(jnp.int32, (tile_e, Zd), 1)
+        is_dst = dst[:, None] == col_d
+        s_src = _to16(src[:, None] == col_s)  # exact 0/1 in bf16
+        s_dst = _to16(is_dst)
+        e = (
+            _pair_gather(s_src, qs_ref[:])
+            + _pair_gather(s_dst, qd_ref[:])
+        )  # (tile_e, 1), ~f32-accurate scores
+        e = jnp.where(e >= 0, e, slope * e)  # leaky_relu
+
+        @pl.when(phase == 0)
+        def _scan_max():
+            # per-destination running max over this edge tile
+            masked = jnp.where(is_dst, e, NEG_BIG)  # (tile_e, Zd) f32
+            dmax_ref[:] = jnp.maximum(
+                dmax_ref[:], jnp.max(masked, axis=0)[:, None]
+            )
+
+        @pl.when((phase == 1) & (tile == 0))
+        def _init1():
             numer_ref[:] = jnp.zeros_like(numer_ref)
             denom_ref[:] = jnp.zeros_like(denom_ref)
+            if not exact:
+                dmax_ref[:] = shift_ref[:]
 
-        src = src_ref[:]  # (TILE_E,)
-        dst = dst_ref[:]
-        col = jax.lax.broadcasted_iota(jnp.int32, (TILE_E, Z), 1)
-        s_src = _to16(src[:, None] == col)  # exact 0/1 in bf16
-        s_dst = _to16(dst[:, None] == col)
-        v = jnp.dot(s_src, wh_ref[:], preferred_element_type=jnp.float32)
-        e = (
-            jnp.dot(s_src, qs_ref[:], preferred_element_type=jnp.float32)
-            + jnp.dot(s_dst, qd_ref[:], preferred_element_type=jnp.float32)
-        )  # (TILE_E, 1)
-        e = jnp.where(e >= 0, e, slope * e)  # leaky_relu
-        # max-free softmax: the normalizer cancels in numer/denom; the
-        # clamp guards f32 overflow (exp(80) ~ 5.5e34)
-        ex = jnp.exp(jnp.minimum(e, 80.0))  # (TILE_E, 1)
-        sdT = s_dst.T
-        numer_ref[:] += jnp.dot(
-            sdT, _to16(v * ex), preferred_element_type=jnp.float32
-        )
-        denom_ref[:] += jnp.dot(
-            sdT, _to16(ex), preferred_element_type=jnp.float32
-        )
+        @pl.when(phase == 1)
+        def _aggregate():
+            v = jnp.dot(
+                s_src, wh_ref[:], preferred_element_type=jnp.float32
+            )
+            # gather each edge's destination max as a bf16 hi+lo pair
+            # (f32-accurate shift; fold-proof in-kernel split, pure VPU)
+            dm = dmax_ref[:]
+            dm_hi_f32 = _trunc_bf16_f32(dm)
+            dm_pair = jnp.concatenate(
+                [dm_hi_f32.astype(jnp.bfloat16), _to16(dm - dm_hi_f32)],
+                axis=1,
+            )
+            shift = _pair_gather(s_dst, dm_pair)  # (tile_e, 1)
+            # e - shift <= 0 per destination (exact max subtraction);
+            # padding edges (all-zero one-hot row) get shift 0 and
+            # scatter nothing
+            ex = jnp.exp(e - shift)
+            sdT = s_dst.T
+            numer_ref[:] += jnp.dot(
+                sdT, _to16(v * ex), preferred_element_type=jnp.float32
+            )
+            denom_ref[:] += jnp.dot(
+                sdT, _to16(ex), preferred_element_type=jnp.float32
+            )
 
-    numer, denom = pl.pallas_call(
+    const = lambda i, j: (0, 0)
+    numer, denom, _ = pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
+        grid=(2 if exact else 1, n_tiles),
         in_specs=[
-            pl.BlockSpec((TILE_E,), lambda i: (i,),
+            pl.BlockSpec((8, tile_e), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_E,), lambda i: (i,),
+            pl.BlockSpec((8, tile_e), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Z, D), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Z, 1), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Z, 1), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Zs, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Zs, 2), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Zd, 2), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Zd, 1), const, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((Z, D), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Z, 1), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Zd, D), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Zd, 1), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Zd, 1), const, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Z, D), jnp.float32),
-            jax.ShapeDtypeStruct((Z, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Zd, D), jnp.float32),
+            jax.ShapeDtypeStruct((Zd, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Zd, 1), jnp.float32),  # dmax
         ],
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(
-        edge_src, edge_dst, _to16(Wh),
-        _to16(qs[:, None]), _to16(qd[:, None]),
+        edge_src, edge_dst, _to16(Wh), qs_pair, qd_pair, shift_in,
     )
     return numer / jnp.maximum(denom, 1e-12)
+
+
+def gat_edge_aggregate(Wh, qs, qd, edge_src, edge_dst, num_nodes=None,
+                       negative_slope: float = 0.2):
+    """Differentiable sparse GAT aggregation: Pallas one-hot-matmul
+    forward, XLA-composition VJP backward (the forward kernel's
+    cross-tile accumulation is not auto-differentiable)."""
+    return _gat_edge_aggregate_vjp(
+        Wh, qs, qd, edge_src, edge_dst, num_nodes, float(negative_slope)
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _gat_edge_aggregate_vjp(Wh, qs, qd, edge_src, edge_dst, num_nodes,
+                            negative_slope):
+    return gat_edge_aggregate_pallas(
+        Wh, qs, qd, edge_src, edge_dst, num_nodes=num_nodes,
+        negative_slope=negative_slope,
+    )
+
+
+def _xla_composition(Wh, qs, qd, edge_src, edge_dst, num_nodes,
+                     negative_slope):
+    from ananke_abm_tpu.ops.segment import edge_softmax_attention
+
+    e = jax.nn.leaky_relu(
+        qs[edge_src] + qd[edge_dst], negative_slope=negative_slope
+    )
+    return edge_softmax_attention(
+        Wh[edge_src], e, edge_dst,
+        Wh.shape[0] if num_nodes is None else num_nodes,
+    )
+
+
+def _gat_agg_fwd(Wh, qs, qd, edge_src, edge_dst, num_nodes,
+                 negative_slope):
+    out = gat_edge_aggregate_pallas(
+        Wh, qs, qd, edge_src, edge_dst, num_nodes=num_nodes,
+        negative_slope=negative_slope,
+    )
+    return out, (Wh, qs, qd, edge_src, edge_dst)
+
+
+def _gat_agg_bwd(num_nodes, negative_slope, res, g):
+    Wh, qs, qd, edge_src, edge_dst = res
+    _, vjp = jax.vjp(
+        lambda Wh, qs, qd: _xla_composition(
+            Wh, qs, qd, edge_src, edge_dst, num_nodes, negative_slope
+        ),
+        Wh, qs, qd,
+    )
+    gWh, gqs, gqd = vjp(g)
+    zero_int = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+    return gWh, gqs, gqd, zero_int(edge_src), zero_int(edge_dst)
+
+
+_gat_edge_aggregate_vjp.defvjp(_gat_agg_fwd, _gat_agg_bwd)
 
 
 def segment_sum_pallas(values, segment_ids, num_segments, *,
@@ -163,20 +396,23 @@ def segment_sum_pallas(values, segment_ids, num_segments, *,
     Z = num_segments
     if interpret is None:
         interpret = not _on_tpu()
-    n_tiles = max(1, -(-E // TILE_E))
-    pad = n_tiles * TILE_E - E
+    tile_e = _tile_e(Z)
+    n_tiles = max(1, -(-E // tile_e))
+    pad = n_tiles * tile_e - E
     seg = segment_ids.astype(jnp.int32)
     if pad:
         values = jnp.pad(values, ((0, pad), (0, 0)))
         seg = jnp.pad(seg, (0, pad), constant_values=Z)
+    # (8, tile_e) id blocks, row 0 meaningful (see _sublane_expand)
+    seg = _sublane_expand(seg.reshape(n_tiles, tile_e))
 
     def kernel(seg_ref, val_ref, out_ref):
         @pl.when(pl.program_id(0) == 0)
         def _init():
             out_ref[:] = jnp.zeros_like(out_ref)
 
-        col = jax.lax.broadcasted_iota(jnp.int32, (TILE_E, Z), 1)
-        s = _to16(seg_ref[:][:, None] == col)
+        col = jax.lax.broadcasted_iota(jnp.int32, (tile_e, Z), 1)
+        s = _to16(seg_ref[0, :][:, None] == col)
         out_ref[:] += jnp.dot(
             s.T, _to16(val_ref[:]), preferred_element_type=jnp.float32
         )
@@ -185,9 +421,9 @@ def segment_sum_pallas(values, segment_ids, num_segments, *,
         kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((TILE_E,), lambda i: (i,),
+            pl.BlockSpec((8, tile_e), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_E, D), lambda i: (i, 0),
+            pl.BlockSpec((tile_e, D), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((Z, D), lambda i: (0, 0),

@@ -33,11 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 TILE_N = 1024
 
 
-def _on_tpu() -> bool:
-    try:
-        return jax.devices()[0].platform == "tpu"
-    except Exception:  # pragma: no cover
-        return False
+from ananke_abm_tpu.ops._platform import on_tpu as _on_tpu
 
 
 def pack_weights_bf16(params):

@@ -10,27 +10,33 @@ attention. Two implementations:
 - Pallas one-hot-matmul kernels (ops/pallas/edge_segment.py): gather and
   scatter both run on the MXU.
 
-Measured head-to-head (v5e, D=64, avg degree 16): the Pallas kernel is
-**458x** faster at Z=512 (1.74 vs 798 ms — the XLA scatter path
-degenerates at small Z) and **6.4x** at Z=2048 (1.65 vs 10.6 ms); the
-plain segment-sum is 1.16x at Z=2048/E=131k. Dispatch rule:
-``gat_edge_layer`` uses the Pallas kernel on TPU whenever
-Z <= _PALLAS_MAX_Z (the (TILE_E, Z) one-hot VMEM bound); beyond that it
-falls back to XLA until the zone-axis-tiled variant lands.
+Measured head-to-head (v5e, final exact two-pass kernel with the
+pair-matmul score gather, docs/evidence_round3/edge_bench_final.json;
+Pallas timings are run-to-run stable, the XLA path's vary up to ~3x
+over the remote tunnel):
+
+    Z=512  deg16 D=64   exact 4.6 ms vs XLA 2.6-16.6 ms  (parity-ish)
+    Z=2048 deg16 D=64   exact 3.3 ms vs XLA 4.6-15.6 ms  (1.4-5x)
+    Z=2048 deg64 D=64   exact 1.65x, bounded 2.0x
+    Z=4096 deg16        exact ~1.0x (parity), bounded ~1.2x
+    Z=8192+             XLA wins (the one-hot form is O(E*Z*D))
+    segment-sum:        1.2x at Z=2048/E=131k, 0.5x at Z=512/E=33k
+    rel err vs XLA f32: <= 3e-3 (exact) / 6e-3 (bounded) at any scale
+
+Dispatch rule: ``gat_edge_layer`` uses the Pallas kernel on TPU for
+Z <= _PALLAS_MAX_Z (2048); beyond that the XLA path serves. (Round-2
+docs cited far larger speedups for the earlier single-pass kernel;
+superseded by this re-measurement of the exact kernel — the old 458x
+figure is not reproducible under the scalar-pull-synced protocol.)
 """
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
 
-_PALLAS_MAX_Z = 4096
+from ananke_abm_tpu.ops._platform import on_tpu as _on_tpu
 
-
-def _on_tpu() -> bool:
-    try:
-        return jax.devices()[0].platform == "tpu"
-    except Exception:  # pragma: no cover
-        return False
+_PALLAS_MAX_Z = 2048  # measured crossover: XLA wins from Z=4096 up
 
 
 def segment_softmax(scores, segment_ids, num_segments):
@@ -64,8 +70,10 @@ def gat_edge_layer(h, edge_src, edge_dst, W, a_src, a_dst, num_nodes=None,
     the dense GATLayer with adjacency = edge list.
 
     ``use_pallas``: "auto" picks the one-hot-matmul Pallas kernel on TPU
-    for Z <= 4096 (measured 6-458x faster than the XLA scatter path, see
-    module docstring); True forces it; False forces XLA.
+    inside the measured win region (Z <= 2048 — see module docstring);
+    True forces it; False forces XLA. The Pallas path is differentiable
+    (custom_vjp whose backward is the VJP of this function's own XLA
+    composition), so jax.grad works identically under either dispatch.
     """
     if num_nodes is None:
         num_nodes = h.shape[0]
@@ -73,13 +81,17 @@ def gat_edge_layer(h, edge_src, edge_dst, W, a_src, a_dst, num_nodes=None,
     qs = Wh @ a_src  # (Z,)
     qd = Wh @ a_dst
     if use_pallas == "auto":
-        use_pallas = _on_tpu() and num_nodes <= _PALLAS_MAX_Z
+        use_pallas = (
+            _on_tpu() and max(num_nodes, h.shape[0]) <= _PALLAS_MAX_Z
+        )
     if use_pallas:
         from ananke_abm_tpu.ops.pallas.edge_segment import (
-            gat_edge_aggregate_pallas,
+            gat_edge_aggregate,
         )
 
-        return gat_edge_aggregate_pallas(Wh, qs, qd, edge_src, edge_dst)
+        return gat_edge_aggregate(
+            Wh, qs, qd, edge_src, edge_dst, num_nodes=num_nodes
+        )
     e = jax.nn.leaky_relu(
         qs[edge_src] + qd[edge_dst], negative_slope=0.2
     )  # (E,)

@@ -246,3 +246,140 @@ class TestEdgeSegmentPallas:
         )
         np.testing.assert_allclose(out[5:], 0.0)
         np.testing.assert_allclose(out[3], 1.0, rtol=1e-6)
+
+    def test_tile_e_adapts_to_zone_count(self):
+        from ananke_abm_tpu.ops.pallas.edge_segment import _tile_e
+
+        assert _tile_e(64) == 1024
+        assert _tile_e(4096) == 1024
+        assert _tile_e(8192) == 512
+        assert _tile_e(16384) == 256
+        assert _tile_e(32768) == 128
+        with pytest.raises(ValueError, match="num_nodes"):
+            _tile_e(32769)
+
+    def test_exact_mode_refuses_past_vmem_ceiling(self):
+        from ananke_abm_tpu.ops.pallas.edge_segment import (
+            gat_edge_aggregate_pallas,
+        )
+
+        Wh = jnp.zeros((32768, 8), jnp.float32)
+        q = jnp.zeros((32768,), jnp.float32)
+        ids = jnp.zeros((4,), jnp.int32)
+        with pytest.raises(ValueError, match="bounded"):
+            gat_edge_aggregate_pallas(Wh, q, q, ids, ids,
+                                      score_shift="exact", interpret=True)
+
+    def test_grad_through_pallas_dispatch_matches_xla(self):
+        """jax.grad through the Pallas path (custom_vjp) == grad through
+        the XLA path — regression: the raw kernel is forward-only and
+        used to crash under AD."""
+        from ananke_abm_tpu.ops.segment import gat_edge_layer
+
+        Z, E, D, F = 40, 300, 16, 12
+        rng = np.random.default_rng(7)
+        h = jnp.asarray(rng.normal(size=(Z, F)).astype(np.float32))
+        src = jnp.asarray(rng.integers(0, Z, E), jnp.int32)
+        dst = jnp.asarray(rng.integers(0, Z, E), jnp.int32)
+        W = jnp.asarray(rng.normal(size=(F, D)).astype(np.float32)) * 0.3
+        a1 = jnp.asarray(rng.normal(size=(D,)).astype(np.float32)) * 0.3
+        a2 = jnp.asarray(rng.normal(size=(D,)).astype(np.float32)) * 0.3
+        cot = jnp.asarray(rng.normal(size=(Z, D)).astype(np.float32))
+
+        def loss(W, use_pallas):
+            out = gat_edge_layer(h, src, dst, W, a1, a2,
+                                 use_pallas=use_pallas)
+            return jnp.sum(out * cot)
+
+        g_pallas = jax.grad(lambda W: loss(W, True))(W)
+        g_xla = jax.grad(lambda W: loss(W, False))(W)
+        np.testing.assert_allclose(
+            np.asarray(g_pallas), np.asarray(g_xla), rtol=1e-4, atol=1e-5
+        )
+
+    def test_large_scores_match_xla(self):
+        """Scores far beyond the old exp clamp (|e| ~ 300): the global
+        max-shift keeps the Pallas softmax exact where the old
+        min(e, 80) clamp collapsed it to uniform."""
+        from ananke_abm_tpu.ops.pallas.edge_segment import (
+            gat_edge_aggregate_pallas,
+        )
+        from ananke_abm_tpu.ops.segment import edge_softmax_attention
+
+        Z, E, D = 32, 200, 8
+        src, dst, Wh, a_s, a_d = self._random_graph(Z, E, D, seed=11)
+        qs = (Wh @ a_s) * 150.0  # scores up to ~|300|
+        qd = (Wh @ a_d) * 150.0
+        e = jax.nn.leaky_relu(qs[src] + qd[dst], negative_slope=0.2)
+        want = np.asarray(edge_softmax_attention(Wh[src], e, dst, Z))
+        got = np.asarray(
+            gat_edge_aggregate_pallas(Wh, qs, qd, src, dst, interpret=True)
+        )
+        denom = np.maximum(np.abs(want).max(), 1e-6)
+        assert np.abs(got - want).max() / denom < 2e-2
+
+    def test_bounded_shift_matches_exact_at_moderate_scores(self):
+        """score_shift='bounded' (single sweep, per-destination upper
+        bound) == 'exact' (two-pass true max) at trained-model score
+        scales."""
+        from ananke_abm_tpu.ops.pallas.edge_segment import (
+            gat_edge_aggregate_pallas,
+        )
+
+        Z, E, D = 64, 600, 16
+        src, dst, Wh, a_s, a_d = self._random_graph(Z, E, D, seed=21)
+        qs, qd = Wh @ a_s, Wh @ a_d
+        exact = np.asarray(gat_edge_aggregate_pallas(
+            Wh, qs, qd, src, dst, score_shift="exact", interpret=True
+        ))
+        bounded = np.asarray(gat_edge_aggregate_pallas(
+            Wh, qs, qd, src, dst, score_shift="bounded", interpret=True
+        ))
+        denom = np.maximum(np.abs(exact).max(), 1e-6)
+        assert np.abs(bounded - exact).max() / denom < 5e-3
+
+    @pytest.mark.parametrize("num_nodes_delta", [-5, 0, 10])
+    def test_num_nodes_respected(self, num_nodes_delta):
+        """Output rows == num_nodes and edges with dst >= num_nodes are
+        dropped, matching the XLA segment_sum contract."""
+        from ananke_abm_tpu.ops.segment import gat_edge_layer
+
+        Z, E, D, F = 30, 200, 8, 6
+        num_nodes = Z + num_nodes_delta
+        rng = np.random.default_rng(13)
+        h = jnp.asarray(rng.normal(size=(Z, F)).astype(np.float32))
+        src = jnp.asarray(rng.integers(0, Z, E), jnp.int32)
+        dst = jnp.asarray(rng.integers(0, Z, E), jnp.int32)
+        W = jnp.asarray(rng.normal(size=(F, D)).astype(np.float32)) * 0.3
+        a1 = jnp.asarray(rng.normal(size=(D,)).astype(np.float32)) * 0.3
+        a2 = jnp.asarray(rng.normal(size=(D,)).astype(np.float32)) * 0.3
+        want = np.asarray(
+            gat_edge_layer(h, src, dst, W, a1, a2, num_nodes=num_nodes,
+                           use_pallas=False)
+        )
+        got = np.asarray(
+            gat_edge_layer(h, src, dst, W, a1, a2, num_nodes=num_nodes,
+                           use_pallas=True)
+        )
+        assert got.shape == (num_nodes, D) == want.shape
+        denom = np.maximum(np.abs(want).max(), 1e-6)
+        assert np.abs(got - want).max() / denom < 2e-2
+
+    def test_gat_edge_aggregate_large_z_shrunken_tile(self):
+        """Z=8192 engages the 512-row adaptive tile (the old kernel's
+        (1024, Z) one-hots exceeded VMEM here)."""
+        from ananke_abm_tpu.ops.pallas.edge_segment import (
+            gat_edge_aggregate_pallas,
+        )
+        from ananke_abm_tpu.ops.segment import edge_softmax_attention
+
+        Z, E, D = 8192, 1200, 8
+        src, dst, Wh, a_s, a_d = self._random_graph(Z, E, D, seed=3)
+        qs, qd = Wh @ a_s, Wh @ a_d
+        e = jax.nn.leaky_relu(qs[src] + qd[dst], negative_slope=0.2)
+        want = np.asarray(edge_softmax_attention(Wh[src], e, dst, Z))
+        got = np.asarray(
+            gat_edge_aggregate_pallas(Wh, qs, qd, src, dst, interpret=True)
+        )
+        denom = np.maximum(np.abs(want).max(), 1e-6)
+        assert np.abs(got - want).max() / denom < 2e-2
