@@ -117,11 +117,12 @@ def _titleize(s: pd.Series) -> pd.Series:
             .str.replace(r"\s+", " ", regex=True).str.title())
 
 
-def _circ_var(theta_grouped: pd.core.groupby.SeriesGroupBy) -> pd.Series:
-    """Circular variance per group from pre-mapped angles: 1 - |mean e^{i t}|."""
-    c = theta_grouped.apply(lambda t: np.cos(t).mean())
-    s = theta_grouped.apply(lambda t: np.sin(t).mean())
-    return 1.0 - np.hypot(c, s)
+def _circ_var(theta: pd.Series, by: pd.Series) -> pd.Series:
+    """Circular variance per group: 1 - |mean e^{i theta}| — cos/sin as
+    columns plus one groupby mean, no per-group Python loop."""
+    comps = pd.DataFrame({"c": np.cos(theta), "s": np.sin(theta)})
+    m = comps.groupby(by).mean()
+    return 1.0 - np.hypot(m["c"], m["s"])
 
 
 def _read_override_frames(overrides: Optional[str],
@@ -166,6 +167,10 @@ def _load_overrides(overrides: Optional[str],
     for flag_col in ov.columns.intersection(["is_primary",
                                              "can_open_close_day"]):
         ov[flag_col] = ov[flag_col].map(_parse_flag)
+    # normalize labels BEFORE dedup so case/whitespace spelling variants
+    # of the same purpose collapse (last writer wins) instead of
+    # surviving to a duplicate-index reindex crash downstream
+    ov = ov.assign(purpose=_titleize(ov["purpose"]))
     return ov.drop_duplicates(subset=["purpose"], keep="last")
 
 
@@ -246,7 +251,7 @@ def build_purposes_catalog(
         mean_dur.abs() < 1e-9, np.nan, out["std_duration_min"] / mean_dur
     )
     theta = 2 * np.pi * (work["start"] % day_horizon_minutes) / day_horizon_minutes
-    out["start_circ_var"] = _circ_var(theta.groupby(work["purpose"]))
+    out["start_circ_var"] = _circ_var(theta, work["purpose"])
     out = out.reset_index()
 
     out["person_day_participation_rate"] = (
@@ -265,9 +270,7 @@ def build_purposes_catalog(
 
     ov = _load_overrides(overrides, override_csv)
     if ov is not None:
-        # match override keys through the same label normalization so
-        # overrides keyed by the source CSV's raw spelling still hit
-        ov = ov.assign(purpose=_titleize(ov["purpose"]))
+        # _load_overrides already normalized + deduped purpose labels
         ov = ov.set_index("purpose").reindex(out["purpose"]).reset_index()
         for c in ov.columns.drop("purpose"):
             if c in out.columns:

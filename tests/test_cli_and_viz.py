@@ -205,6 +205,27 @@ class TestAnankeCLI:
         ])
         assert res.exit_code == 0, res.output
 
+    def test_make_purposes_case_variant_overrides(self, workdir):
+        """Override rows whose raw spellings normalize to the same
+        purpose ('work' + 'Work') must collapse last-writer-wins, not
+        crash the reindex with duplicate labels."""
+        import pandas as pd
+
+        from ananke_abm_tpu.utils.make_purposes import (
+            build_purposes_catalog,
+        )
+
+        ov_csv = workdir / "ov.csv"
+        pd.DataFrame({
+            "purpose": ["work", "Work"],
+            "notes": ["first", "last-wins"],
+        }).to_csv(ov_csv, index=False)
+        out = build_purposes_catalog(
+            str(workdir / "acts.csv"), override_csv=str(ov_csv)
+        )
+        notes = out.set_index("purpose")["notes"]
+        assert notes.get("Work") == "last-wins"
+
 
 class TestDataGenerator:
     def test_export_csvs_roundtrip(self, tmp_path):
