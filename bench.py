@@ -95,11 +95,19 @@ def measure_tpu() -> float:
         use_pallas="auto", expected_n=N_AGENTS,
     )
 
-    rollout(params, pf, hz).block_until_ready()  # compile
-    n_iter = 5
+    # sync via scalar pull: on the remote axon backend block_until_ready
+    # does not reliably force execution (measured in round 3 — it can
+    # return ~30 us "timings"); a device->host scalar transfer does.
+    # Chain every iteration into one accumulator so the final pull
+    # provably waits for ALL n_iter executions.
+    float(jnp.sum(rollout(params, pf, hz)))  # compile + warm, synced
+    n_iter = 8
     t0 = time.time()
+    acc = None
     for _ in range(n_iter):
-        rollout(params, pf, hz).block_until_ready()
+        s = jnp.sum(rollout(params, pf, hz))
+        acc = s if acc is None else acc + s
+    float(acc)
     dt = (time.time() - t0) / n_iter
     return N_AGENTS / dt
 
@@ -141,14 +149,15 @@ def measure_train_step() -> dict:
     tg = jnp.asarray(data["zone_ids"])
 
     params, opt_state, loss, acc = train_step(params, opt_state, pf, hz, tg)
-    jax.block_until_ready(loss)  # compile + warm
-    n_iter = 5
+    float(loss)  # compile + warm; scalar pull = real sync (see measure_tpu)
+    n_iter = 15
     t0 = time.time()
     for _ in range(n_iter):
         params, opt_state, loss, acc = train_step(
             params, opt_state, pf, hz, tg
         )
-    jax.block_until_ready(loss)
+    # params thread through the loop, so this pull waits for all steps
+    float(loss)
     dt = (time.time() - t0) / n_iter
 
     # analytic matmul-FLOPs model of the fused train step: integrate
