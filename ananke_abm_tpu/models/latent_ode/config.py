@@ -53,10 +53,18 @@ class GenerativeODEConfig:
     atol: float = 1e-5
     rk4_substeps: int = 4
 
-    # SDE
+    # SDE — fixed internal grid (reference: torchsde euler dt=0.01 over
+    # the day span, latent_ode/architecture/model.py:194). The internal
+    # grid makes the discretization AND the noise path independent of
+    # the requested output times, so training on event grids and
+    # evaluating on dense grids decode the SAME trajectory (round 3:
+    # per-interval substeps broke this — train acc 1.0, dense-grid
+    # inference acc ~0).
     enable_sde: bool = True
     sde_noise_strength: float = 0.1
-    sde_substeps: int = 25  # ~dt=0.01h on typical inter-event gaps
+    sde_dt: float = 0.01  # hours, reference default
+    sde_span_hours: float = 24.0  # internal grid length (static steps)
+    sde_substeps: int = 25  # legacy per-interval mode (sde_dt = None)
 
     num_modes: int = NUM_MODES
     purpose_groups: tuple = tuple(PURPOSE_NAMES)

@@ -180,11 +180,24 @@ class GenerativeODE(nn.Module):
                     g = jnp.zeros_like(y)
                     return g.at[..., : c.state_dim].set(c.sde_noise_strength)
 
-                ys = euler_maruyama_solve(
-                    rhs, diffusion, y0, times,
-                    jax.random.fold_in(rng, 1),
-                    substeps=c.sde_substeps,
-                )
+                sde_dt = getattr(c, "sde_dt", None)
+                if sde_dt:
+                    # fixed internal grid: discretization + noise path
+                    # independent of the output times (see config.py)
+                    ys = euler_maruyama_solve(
+                        rhs, diffusion, y0, times,
+                        jax.random.fold_in(rng, 1),
+                        dt=sde_dt,
+                        num_steps=int(round(
+                            getattr(c, "sde_span_hours", 24.0) / sde_dt
+                        )),
+                    )
+                else:
+                    ys = euler_maruyama_solve(
+                        rhs, diffusion, y0, times,
+                        jax.random.fold_in(rng, 1),
+                        substeps=c.sde_substeps,
+                    )
             else:
                 ys = odeint(
                     rhs, y0, times,

@@ -28,10 +28,16 @@ class ModeSepConfig:
     atol: float = 1e-5
     time_match_tol: float = 1e-6
 
-    # SDE (sde_noise_strength=0 recovers deterministic behavior)
+    # SDE (sde_noise_strength=0 recovers deterministic behavior).
+    # sde_dt: fixed internal grid (reference torchsde euler dt=0.01) —
+    # makes the noise path independent of the union-grid choice, so
+    # train/inference grids decode the same trajectory; None falls back
+    # to per-interval substeps.
     enable_sde: bool = False
     sde_noise_strength: float = 0.01
-    sde_substeps: int = 8
+    sde_dt: float = 0.01
+    sde_span_hours: float = 24.0
+    sde_substeps: int = 8  # legacy per-interval mode (sde_dt = None)
 
     # loss weights
     softmax_tau: float = 0.2

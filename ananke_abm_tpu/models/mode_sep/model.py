@@ -152,10 +152,22 @@ class ModeSepModel(nn.Module):
                 g = jnp.zeros_like(y)
                 return g.at[..., : 2 * E].set(c.sde_noise_strength)
 
-            ys = euler_maruyama_solve(
-                rhs, diffusion, y0, times_union, rng,
-                substeps=c.sde_substeps,
-            )
+            sde_dt = getattr(c, "sde_dt", None)
+            if sde_dt:
+                # fixed internal grid: noise path independent of the
+                # union-grid choice (see config.py)
+                ys = euler_maruyama_solve(
+                    rhs, diffusion, y0, times_union, rng,
+                    dt=sde_dt,
+                    num_steps=int(round(
+                        getattr(c, "sde_span_hours", 24.0) / sde_dt
+                    )),
+                )
+            else:
+                ys = euler_maruyama_solve(
+                    rhs, diffusion, y0, times_union, rng,
+                    substeps=c.sde_substeps,
+                )
         else:
             ys = odeint(
                 rhs,

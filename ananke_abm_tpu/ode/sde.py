@@ -26,26 +26,50 @@ def euler_maruyama_solve(
     args=None,
     *,
     substeps: int = 1,
+    dt: float | None = None,
+    num_steps: int | None = None,
     checkpoint: bool = True,
 ):
     """Integrate ``dy = f(t,y) dt + g(t,y) dW`` (diagonal noise, Itô).
 
     Args:
         drift: ``(t, y, args) -> f`` pytree.
-        diffusion: ``(t, y, args) -> g`` pytree (diagonal diffusion,
+        diffusion: ``(t, y, args) -> g`` pytree (diagonal noise,
             elementwise std-dev per state coordinate).
         y0: initial state pytree at ``ts[0]``.
         ts: (T,) strictly increasing output times.
-        key: PRNG key; substep noise derives from ``fold_in(key, step_id)``.
-        substeps: Euler–Maruyama substeps per output interval (static). The
-            reference integrates with a fixed ``dt``; choose
-            ``substeps >= ceil(max_gap / dt)`` for equivalent resolution.
+        key: PRNG key; substep noise derives from ``fold_in`` on a step
+            counter.
+        substeps: Euler–Maruyama substeps PER OUTPUT INTERVAL (static).
+            NOTE: this makes the discretization (and the noise path)
+            depend on the output grid — two calls with different ``ts``
+            integrate different paths. Fine for a fixed training grid;
+            WRONG whenever train and inference use different grids (the
+            trajectory decoded on a dense grid diverges from the one
+            trained on event times). Use the fixed-grid mode below for
+            grid-independent semantics.
+        dt: fixed INTERNAL step size (the reference's
+            ``torchsde.sdeint(..., dt=0.01)`` semantics). When given,
+            the solver integrates the uniform grid ``ts[0] + i*dt`` for
+            ``i in [0, num_steps]`` — independent of the output grid —
+            and returns the state at the internal point nearest each
+            requested time (<= dt/2 snap). ``substeps`` is ignored.
+        num_steps: static internal step count for the ``dt`` mode; must
+            satisfy ``num_steps * dt >= ts[-1] - ts[0]`` (steps past
+            ``ts[-1]`` are zero-dt no-ops, so oversizing is safe).
         checkpoint: rematerialize intervals in the backward pass.
 
     Returns:
         pytree with leaves ``(T,) + leaf.shape`` — states at ``ts``.
     """
     ts = jnp.asarray(ts)
+    if dt is not None:
+        if num_steps is None:
+            raise ValueError("fixed-grid mode needs a static num_steps")
+        return _euler_maruyama_fixed_grid(
+            drift, diffusion, y0, ts, key, args,
+            dt=float(dt), num_steps=int(num_steps), checkpoint=checkpoint,
+        )
 
     def interval(carry, inp):
         y, step_base = carry
@@ -81,3 +105,68 @@ def euler_maruyama_solve(
         y0,
         ys_tail,
     )
+
+
+def _euler_maruyama_fixed_grid(
+    drift, diffusion, y0, ts, key, args, *, dt, num_steps, checkpoint
+):
+    """Fixed internal grid Euler–Maruyama (see ``euler_maruyama_solve``'s
+    ``dt`` mode): one scan over ``num_steps + 1`` internal steps anchored
+    at ``ts[0]``; requested outputs are scattered into a (T+1)-row buffer
+    (row T is the discard slot) as the sweep passes their snapped grid
+    index, then gathered back in requested order (duplicate snaps copy
+    the first hit). Noise is keyed by the INTERNAL step counter, so the
+    realized path is identical for any output grid over the same span.
+    """
+    T = ts.shape[0]
+    t_start = ts[0]
+    t_end = ts[-1]
+    # snapped internal index per requested time, ascending (ts sorted)
+    idx = jnp.clip(
+        jnp.round((ts - t_start) / dt).astype(jnp.int32), 0, num_steps
+    )
+
+    leaves0, treedef = jax.tree_util.tree_flatten(y0)
+    out0 = [
+        jnp.zeros((T + 1,) + l.shape, l.dtype) for l in leaves0
+    ]
+
+    def step(carry, i):
+        y, out = carry
+        # write y (the state at internal time i) into its output slot
+        pos = jnp.searchsorted(idx, i)
+        pos = jnp.where(
+            (pos < T) & (idx[jnp.minimum(pos, T - 1)] == i), pos, T
+        )
+        yl = jax.tree_util.tree_leaves(y)
+        out = [o.at[pos].set(l) for o, l in zip(out, yl)]
+        # advance: zero-dt no-op past ts[-1]; partial last step lands on it
+        t = t_start + i * dt
+        dt_i = jnp.clip(t_end - t, 0.0, dt)
+        sqrt_dt = jnp.sqrt(dt_i)
+        k = jax.random.fold_in(key, i)
+        f = drift(t, y, args)
+        g = diffusion(t, y, args)
+        subkeys = jax.random.split(k, len(yl))
+        noise = [
+            jax.random.normal(sk, l.shape, l.dtype)
+            for sk, l in zip(subkeys, yl)
+        ]
+        gl = jax.tree_util.tree_leaves(g)
+        fl = jax.tree_util.tree_leaves(f)
+        y_new = [
+            l + dt_i * fi + gi * wi * sqrt_dt
+            for l, fi, gi, wi in zip(yl, fl, gl, noise)
+        ]
+        y = jax.tree_util.tree_unflatten(treedef, y_new)
+        return (y, out), None
+
+    step_fn = jax.checkpoint(step) if checkpoint else step
+    (y, out), _ = jax.lax.scan(
+        step_fn, (y0, out0), jnp.arange(num_steps + 1)
+    )
+    # duplicate snapped indices: copy each row from the first row with
+    # the same internal index (the only one the scatter populated)
+    first = jnp.searchsorted(idx, idx)
+    outs = [o[first] for o in out]
+    return jax.tree_util.tree_unflatten(treedef, outs)

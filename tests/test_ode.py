@@ -224,6 +224,57 @@ class TestSDE:
         g = jax.grad(loss)(jnp.asarray(1.0))
         assert np.isfinite(float(g)) and float(g) != 0.0
 
+    def test_fixed_grid_is_output_grid_independent(self):
+        """dt mode: the realized path must not depend on WHICH output
+        times are requested — coarse and dense grids over the same span
+        return identical states at shared times (the round-3 latent_ode
+        train/inference-consistency fix)."""
+        drift = lambda t, y, args: -0.8 * y + jnp.sin(t)
+        diff = lambda t, y, args: jnp.full_like(y, 0.3)
+        y0 = jnp.ones((6,))
+        key = jax.random.PRNGKey(5)
+        coarse = jnp.array([0.0, 0.7, 1.9, 4.0])
+        dense = jnp.linspace(0.0, 4.0, 81)  # includes 0.7? no — snap test
+        kw = dict(dt=0.01, num_steps=400)
+        ys_c = euler_maruyama_solve(drift, diff, y0, coarse, key, **kw)
+        ys_d = euler_maruyama_solve(drift, diff, y0, dense, key, **kw)
+        # shared times: both grids snap to the same internal index
+        for tc, row_c in zip(np.asarray(coarse), np.asarray(ys_c)):
+            j = int(np.argmin(np.abs(np.asarray(dense) - tc)))
+            if abs(float(dense[j]) - tc) < 0.005:  # same snapped point
+                np.testing.assert_array_equal(row_c, np.asarray(ys_d)[j])
+
+    def test_fixed_grid_deterministic_limit_and_dups(self):
+        """Zero diffusion reduces to fixed-step Euler; duplicate snapped
+        output times repeat the same state; oversized num_steps is a
+        no-op past ts[-1]."""
+        drift = lambda t, y, args: -y
+        diff = lambda t, y, args: jnp.zeros_like(y)
+        y0 = jnp.ones((3,))
+        ts = jnp.array([0.0, 0.5, 0.501, 1.0])  # 0.5/0.501 snap together
+        ys = euler_maruyama_solve(
+            drift, diff, y0, ts, jax.random.PRNGKey(0),
+            dt=0.01, num_steps=150,  # oversized past the 1.0 span
+        )
+        ys = np.asarray(ys)
+        np.testing.assert_array_equal(ys[1], ys[2])
+        # exact fixed-step Euler value: (1 - dt)^(1/dt)
+        np.testing.assert_allclose(ys[3], (1 - 0.01) ** 100 * np.ones(3),
+                                   rtol=1e-5)
+
+    def test_fixed_grid_gradient_flows(self):
+        def loss(scale):
+            drift = lambda t, y, args: -y * args
+            diff = lambda t, y, args: jnp.ones_like(y) * 0.1
+            ys = euler_maruyama_solve(
+                drift, diff, jnp.ones((4,)), jnp.array([0.0, 1.0]),
+                jax.random.PRNGKey(0), args=scale, dt=0.02, num_steps=50,
+            )
+            return jnp.sum(ys[-1] ** 2)
+
+        g = jax.grad(loss)(jnp.asarray(1.0))
+        assert np.isfinite(float(g)) and float(g) != 0.0
+
 
 class TestFailureSurfacing:
     """max_steps exhaustion must be loud: unfilled rows NaN, ok=False
