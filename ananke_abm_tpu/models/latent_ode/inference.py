@@ -163,11 +163,15 @@ class BatchedInferenceEngine:
                 b[k] = jnp.concatenate([b0[k]] * reps, axis=0)[:bs]
             b["t_unified"] = times
             key = jax.random.PRNGKey(0)
-            run(self.params, b, key).block_until_ready()  # compile
+            # sync via scalar pull: on remote backends block_until_ready
+            # can return before queued work executes (measured in round
+            # 3), which made these people/s numbers fictitious
+            float(jnp.sum(run(self.params, b, key)))  # compile + warm
             t0 = time.time()
             n_iter = 5
             for i in range(n_iter):
-                run(self.params, b, jax.random.fold_in(key, i)).block_until_ready()
+                v = run(self.params, b, jax.random.fold_in(key, i))
+            float(jnp.sum(v))  # FIFO: waits for all n_iter executions
             dt = (time.time() - t0) / n_iter
             results[bs] = {
                 "people_per_s": bs / dt,
