@@ -6,7 +6,8 @@ benchmark harness (latent_ode/inference/inference.py:221-270). Here:
 - ``trace`` context: wraps ``jax.profiler.trace`` to capture a TensorBoard
   trace of a region;
 - ``throughput``: generic items/s measurement with compile/steady-state
-  separation and block_until_ready fencing;
+  separation; synced by dependency-chained scalar pulls (on the remote
+  axon backend ``block_until_ready`` does not reliably force execution);
 - ``debug_nan_mode``: enables jax_debug_nans (the determinism/NaN-check
   flag SURVEY.md §5 calls for).
 """
@@ -63,19 +64,36 @@ def trace(logdir: str):
         jax.profiler.stop_trace()
 
 
+def _sync(out) -> float:
+    """Force execution of ``out`` via a device->host scalar pull.
+
+    ``block_until_ready`` can return before queued work executes on the
+    remote axon backend (measured in round 3); summing a leaf and pulling
+    the scalar to host provably waits for everything ``out`` depends on.
+    """
+    import jax.numpy as jnp
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.sum(leaf))
+
+
 def throughput(
     fn: Callable, *args, items: int, iters: int = 10, warmup: int = 2
 ) -> Dict[str, float]:
     """items/s of a jitted callable, separating compile from steady state."""
     t0 = time.time()
-    out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(fn(*args))
     compile_s = time.time() - t0
     for _ in range(max(0, warmup - 1)):
-        jax.block_until_ready(fn(*args))
+        _sync(fn(*args))
+    import jax.numpy as jnp
+
     t0 = time.time()
+    acc = None
     for _ in range(iters):
-        jax.block_until_ready(fn(*args))
+        s = jnp.sum(jax.tree_util.tree_leaves(fn(*args))[0])
+        acc = s if acc is None else acc + s
+    float(acc)  # chained pull: provably waits for ALL iters executions
     dt = (time.time() - t0) / iters
     return {
         "items_per_s": items / dt,
