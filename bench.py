@@ -99,16 +99,24 @@ def measure_tpu() -> float:
     # does not reliably force execution (measured in round 3 — it can
     # return ~30 us "timings"); a device->host scalar transfer does.
     # Chain every iteration into one accumulator so the final pull
-    # provably waits for ALL n_iter executions.
+    # provably waits for ALL n_iter executions. Two-n difference cancels
+    # the fixed per-run round-trip (~31 ms) that would otherwise inflate
+    # the per-iteration time.
     float(jnp.sum(rollout(params, pf, hz)))  # compile + warm, synced
-    n_iter = 8
-    t0 = time.time()
-    acc = None
-    for _ in range(n_iter):
-        s = jnp.sum(rollout(params, pf, hz))
-        acc = s if acc is None else acc + s
-    float(acc)
-    dt = (time.time() - t0) / n_iter
+
+    def total_s(n_iter):
+        t0 = time.time()
+        acc = None
+        for _ in range(n_iter):
+            s = jnp.sum(rollout(params, pf, hz))
+            acc = s if acc is None else acc + s
+        float(acc)
+        return time.time() - t0
+
+    n1, n2 = 2, 10
+    t1 = min(total_s(n1), total_s(n1))
+    t2 = min(total_s(n2), total_s(n2))
+    dt = (t2 - t1) / (n2 - n1)
     return N_AGENTS / dt
 
 
@@ -125,8 +133,8 @@ def measure_train_step() -> dict:
     from ananke_abm_tpu.models.gnn_embed.train import (
         GATODEConfig,
         build_model,
+        build_fused_loss_fn,
         init_params,
-        make_fused_train_step,
     )
 
     config = GATODEConfig(substeps=SUBSTEPS, num_blocks=NUM_BLOCKS)
@@ -142,23 +150,44 @@ def measure_train_step() -> dict:
     )
     optimizer = optax.adamw(1e-3)
     opt_state = optimizer.init(params)
-    # fused Pallas fwd+VJP train step (ops/pallas/fused_train.py)
-    train_step, _ = make_fused_train_step(model, optimizer, config, static)
+    # fused Pallas fwd+VJP loss (ops/pallas/fused_train.py) — same body
+    # make_fused_train_step jits; here it runs under lax.scan so the
+    # two-K difference below can cancel the per-call dispatch cost
+    loss_fn = build_fused_loss_fn(model, config, *static)
     pf = jnp.asarray(data["person_feats"])
     hz = jnp.asarray(data["home_zone"])
     tg = jnp.asarray(data["zone_ids"])
 
-    params, opt_state, loss, acc = train_step(params, opt_state, pf, hz, tg)
-    float(loss)  # compile + warm; scalar pull = real sync (see measure_tpu)
-    n_iter = 15
-    t0 = time.time()
-    for _ in range(n_iter):
-        params, opt_state, loss, acc = train_step(
-            params, opt_state, pf, hz, tg
+    def body(carry, _):
+        p, o = carry
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            p, pf, hz, tg
         )
-    # params thread through the loop, so this pull waits for all steps
-    float(loss)
-    dt = (time.time() - t0) / n_iter
+        updates, o = optimizer.update(grads, o, p)
+        return (optax.apply_updates(p, updates), o), loss
+
+    # two-K scan difference: total(K) = fixed_call_overhead + K * step, so
+    # (total(K2) - total(K1)) / (K2 - K1) cancels the ~31 ms per-call
+    # round-trip of the remote backend exactly (measured: a trivial-body
+    # scan costs the same ~31 ms at K=1 and K=1000). The old eager-loop
+    # protocol folded that round-trip into the step time (~+2 ms/step).
+    def total_s(K, reps=3):
+        @jax.jit
+        def run(c):
+            return jax.lax.scan(body, c, None, length=K)
+
+        _, losses = run((params, opt_state))
+        float(jnp.sum(losses))  # compile + warm, scalar-pull synced
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            _, losses = run((params, opt_state))
+            float(jnp.sum(losses))
+            best = min(best, time.time() - t0)
+        return best
+
+    K1, K2 = 5, 25
+    dt = (total_s(K2) - total_s(K1)) / (K2 - K1)
 
     # analytic matmul-FLOPs model of the fused train step: integrate
     # forward (1x) + backward stage recompute (1x) + gradient matmuls
