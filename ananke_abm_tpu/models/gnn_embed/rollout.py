@@ -27,6 +27,8 @@ def _pallas_eligible(config, expected_n=None) -> bool:
         on_tpu = False
     if not on_tpu:
         return False
+    if getattr(config, "num_blocks", 1) < 1:
+        return False  # serving kernels assume >= 1 residual drift block
     aligned = (
         config.agent_dim % 128 == 0
         and config.zone_dim % 128 == 0

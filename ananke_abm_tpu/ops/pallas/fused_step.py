@@ -62,6 +62,13 @@ def pack_weights_bf16(params):
     Hc = W1.shape[0] - Da - Dz - 2
     n_dense = len([k for k in d if k.startswith("Dense_")])
     num_blocks = (n_dense - 2) // 2
+    if num_blocks < 1:
+        raise ValueError(
+            "the fused Pallas kernels require num_blocks >= 1 residual "
+            f"drift blocks (got a drift with {n_dense} Dense layers => "
+            f"num_blocks={num_blocks}); use the XLA path for block-free "
+            "drifts"
+        )
     blocks = tuple(
         (to(d[f"Dense_{1 + 2 * i}"]["kernel"]),
          to(d[f"Dense_{1 + 2 * i}"]["bias"]),

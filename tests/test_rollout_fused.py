@@ -107,6 +107,27 @@ def test_pallas_rollout_sees_updated_params():
     assert (out0 != out1).any(), "updated params did not change the rollout"
 
 
+def test_pack_weights_rejects_blockless_drift():
+    """num_blocks=0 is a valid GATODEConfig but outside the fused-kernel
+    contract: pack_weights_bf16 must fail with a clear ValueError, not an
+    IndexError deep in the VJP (ADVICE r2)."""
+    from ananke_abm_tpu.ops.pallas.fused_step import pack_weights_bf16
+
+    cfg, model, params, _ = _tiny_setup(n_agents=16, num_blocks=0)
+    with pytest.raises(ValueError, match="num_blocks"):
+        pack_weights_bf16(params)
+
+
+def test_pallas_auto_dispatch_skips_blockless_drift():
+    from ananke_abm_tpu.models.gnn_embed.rollout import _pallas_eligible
+
+    cfg = GATODEConfig(
+        zone_dim=128, agent_dim=128, context_dim=8, hidden_dim=128,
+        gat_heads=2, gat_layers=1, num_blocks=0, substeps=2,
+    )
+    assert _pallas_eligible(cfg, expected_n=1 << 20) is False
+
+
 @pytest.mark.parametrize("num_blocks", [1, 2])
 def test_interval_fused_decode_matches_per_step_kernel(num_blocks):
     """rk4_interval_decode_fused (substeps + decode in one kernel) must
