@@ -51,7 +51,13 @@ class TestNative:
         np.testing.assert_array_equal(hist.sum(axis=0), Y.shape[0])
 
     def test_vista_scale_speed(self):
-        """1M-row-equivalent sanity: 100k x 288 counts in bounded time."""
+        """1M-row-equivalent sanity: 100k x 288 counts in bounded time.
+
+        Guards against an accidental quadratic-in-N regression, not a
+        tight perf bar — the bound is generous because the suite shares
+        the box with other jobs (a 10 s bound flaked at 12.7 s under a
+        concurrent TPU benchmark's host-side load).
+        """
         import time
 
         Yb = np.random.default_rng(1).integers(0, 7, size=(100_000, 288)).astype(np.int64)
@@ -59,7 +65,7 @@ class TestNative:
         native.count_ngrams_dense(Yb, 2, 7)
         native.run_length_segments(Yb)
         dt = time.time() - t0
-        assert dt < 10.0, f"native counting too slow: {dt:.1f}s"
+        assert dt < 60.0, f"native counting too slow: {dt:.1f}s"
 
     def test_rasterize_fill_matches_numpy(self):
         """Native rasterizer == numpy prefix-recurrence path."""
