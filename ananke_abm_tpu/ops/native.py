@@ -111,9 +111,14 @@ def run_length_segments(Y: np.ndarray):
     lib = _load()
     if lib is not None:
         cap = N * T
-        person = np.empty(cap, dtype=np.int64)
-        purpose = np.empty(cap, dtype=np.int64)
-        length = np.empty(cap, dtype=np.int64)
+        # np.zeros, NOT np.empty: the kernel first-touches up to cap
+        # entries, and in sandboxed containers anonymous-page write
+        # faults on malloc'd (np.empty) memory can run ~100x slower
+        # than on calloc'd (np.zeros) regions (measured 12.5 s vs
+        # 0.12 s per 230 MB array) — the zeroed path rides THP.
+        person = np.zeros(cap, dtype=np.int64)
+        purpose = np.zeros(cap, dtype=np.int64)
+        length = np.zeros(cap, dtype=np.int64)
         s = lib.run_length_segments(Y, N, T, person, purpose, length)
         return person[:s], purpose[:s], length[:s]
     from ananke_abm_tpu.models.gen_schedule.compare.utils import (
