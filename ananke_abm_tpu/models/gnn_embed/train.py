@@ -129,15 +129,34 @@ def build_fused_loss_fn(model, config, zone_feats, adj, times,
             "reverse sweep assumes at least one residual drift block); "
             "use make_step_fns for a block-free drift"
         )
+    from ananke_abm_tpu.ops.pallas.fused_gat import (
+        fits_vmem,
+        zone_gat_fused,
+    )
     from ananke_abm_tpu.ops.pallas.fused_train import (
         decode_ce,
         rk4_day_rollout,
     )
 
-    def loss_fn(params, pf, hz, targets):
-        zone_emb = model.apply(
+    # the zone encoder is the last XLA small-op chain in the fused step
+    # (~2 ms of the config-4 budget fwd+bwd); run it as one kernel pair
+    # when it fits VMEM, identical math (tested vs flax, values + grads)
+    fuse_gat = fits_vmem(
+        zone_feats.shape[0], model.gat_heads, model.gat_layers
+    )
+
+    def encode(params):
+        if fuse_gat:
+            return zone_gat_fused(
+                zone_feats, adj, params["zone_gat"],
+                heads=model.gat_heads, num_layers=model.gat_layers,
+            )
+        return model.apply(
             {"params": params}, zone_feats, adj, method=model.encode_zones
         )
+
+    def loss_fn(params, pf, hz, targets):
+        zone_emb = encode(params)
         x0, h = model.apply(
             {"params": params}, pf, hz, zone_emb,
             method=model.initial_state,

@@ -1,0 +1,196 @@
+"""Zone-GAT encoder as ONE Pallas kernel (fwd) + ONE VJP kernel (bwd).
+
+Why: in the fused train step (ops/pallas/fused_train.py) the integrate,
+decode and CE all run as single Pallas kernels, leaving the zone encoder
+as the last XLA-op chain in the hot path — ~30 small HLO ops (per-head
+einsums, masked softmaxes, layernorms) forward plus their backward, each
+paying fixed per-op latency and HBM round-trips at Z~500 sizes far too
+small to hide them. This module runs the whole encoder in VMEM: the fwd
+kernel computes all layers in one pass; the bwd kernel re-traces the same
+math under ``jax.vjp`` *inside* the kernel body, so the backward is
+derived from the identical code path rather than hand-written twice.
+
+Everything is f32: at Z<=1024 the encoder is a trivial fraction of step
+FLOPs, and layernorm/softmax gradients are precision-sensitive, so there
+is nothing to win from bf16 here.
+
+Matches ``models/gnn_embed/gat.py::ZoneGAT`` (flax) op-for-op: leaky-relu
+(slope 0.2) edge scores, adjacency mask at -1e30, per-head softmax over
+the neighbor axis, elu + residual, LayerNorm with flax's mean-of-squares
+variance and eps=1e-6.
+
+Reference parity: the reference has no zone-graph encoder kernel — its
+GAT equivalent is torch ops (reference latent_ode model.py zone einsum;
+BASELINE.json names the gnn_embed GAT encoder as a rebuild target).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ananke_abm_tpu.ops._platform import on_tpu as _on_tpu
+
+NEG = -1e30
+LN_EPS = 1e-6
+# The bwd kernel holds each layer's per-head (Z, Z) softmax residuals in
+# VMEM; gate the dispatch on that footprint (32 MB leaves room for the
+# score/alpha temporaries inside the 100 MB kernel limit). At the
+# shipping config (4 heads x 2 layers) this admits Z <= 1024.
+_RESIDUAL_BUDGET_BYTES = 32 * 2**20  # admits Z<=1024 at 4 heads x 2 layers
+
+
+def fits_vmem(num_zones, heads, num_layers):
+    """True when the bwd kernel's (Z, Z)-per-head-per-layer softmax
+    residuals fit the VMEM budget — the fused-dispatch gate."""
+    return heads * num_layers * num_zones * num_zones * 4 <= (
+        _RESIDUAL_BUDGET_BYTES
+    )
+
+
+def flatten_gat_params(gp, num_layers):
+    """ZoneGAT flax param subtree -> flat tuple (kernel inputs)."""
+    flat = [gp["Dense_0"]["kernel"], gp["Dense_0"]["bias"]]
+    for i in range(num_layers):
+        g = gp[f"GATLayer_{i}"]
+        ln = gp[f"LayerNorm_{i}"]
+        flat += [g["Dense_0"]["kernel"], g["a_src"], g["a_dst"],
+                 ln["scale"], ln["bias"]]
+    return tuple(flat)
+
+
+def _gat_math(zf, adjm, heads, num_layers, flat):
+    """Pure-jnp ZoneGAT forward on loaded arrays (2D ops only — per-head
+    unrolled (Z, Z) scores; Mosaic dislikes short-lane 3D einsums)."""
+    win, bin_ = flat[0], flat[1]
+    h = jnp.dot(zf, win, preferred_element_type=jnp.float32) + bin_[None, :]
+    feat = win.shape[1]
+    d = feat // heads
+    for i in range(num_layers):
+        W, a_src, a_dst, sc, bi = flat[2 + 5 * i: 7 + 5 * i]
+        Wh = jnp.dot(h, W, preferred_element_type=jnp.float32)
+        outs = []
+        for hd in range(heads):
+            whd = Wh[:, hd * d:(hd + 1) * d]  # (Z, d)
+            es = jnp.sum(whd * a_src[hd][None, :], axis=1, keepdims=True)
+            ed = jnp.sum(whd * a_dst[hd][None, :], axis=1, keepdims=True)
+            s = es + ed.T  # (Z, Z): s[i, j] = e_src[i] + e_dst[j]
+            s = jnp.where(s >= 0, s, 0.2 * s)
+            s = jnp.where(adjm > 0, s, NEG)
+            s = s - jnp.max(s, axis=1, keepdims=True)
+            e = jnp.exp(s)
+            alpha = e / jnp.sum(e, axis=1, keepdims=True)
+            outs.append(
+                jnp.dot(alpha, whd, preferred_element_type=jnp.float32)
+            )
+        g = jnp.concatenate(outs, axis=-1)
+        g = jnp.where(g > 0, g, jnp.exp(jnp.minimum(g, 0.0)) - 1.0)  # elu
+        h = h + g
+        # flax LayerNorm stats: var = E[x^2] - E[x]^2, eps inside rsqrt
+        mu = jnp.mean(h, axis=-1, keepdims=True)
+        var = jnp.maximum(
+            jnp.mean(h * h, axis=-1, keepdims=True) - mu * mu, 0.0
+        )
+        h = (h - mu) * jax.lax.rsqrt(var + LN_EPS) * sc[None, :] + bi[None, :]
+    return h
+
+
+def _vmem_spec(shape):
+    zeros = (0,) * len(shape)
+    return pl.BlockSpec(shape, lambda: zeros, memory_space=pltpu.VMEM)
+
+
+def _params_100mb(interpret):
+    return None if interpret else pltpu.CompilerParams(
+        vmem_limit_bytes=100 * 1024 * 1024,
+    )
+
+
+def zone_gat_fused(zone_feats, adj, gat_params, *, heads, num_layers,
+                   interpret=None):
+    """Fused ZoneGAT forward, differentiable wrt ``gat_params`` (the flax
+    subtree). zone_feats (Z, F) and adj (Z, Z) are data (zero cotangent).
+    """
+    if interpret is None:
+        interpret = not _on_tpu()
+    flat = flatten_gat_params(gat_params, num_layers)
+    out = _gat_core(
+        jnp.asarray(zone_feats, jnp.float32),
+        jnp.asarray(adj, jnp.float32),
+        flat, heads, num_layers, interpret,
+    )
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _gat_core(zf, adjm, flat, heads, num_layers, interpret):
+    return _gat_fwd_impl(zf, adjm, flat, heads, num_layers, interpret)
+
+
+def _gat_core_fwd(zf, adjm, flat, heads, num_layers, interpret):
+    out = _gat_fwd_impl(zf, adjm, flat, heads, num_layers, interpret)
+    return out, (zf, adjm, flat)
+
+
+def _gat_core_bwd(heads, num_layers, interpret, res, g):
+    zf, adjm, flat = res
+    gflat = _gat_bwd_impl(zf, adjm, flat, g, heads, num_layers, interpret)
+    return jnp.zeros_like(zf), jnp.zeros_like(adjm), gflat
+
+
+_gat_core.defvjp(_gat_core_fwd, _gat_core_bwd)
+
+
+def _gat_fwd_impl(zf, adjm, flat, heads, num_layers, interpret):
+    Z = zf.shape[0]
+    feat = flat[0].shape[1]
+
+    def kernel(zf_ref, adj_ref, *refs):
+        out_ref = refs[-1]
+        vals = tuple(r[:] for r in refs[:-1])
+        out_ref[:] = _gat_math(zf_ref[:], adj_ref[:], heads, num_layers,
+                               vals)
+
+    return pl.pallas_call(
+        kernel,
+        in_specs=[_vmem_spec(zf.shape), _vmem_spec(adjm.shape),
+                  *[_vmem_spec(w.shape) for w in flat]],
+        out_specs=_vmem_spec((Z, feat)),
+        out_shape=jax.ShapeDtypeStruct((Z, feat), jnp.float32),
+        interpret=interpret,
+        compiler_params=_params_100mb(interpret),
+    )(zf, adjm, *flat)
+
+
+def _gat_bwd_impl(zf, adjm, flat, g, heads, num_layers, interpret):
+    def kernel(zf_ref, adj_ref, *refs):
+        n = len(flat)
+        w_vals = tuple(r[:] for r in refs[:n])
+        g_val = refs[n][:]
+        grad_refs = refs[n + 1:]
+        # re-trace the forward under vjp INSIDE the kernel: the backward
+        # math is derived from the same _gat_math the fwd kernel ran
+        zfv, adjv = zf_ref[:], adj_ref[:]
+        _, pullback = jax.vjp(
+            lambda *ws: _gat_math(zfv, adjv, heads, num_layers, ws),
+            *w_vals,
+        )
+        grads = pullback(g_val)
+        for r, gr in zip(grad_refs, grads):
+            r[:] = gr
+
+    grads = pl.pallas_call(
+        kernel,
+        in_specs=[_vmem_spec(zf.shape), _vmem_spec(adjm.shape),
+                  *[_vmem_spec(w.shape) for w in flat],
+                  _vmem_spec(g.shape)],
+        out_specs=[_vmem_spec(w.shape) for w in flat],
+        out_shape=[jax.ShapeDtypeStruct(w.shape, jnp.float32)
+                   for w in flat],
+        interpret=interpret,
+        compiler_params=_params_100mb(interpret),
+    )(zf, adjm, *flat, g)
+    return tuple(grads)

@@ -306,3 +306,50 @@ class TestShardedFusedStep:
         ) - f0
         cos = float(u1 @ u8 / (jnp.linalg.norm(u1) * jnp.linalg.norm(u8)))
         assert cos > 0.99, cos
+
+
+class TestZoneGATDispatch:
+    def test_flax_fallback_matches_fused_gat_path(self, monkeypatch):
+        """build_fused_loss_fn with fits_vmem gating off (big-Z fallback)
+        must agree with the fused-GAT dispatch — same loss, same grads."""
+        from ananke_abm_tpu.data_generator.agent_trajectories import (
+            generate_agent_population,
+        )
+        from ananke_abm_tpu.models.gnn_embed.train import (
+            GATODEConfig,
+            build_fused_loss_fn,
+            build_model,
+            init_params,
+        )
+        import ananke_abm_tpu.ops.pallas.fused_gat as fg
+
+        config = GATODEConfig(substeps=2, num_blocks=1)
+        data = generate_agent_population(64, num_times=4, seed=5,
+                                         num_zones=10)
+        model = build_model(config, 7, 8)
+        params = init_params(model, config, data, 64, jax.random.PRNGKey(5))
+        static = (
+            jnp.asarray(data["zone_features"]), jnp.asarray(data["adj"]),
+            jnp.asarray(data["times"]),
+        )
+        batch = (
+            jnp.asarray(data["person_feats"]),
+            jnp.asarray(data["home_zone"]),
+            jnp.asarray(data["zone_ids"]),
+        )
+        loss_fused = build_fused_loss_fn(model, config, *static)
+        monkeypatch.setattr(fg, "fits_vmem", lambda *a: False)
+        loss_flax = build_fused_loss_fn(model, config, *static)
+
+        la, _ = loss_fused(params, *batch)
+        lb, _ = loss_flax(params, *batch)
+        # f32 op-order jitter (per-head 2D matmuls vs flax 3D einsums)
+        assert abs(float(la) - float(lb)) < 1e-4 * max(abs(float(lb)), 1e-6)
+
+        ga = jax.grad(lambda p: loss_fused(p, *batch)[0])(params)
+        gb = jax.grad(lambda p: loss_flax(p, *batch)[0])(params)
+        fa = jnp.concatenate([x.ravel() for x in jax.tree.leaves(ga)])
+        fb = jnp.concatenate([x.ravel() for x in jax.tree.leaves(gb)])
+        cos = float(fa @ fb / (jnp.linalg.norm(fa) * jnp.linalg.norm(fb)))
+        # zone-emb f32 jitter amplifies through the bf16 rollout kernels
+        assert cos > 0.9999, cos

@@ -383,3 +383,73 @@ class TestEdgeSegmentPallas:
         )
         denom = np.maximum(np.abs(want).max(), 1e-6)
         assert np.abs(got - want).max() / denom < 2e-2
+
+
+class TestFusedZoneGAT:
+    """ops/pallas/fused_gat.py — the whole ZoneGAT encoder as one kernel
+    pair; must match the flax module (values AND param grads) since the
+    fused train path swaps it in transparently."""
+
+    def _setup(self, Z=37, F=7, feat=16, heads=2, num_layers=2, seed=0):
+        from ananke_abm_tpu.models.gnn_embed.gat import ZoneGAT
+
+        rng = np.random.default_rng(seed)
+        zf = jnp.asarray(rng.normal(size=(Z, F)), jnp.float32)
+        adj = (rng.uniform(size=(Z, Z)) < 0.3).astype(np.float32)
+        np.fill_diagonal(adj, 1.0)  # self loops, as the data layer builds
+        adj = jnp.asarray(adj)
+        gat = ZoneGAT(features=feat, heads=heads, num_layers=num_layers)
+        params = gat.init(jax.random.PRNGKey(seed), zf, adj)["params"]
+        return gat, params, zf, adj
+
+    @pytest.mark.parametrize("num_layers", [1, 2])
+    def test_forward_matches_flax(self, num_layers):
+        from ananke_abm_tpu.ops.pallas.fused_gat import zone_gat_fused
+
+        gat, params, zf, adj = self._setup(num_layers=num_layers)
+        want = np.asarray(gat.apply({"params": params}, zf, adj))
+        got = np.asarray(
+            zone_gat_fused(zf, adj, params, heads=2,
+                           num_layers=num_layers, interpret=True)
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    def test_grads_match_flax(self):
+        from ananke_abm_tpu.ops.pallas.fused_gat import zone_gat_fused
+
+        gat, params, zf, adj = self._setup()
+
+        def loss_flax(p):
+            out = gat.apply({"params": p}, zf, adj)
+            return jnp.sum(jnp.sin(out))
+
+        def loss_fused(p):
+            out = zone_gat_fused(zf, adj, p, heads=2, num_layers=2,
+                                 interpret=True)
+            return jnp.sum(jnp.sin(out))
+
+        g_want = jax.grad(loss_flax)(params)
+        g_got = jax.grad(loss_fused)(params)
+        flat_w, _ = jax.flatten_util.ravel_pytree(g_want)
+        flat_g, _ = jax.flatten_util.ravel_pytree(g_got)
+        cos = jnp.dot(flat_w, flat_g) / (
+            jnp.linalg.norm(flat_w) * jnp.linalg.norm(flat_g)
+        )
+        assert float(cos) > 1 - 1e-6
+        np.testing.assert_allclose(
+            np.asarray(flat_g), np.asarray(flat_w), rtol=1e-4, atol=1e-5
+        )
+
+    def test_zf_adj_cotangents_are_zero(self):
+        """zone_feats/adj are data: the custom_vjp returns zero for them
+        rather than silently wrong values."""
+        from ananke_abm_tpu.ops.pallas.fused_gat import zone_gat_fused
+
+        gat, params, zf, adj = self._setup(num_layers=1)
+        g = jax.grad(
+            lambda z: jnp.sum(
+                zone_gat_fused(z, adj, params, heads=2, num_layers=1,
+                               interpret=True)
+            )
+        )(zf)
+        np.testing.assert_array_equal(np.asarray(g), 0.0)
