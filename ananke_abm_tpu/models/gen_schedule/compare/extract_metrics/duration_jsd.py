@@ -4,8 +4,9 @@ or per segment-n-gram (n=2..4, duration = total span of the window), fixed
 grid_min-wide histogram bins to 1440 minutes; macro + ref-support-weighted
 JSD per n; per-key detail for n=1.
 
-Segmentation and windowing are vectorized (compare.utils.segments_run_length
-+ base-P code windows over per-person segment purpose sequences).
+Segmentation runs through compare.utils.segments_run_length_fast (native
+C++ kernel when built, vectorized numpy otherwise); windowing is base-P
+code windows over per-person segment purpose sequences.
 """
 from __future__ import annotations
 
@@ -18,7 +19,7 @@ import numpy as np
 from ananke_abm_tpu.losses.jsd import jsd
 from ananke_abm_tpu.models.gen_schedule.compare.utils import (
     ensure_dir,
-    segments_run_length,
+    segments_run_length_fast,
 )
 
 HORIZON_MIN = 1440
@@ -30,7 +31,7 @@ def _segment_windows(Y: np.ndarray, n: int, P: int, grid_min: int):
     Returns (codes (W,), durations_min (W,)): code = base-P encoding of the
     window's purposes; duration = total minutes spanned by the window.
     """
-    person, purpose, length = segments_run_length(Y)
+    person, purpose, length = segments_run_length_fast(Y)
     dur_min = length * grid_min
     if n == 1:
         return purpose.astype(np.int64), dur_min

@@ -14,7 +14,7 @@ import numpy as np
 from ananke_abm_tpu.models.gen_schedule.compare.utils import (
     ensure_dir,
     schedule_count_arrays,
-    segments_run_length,
+    segments_run_length_fast,
 )
 
 
@@ -32,7 +32,7 @@ def metric_raw_cells(ref: Dict, models: List[Dict], outdir: str):
 
     def stats(name, Y):
         N = Y.shape[0]
-        person, _, _ = segments_run_length(Y)
+        person, _, _ = segments_run_length_fast(Y)
         seg_per_person = np.bincount(person, minlength=N)
         k = seg_per_person
         total = int(k.sum())

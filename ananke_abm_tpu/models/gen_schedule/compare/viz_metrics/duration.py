@@ -11,7 +11,7 @@ matplotlib.use("Agg")
 import matplotlib.pyplot as plt
 
 from ananke_abm_tpu.models.gen_schedule.compare.utils import (
-    segments_run_length,
+    segments_run_length_fast,
 )
 
 
@@ -25,7 +25,7 @@ def plot_duration_boxplots(ref: Dict, models: List[Dict], outdir: str):
     for p, pname in inv.items():
         series, labels = [], []
         for name, Y in datasets:
-            _, purpose, length = segments_run_length(Y)
+            _, purpose, length = segments_run_length_fast(Y)
             durs = length[purpose == p] * grid_min
             if durs.size:
                 series.append(durs)

@@ -170,10 +170,10 @@ def gen_n_val_traj(
 
     # duration statistics of the generated population
     from ananke_abm_tpu.models.gen_schedule.compare.utils import (
-        segments_run_length,
+        segments_run_length_fast,
     )
 
-    _, purpose, length = segments_run_length(Y)
+    _, purpose, length = segments_run_length_fast(Y)
     summary["generated_stats"] = {
         "mean_segments_per_person": float(len(purpose) / max(Y.shape[0], 1)),
         "max_segment_minutes": int(length.max() * grid_min) if length.size else 0,
