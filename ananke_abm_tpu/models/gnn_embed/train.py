@@ -131,6 +131,7 @@ def build_fused_loss_fn(model, config, zone_feats, adj, times,
         )
     from ananke_abm_tpu.ops.pallas.fused_gat import (
         fits_vmem,
+        probe_lowering,
         zone_gat_fused,
     )
     from ananke_abm_tpu.ops.pallas.fused_train import (
@@ -140,9 +141,14 @@ def build_fused_loss_fn(model, config, zone_feats, adj, times,
 
     # the zone encoder is the last XLA small-op chain in the fused step
     # (~2 ms of the config-4 budget fwd+bwd); run it as one kernel pair
-    # when it fits VMEM, identical math (tested vs flax, values + grads)
+    # when it fits VMEM, identical math (tested vs flax, values + grads).
+    # probe_lowering compiles the kernels eagerly once per geometry and
+    # demotes to the flax encoder if this backend rejects the lowering.
     fuse_gat = fits_vmem(
         zone_feats.shape[0], model.gat_heads, model.gat_layers
+    ) and probe_lowering(
+        zone_feats.shape[0], zone_feats.shape[1], model.zone_dim,
+        model.gat_heads, model.gat_layers,
     )
 
     def encode(params):

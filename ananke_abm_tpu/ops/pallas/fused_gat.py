@@ -51,6 +51,46 @@ def fits_vmem(num_zones, heads, num_layers):
     )
 
 
+_PROBE_CACHE = {}
+
+
+def probe_lowering(num_zones, in_feats, feat, heads, num_layers):
+    """True when both fused kernels compile (and run) for this geometry.
+
+    Compiles the fwd and bwd kernels eagerly on dummy zero params ONCE
+    per geometry so dispatch can fall back to the flax encoder instead
+    of crashing the whole train step if Mosaic rejects a lowering on
+    this backend/shape. The compiled programs are cached by the runtime,
+    so the real call pays nothing extra.
+    """
+    key = (num_zones, in_feats, feat, heads, num_layers)
+    if key in _PROBE_CACHE:
+        return _PROBE_CACHE[key]
+    d = feat // heads
+    gp = {"Dense_0": {"kernel": jnp.zeros((in_feats, feat)),
+                      "bias": jnp.zeros((feat,))}}
+    for i in range(num_layers):
+        gp[f"GATLayer_{i}"] = {"Dense_0": {"kernel": jnp.zeros((feat, feat))},
+                               "a_src": jnp.zeros((heads, d)),
+                               "a_dst": jnp.zeros((heads, d))}
+        gp[f"LayerNorm_{i}"] = {"scale": jnp.ones((feat,)),
+                                "bias": jnp.zeros((feat,))}
+    zf = jnp.zeros((num_zones, in_feats))
+    adj = jnp.eye(num_zones)
+    try:
+        out, pull = jax.vjp(
+            lambda p: zone_gat_fused(zf, adj, p, heads=heads,
+                                     num_layers=num_layers),
+            gp,
+        )
+        pull(jnp.ones_like(out))
+        ok = True
+    except Exception:  # Mosaic lowering/compile failure on this backend
+        ok = False
+    _PROBE_CACHE[key] = ok
+    return ok
+
+
 def flatten_gat_params(gp, num_layers):
     """ZoneGAT flax param subtree -> flat tuple (kernel inputs)."""
     flat = [gp["Dense_0"]["kernel"], gp["Dense_0"]["bias"]]

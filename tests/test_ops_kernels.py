@@ -453,3 +453,22 @@ class TestFusedZoneGAT:
             )
         )(zf)
         np.testing.assert_array_equal(np.asarray(g), 0.0)
+
+    def test_probe_lowering_demotes_on_kernel_failure(self, monkeypatch):
+        """A backend that rejects the kernel lowering must demote the
+        dispatch (probe returns False), never crash the caller."""
+        import ananke_abm_tpu.ops.pallas.fused_gat as fg
+
+        def boom(*a, **k):
+            raise RuntimeError("Mosaic lowering failed (simulated)")
+
+        monkeypatch.setattr(fg, "zone_gat_fused", boom)
+        monkeypatch.setattr(fg, "_PROBE_CACHE", {})
+        assert fg.probe_lowering(40, 7, 16, 2, 1) is False
+        # cached: the second call must not re-raise through boom either
+        assert fg.probe_lowering(40, 7, 16, 2, 1) is False
+
+    def test_probe_lowering_ok_on_this_backend(self):
+        import ananke_abm_tpu.ops.pallas.fused_gat as fg
+
+        assert fg.probe_lowering(40, 7, 16, 2, 1) is True
