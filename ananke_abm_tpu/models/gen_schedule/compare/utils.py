@@ -125,8 +125,24 @@ def decode_ngram(code: int, n: int, P: int) -> Tuple[int, ...]:
     return tuple(reversed(out))
 
 
+# dense count-table budget for the native n-gram path: P**n int64 slots
+# (32 MB). Above it (huge P or n) the sort-based numpy path wins on memory.
+_DENSE_TABLE_MAX = 2**22
+
+
 def ngram_count_arrays(Y: np.ndarray, n: int, P: int):
-    """(codes (K,), counts (K,)) sorted by code."""
+    """(codes (K,), counts (K,)) sorted by code.
+
+    Dispatches to the native C++ dense-table counter when built and the
+    P**n table fits the budget (2.6-41x over np.unique at 100k x 288,
+    identical outputs); sort-based numpy otherwise.
+    """
+    from ananke_abm_tpu.ops import native  # lazy: avoids import cycle
+
+    if native.available() and 0 < P**n <= _DENSE_TABLE_MAX:
+        dense = native.count_ngrams_dense(Y, n, P)
+        codes = np.nonzero(dense)[0]
+        return codes, dense[codes]
     codes = ngram_code_matrix(Y, n, P).ravel()
     return np.unique(codes, return_counts=True)
 
