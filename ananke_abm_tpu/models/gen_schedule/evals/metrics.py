@@ -34,22 +34,33 @@ def tod_marginals(Y: np.ndarray, P: int) -> np.ndarray:
     return counts.astype(np.float64) / N
 
 
-def bigram_matrix(Y: np.ndarray, P: int) -> np.ndarray:
-    """Joint distribution of adjacent pairs, normalized over all pairs. (P,P)"""
+def _bigram_counts(Y: np.ndarray, P: int) -> np.ndarray:
+    """(P, P) counts of adjacent within-row pairs.
+
+    The native n=2 dense-table pass when built — the numpy path
+    materializes three N*(T-1) temps (two slice copies + the pair code),
+    ~7 GiB of first-touch traffic at 1M x 288; the C pass streams the
+    grid once.
+    """
+    from ananke_abm_tpu.ops import native  # lazy: avoids import cycle
+
+    if native.available():
+        return native.count_ngrams_dense(Y, 2, P).reshape(P, P)
     a = Y[:, :-1].ravel()
     b = Y[:, 1:].ravel()
-    counts = np.bincount(a * P + b, minlength=P * P).reshape(P, P)
-    M = counts.astype(np.float64)
+    return np.bincount(a * P + b, minlength=P * P).reshape(P, P)
+
+
+def bigram_matrix(Y: np.ndarray, P: int) -> np.ndarray:
+    """Joint distribution of adjacent pairs, normalized over all pairs. (P,P)"""
+    M = _bigram_counts(Y, P).astype(np.float64)
     z = M.sum()
     return M / z if z > 0 else M
 
 
 def bigram_matrix_rowcond(Y: np.ndarray, P: int) -> np.ndarray:
     """Row-conditional transition matrix P(y_{t+1}=j | y_t=i). (P,P)"""
-    a = Y[:, :-1].ravel()
-    b = Y[:, 1:].ravel()
-    counts = np.bincount(a * P + b, minlength=P * P).reshape(P, P)
-    B = counts.astype(np.float64)
+    B = _bigram_counts(Y, P).astype(np.float64)
     rows = B.sum(axis=1, keepdims=True)
     return np.divide(B, rows, out=np.zeros_like(B), where=rows > 0)
 
