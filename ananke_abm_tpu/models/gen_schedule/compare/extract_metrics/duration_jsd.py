@@ -49,11 +49,22 @@ def _segment_windows(Y: np.ndarray, n: int, P: int, grid_min: int):
     return codes[same], total[same]
 
 
-def _duration_hists(codes, durations, grid_min: int):
+def _duration_hists(codes, durations, grid_min: int, num_codes=None):
     """(keys (K,), hists (K, B)) histogram of durations per key with
-    grid_min-wide bins up to HORIZON_MIN."""
+    grid_min-wide bins up to HORIZON_MIN.
+
+    With ``num_codes`` (= P**n: codes live in [0, num_codes)) and a
+    dense table within budget, one bincount replaces the np.unique
+    sort over all window codes (~10M at 1M persons)."""
     nbins = HORIZON_MIN // grid_min
     bin_idx = np.clip(durations // grid_min - 1, 0, nbins - 1)
+    if num_codes is not None and 0 < num_codes * nbins <= 2**24:
+        flat = codes * nbins + bin_idx
+        dense = np.bincount(flat, minlength=num_codes * nbins).reshape(
+            num_codes, nbins
+        )
+        keys = np.nonzero(dense.sum(axis=1))[0]
+        return keys, dense[keys].astype(np.float64)
     keys, inv = np.unique(codes, return_inverse=True)
     flat = inv * nbins + bin_idx
     hists = np.bincount(flat, minlength=keys.size * nbins).reshape(
@@ -79,12 +90,12 @@ def metric_duration_jsd_ngram_specific(
     inv_pm = {v: k for k, v in ref["purpose_map"].items()}
 
     codes_r, durs_r = _segment_windows(ref["Y"], n, P, grid_min)
-    keys_r, h_r = _duration_hists(codes_r, durs_r, grid_min)
+    keys_r, h_r = _duration_hists(codes_r, durs_r, grid_min, P**n)
 
     macro_rows, detail_rows = [], []
     for m in models:
         codes_s, durs_s = _segment_windows(m["Y"], n, P, grid_min)
-        keys_s, h_s = _duration_hists(codes_s, durs_s, grid_min)
+        keys_s, h_s = _duration_hists(codes_s, durs_s, grid_min, P**n)
         keys = np.union1d(keys_r, keys_s)
         nb = h_r.shape[1] if h_r.size else (HORIZON_MIN // grid_min)
         HR = np.zeros((keys.size, nb))

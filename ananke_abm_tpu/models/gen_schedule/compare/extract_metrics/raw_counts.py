@@ -62,14 +62,35 @@ def metric_raw_schedules(ref: Dict, models: List[Dict], outdir: str):
     of the reference's unique universe."""
     ensure_dir(outdir)
     rows_r, counts_r = schedule_count_arrays(ref["Y"])
-    ref_keys = {r.tobytes() for r in rows_r}
+    # membership keys over uint8-packed rows: 8x less bytes to hash
+    # than int64 rows. The packing must be the SAME on both sides of
+    # the set test, so it is decided once from the ref and enforced on
+    # every model grid (labels are purpose indices — always < 256).
+    pack = bool(
+        rows_r.size and 0 <= rows_r.min() and rows_r.max() <= 255
+    )
+
+    def _keys(rows):
+        if pack:
+            if rows.size and (rows.min() < 0 or rows.max() > 255):
+                raise ValueError(
+                    "model grid labels exceed uint8 while the reference "
+                    "grid fits it — schedule keys would be incomparable"
+                )
+            rows = np.ascontiguousarray(rows.astype(np.uint8))
+        else:
+            rows = np.ascontiguousarray(rows)
+        return [r.tobytes() for r in rows]
+
+    ref_keys = set(_keys(rows_r))
     n_ref_unique = len(ref_keys)
 
-    def stats(name, Y):
+    def stats(name, Y, precomputed=None):
         N = Y.shape[0]
-        rows_u, counts_u = schedule_count_arrays(Y)
-        confirmed_mask = np.array(
-            [r.tobytes() in ref_keys for r in rows_u], dtype=bool
+        rows_u, counts_u = precomputed or schedule_count_arrays(Y)
+        confirmed_mask = np.fromiter(
+            (k in ref_keys for k in _keys(rows_u)),
+            dtype=bool, count=len(counts_u),
         )
         conf_ind = int(counts_u[confirmed_mask].sum())
         uniq_conf = int(confirmed_mask.sum())
@@ -87,7 +108,9 @@ def metric_raw_schedules(ref: Dict, models: List[Dict], outdir: str):
             "ref_coverage_by_confirmed_unique": covered / max(n_ref_unique, 1),
         }
 
-    rows = [stats("ref", ref["Y"])] + [stats(m["name"], m["Y"]) for m in models]
+    rows = [stats("ref", ref["Y"], precomputed=(rows_r, counts_r))] + [
+        stats(m["name"], m["Y"]) for m in models
+    ]
     _write(outdir, "raw_counts_schedule_confirmation.csv", rows)
 
 

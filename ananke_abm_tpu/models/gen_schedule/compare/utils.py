@@ -147,9 +147,76 @@ def ngram_count_arrays(Y: np.ndarray, n: int, P: int):
     return np.unique(codes, return_counts=True)
 
 
+def row_void_keys(Y: np.ndarray):
+    """(N,) void-dtype row keys for whole-row hashing/sorting, or None
+    when labels don't fit uint8. One T-byte memcmp key per row — ~8x
+    less key data than comparing int64 rows element-wise, identical
+    lexicographic order (single-byte elements)."""
+    if Y.ndim != 2 or Y.size == 0 or Y.min() < 0 or Y.max() > 255:
+        return None
+    packed = np.ascontiguousarray(Y.astype(np.uint8))
+    return packed.view(np.dtype((np.void, Y.shape[1]))).ravel()
+
+
+def _hash_rows_u64(packed: np.ndarray) -> np.ndarray:
+    """(N,) FNV-1a-style 64-bit hashes of the rows of a uint8 matrix,
+    vectorized over rows one 8-byte word at a time (wrapping uint64
+    arithmetic)."""
+    N, T = packed.shape
+    pad = (-T) % 8
+    if pad:
+        packed = np.concatenate(
+            [packed, np.zeros((N, pad), np.uint8)], axis=1
+        )
+    words = np.ascontiguousarray(packed).view(np.uint64)
+    h = np.full(N, 0xCBF29CE484222325, dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    for j in range(words.shape[1]):
+        h = (h ^ words[:, j]) * prime
+    return h
+
+
 def schedule_count_arrays(Y: np.ndarray):
-    """(unique_rows (U, T), counts (U,)) via np.unique over rows."""
-    return np.unique(Y, axis=0, return_counts=True)
+    """(unique_rows (U, T), counts (U,)) over whole rows.
+
+    EXACT (collision-checked), but rows come back in first-occurrence
+    order, not np.unique's lexicographic order — every consumer keys on
+    the row bytes or aggregates counts, so order is immaterial.
+    Grouping by a 64-bit row hash replaces the row-lexicographic sort
+    (memcmp of T-byte keys) with one uint64 argsort, and the result
+    gather runs on ascending row indices (a random-order 2.3 GB row
+    gather measures 25x slower than a sorted one on this host). A
+    detected hash collision (different rows, same hash — ~1e-8 at 1M
+    rows) falls back to the exact sort path. When every row is unique
+    the returned rows ALIAS Y (no copy) — treat them as read-only, as
+    all harness consumers do.
+    """
+    if Y.ndim != 2 or Y.size == 0 or Y.min() < 0 or Y.max() > 255:
+        return np.unique(Y, axis=0, return_counts=True)
+    N, T = Y.shape
+    packed = np.ascontiguousarray(Y.astype(np.uint8))
+    h = _hash_rows_u64(packed)
+    order = np.argsort(h, kind="stable")
+    hs = h[order]
+    starts = np.flatnonzero(np.r_[True, hs[1:] != hs[:-1]])
+    counts = np.diff(np.r_[starts, h.size])
+    # exactness: within a hash group every row must equal the previous
+    # one (transitively the first), else a genuine 64-bit collision —
+    # resort to the void-key sort. Only duplicate-hash positions are
+    # gathered: D = N - U rows, complementary to the U-row result.
+    dup = np.flatnonzero(hs[1:] == hs[:-1]) + 1
+    if dup.size:
+        if not np.array_equal(packed[order[dup]], packed[order[dup - 1]]):
+            keys = packed.view(np.dtype((np.void, T))).ravel()
+            _, idx, counts = np.unique(
+                keys, return_index=True, return_counts=True
+            )
+            return Y[idx], counts
+    if starts.size == N:  # every row unique: skip the multi-GB gather
+        return Y, np.ones(N, dtype=counts.dtype)
+    sel = order[starts]
+    perm = np.argsort(sel, kind="stable")
+    return Y[sel[perm]], counts[perm]
 
 
 def align_count_arrays(codes_a, counts_a, codes_b, counts_b):
