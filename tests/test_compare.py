@@ -163,3 +163,58 @@ class TestMetricTables:
                 str(tmp_path / "ref.npz"), str(tmp_path / "ref_meta.json"),
                 str(cdir), str(tmp_path / "out"),
             )
+
+
+class TestScheduleCountArraysHashPath:
+    """compare.utils.schedule_count_arrays — the hash-grouped row unique:
+    exact counts (set-equality with np.unique), collision fallback, and
+    the all-unique alias shortcut."""
+
+    @staticmethod
+    def _as_dict(rows, counts):
+        return {r.tobytes(): int(c) for r, c in zip(rows, counts)}
+
+    def test_matches_np_unique_as_sets(self):
+        from ananke_abm_tpu.models.gen_schedule.compare.utils import (
+            schedule_count_arrays,
+        )
+
+        Y = np.random.default_rng(0).integers(0, 4, size=(500, 7))
+        r1, c1 = np.unique(Y, axis=0, return_counts=True)
+        r2, c2 = schedule_count_arrays(Y)
+        assert self._as_dict(r1, c1) == self._as_dict(r2, c2)
+        assert c2.sum() == Y.shape[0]
+
+    def test_collision_fallback_is_exact(self, monkeypatch):
+        """Force every row hash equal: the adjacent-pair check must
+        detect the 'collision' and fall back to the exact sort path."""
+        import ananke_abm_tpu.models.gen_schedule.compare.utils as cu
+
+        Y = np.random.default_rng(1).integers(0, 3, size=(200, 5))
+        r1, c1 = np.unique(Y, axis=0, return_counts=True)
+        monkeypatch.setattr(
+            cu, "_hash_rows_u64",
+            lambda p: np.zeros(p.shape[0], np.uint64),
+        )
+        r2, c2 = cu.schedule_count_arrays(Y)
+        assert self._as_dict(r1, c1) == self._as_dict(r2, c2)
+
+    def test_all_unique_aliases_input(self):
+        from ananke_abm_tpu.models.gen_schedule.compare.utils import (
+            schedule_count_arrays,
+        )
+
+        Y = np.arange(60).reshape(20, 3) % 200  # all rows distinct
+        rows, counts = schedule_count_arrays(Y)
+        assert rows is Y  # documented no-copy shortcut
+        np.testing.assert_array_equal(counts, np.ones(20, np.int64))
+
+    def test_wide_labels_use_np_unique(self):
+        from ananke_abm_tpu.models.gen_schedule.compare.utils import (
+            schedule_count_arrays,
+        )
+
+        Y = np.array([[300, 1], [300, 1], [2, 5]])  # labels > 255
+        rows, counts = schedule_count_arrays(Y)
+        assert self._as_dict(*np.unique(Y, axis=0, return_counts=True)) \
+            == self._as_dict(rows, counts)
