@@ -270,3 +270,79 @@ class TestDataGenerator:
         assert os.path.exists(p)
         outs = plot_persona_trajectories(str(tmp_path))
         assert len(outs) == 2
+
+
+class TestComparisonsAndOverview:
+    """pipeline/comparisons.py + compare/plot_viz.py end-to-end on tiny
+    synthetic sample sets (reference pipeline/comparisons.py:16-236,
+    compare/plot_viz.py:21-51)."""
+
+    def _make_world(self, tmp_path, N=40, T=24, P=4):
+        import json
+
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        pm = {"Home": 0, "Work": 1, "Shop": 2, "Edu": 3}
+        meta = {"purpose_map": pm, "grid_min": 60, "L": T}
+
+        def grid(seed):
+            r = np.random.default_rng(seed)
+            Y = r.integers(0, P, size=(N, T))
+            Y[:, 0] = 0
+            Y[:, -1] = 0
+            return Y
+
+        ref_npz = tmp_path / "ref.npz"
+        np.savez(ref_npz, Y=grid(1))
+        ref_meta = tmp_path / "ref_meta.json"
+        ref_meta.write_text(json.dumps(meta))
+
+        specs = []
+        for name, seed in (("modelA", 2), ("modelB", 3)):
+            npz = tmp_path / f"{name}.npz"
+            np.savez(npz, Y_generated=grid(seed))
+            mj = tmp_path / f"{name}_meta.json"
+            mj.write_text(json.dumps(meta))
+            specs.append((name, str(npz), str(mj)))
+        return str(ref_npz), str(ref_meta), specs
+
+    def test_compare_samples_artifacts(self, tmp_path):
+        import csv
+        import json
+        import os
+
+        from ananke_abm_tpu.models.gen_schedule.pipeline.comparisons import (
+            compare_samples,
+        )
+
+        ref_npz, _, specs = self._make_world(tmp_path)
+        outdir = str(tmp_path / "cmp")
+        reports = compare_samples(specs, ref_npz, outdir, make_plots=True)
+        assert [r["model"] for r in reports] == ["modelA", "modelB"]
+        for name in ("modelA", "modelB"):
+            with open(os.path.join(outdir, f"report_{name}.json")) as f:
+                rep = json.load(f)
+            assert "bigram" in rep and "tod_jsd_macro" in rep
+        with open(os.path.join(outdir, "comparison_aggregate.csv")) as f:
+            rows = list(csv.DictReader(f))
+        assert len(rows) == 2
+        assert all(float(r["bigram_L1"]) >= 0 for r in rows)
+        pngs = [p for p in os.listdir(outdir) if p.endswith(".png")]
+        assert pngs, "comparison plots missing"
+
+    def test_plot_overview_artifacts(self, tmp_path):
+        import os
+
+        from ananke_abm_tpu.models.gen_schedule.compare.plot_viz import (
+            plot_overview,
+        )
+
+        ref_npz, ref_meta, specs = self._make_world(tmp_path)
+        outdir = str(tmp_path / "viz")
+        plot_overview(ref_npz, ref_meta, str(tmp_path), outdir)
+        # lorenz/gini overview + tod curves + duration boxplots
+        out = []
+        for root, _, files in os.walk(outdir):
+            out += [f for f in files if f.endswith(".png")]
+        assert len(out) >= 3, out
