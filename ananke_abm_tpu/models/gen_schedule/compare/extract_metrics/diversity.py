@@ -14,7 +14,7 @@ from ananke_abm_tpu.models.gen_schedule.compare.utils import (
     entropy_from_count_array,
     gini_from_count_array,
     ngram_count_arrays,
-    schedule_count_arrays,
+    cached_schedule_counts,
 )
 
 
@@ -41,7 +41,7 @@ def _write(outdir, name, rows):
 def metric_diversity_schedules(ref: Dict, models: List[Dict], outdir: str):
     """Writes diversity_schedules.csv."""
     ensure_dir(outdir)
-    rows_r, counts_r = schedule_count_arrays(ref["Y"])
+    rows_r, counts_r = cached_schedule_counts(ref)
     ref_keys = {r.tobytes() for r in rows_r}
     H = entropy_from_count_array(counts_r)
     G = gini_from_count_array(counts_r)
@@ -50,7 +50,7 @@ def metric_diversity_schedules(ref: Dict, models: List[Dict], outdir: str):
          "gini_overall": G, "gini_confirmed": G}
     ]
     for m in models:
-        rows_s, counts_s = schedule_count_arrays(m["Y"])
+        rows_s, counts_s = cached_schedule_counts(m)
         confirmed = np.array(
             [r.tobytes() in ref_keys for r in rows_s], dtype=bool
         )

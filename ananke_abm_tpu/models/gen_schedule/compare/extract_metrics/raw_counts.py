@@ -12,8 +12,8 @@ from typing import Dict, List
 import numpy as np
 
 from ananke_abm_tpu.models.gen_schedule.compare.utils import (
+    cached_schedule_counts,
     ensure_dir,
-    schedule_count_arrays,
     segments_run_length_fast,
 )
 
@@ -61,7 +61,7 @@ def metric_raw_schedules(ref: Dict, models: List[Dict], outdir: str):
     non-confirmed schedules at the individual and unique level + coverage
     of the reference's unique universe."""
     ensure_dir(outdir)
-    rows_r, counts_r = schedule_count_arrays(ref["Y"])
+    rows_r, counts_r = cached_schedule_counts(ref)
     # membership keys over uint8-packed rows: 8x less bytes to hash
     # than int64 rows. The packing must be the SAME on both sides of
     # the set test, so it is decided once from the ref and enforced on
@@ -85,9 +85,10 @@ def metric_raw_schedules(ref: Dict, models: List[Dict], outdir: str):
     ref_keys = set(_keys(rows_r))
     n_ref_unique = len(ref_keys)
 
-    def stats(name, Y, precomputed=None):
+    def stats(name, dataset):
+        Y = dataset["Y"]
         N = Y.shape[0]
-        rows_u, counts_u = precomputed or schedule_count_arrays(Y)
+        rows_u, counts_u = cached_schedule_counts(dataset)
         confirmed_mask = np.fromiter(
             (k in ref_keys for k in _keys(rows_u)),
             dtype=bool, count=len(counts_u),
@@ -108,9 +109,7 @@ def metric_raw_schedules(ref: Dict, models: List[Dict], outdir: str):
             "ref_coverage_by_confirmed_unique": covered / max(n_ref_unique, 1),
         }
 
-    rows = [stats("ref", ref["Y"], precomputed=(rows_r, counts_r))] + [
-        stats(m["name"], m["Y"]) for m in models
-    ]
+    rows = [stats("ref", ref)] + [stats(m["name"], m) for m in models]
     _write(outdir, "raw_counts_schedule_confirmation.csv", rows)
 
 

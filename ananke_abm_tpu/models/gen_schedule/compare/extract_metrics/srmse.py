@@ -11,9 +11,9 @@ import numpy as np
 
 from ananke_abm_tpu.models.gen_schedule.compare.utils import (
     align_count_arrays,
+    cached_schedule_counts,
     ensure_dir,
     ngram_count_arrays,
-    schedule_count_arrays,
     srmse_from_count_arrays,
 )
 
@@ -26,10 +26,10 @@ def _write(outdir, level_name, rows):
         w.writerows(rows)
 
 
-def _schedule_srmse(Y_ref, Y_syn) -> float:
+def _schedule_srmse(ref: Dict, syn: Dict) -> float:
     """Schedule cells are whole rows; union-align via row hashing."""
-    rows_r, counts_r = schedule_count_arrays(Y_ref)
-    rows_s, counts_s = schedule_count_arrays(Y_syn)
+    rows_r, counts_r = cached_schedule_counts(ref)
+    rows_s, counts_s = cached_schedule_counts(syn)
     key_r = {r.tobytes(): c for r, c in zip(rows_r, counts_r)}
     key_s = {r.tobytes(): c for r, c in zip(rows_s, counts_s)}
     keys = sorted(set(key_r) | set(key_s))
@@ -50,7 +50,7 @@ def metric_srmse_schedule(ref: Dict, models: List[Dict], outdir: str):
     rows = [{"model": "ref", "srmse": 0.0}]
     for m in models:
         rows.append(
-            {"model": m["name"], "srmse": _schedule_srmse(ref["Y"], m["Y"])}
+            {"model": m["name"], "srmse": _schedule_srmse(ref, m)}
         )
     _write(outdir, "schedule", rows)
 

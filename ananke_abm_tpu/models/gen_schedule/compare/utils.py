@@ -147,6 +147,17 @@ def ngram_count_arrays(Y: np.ndarray, n: int, P: int):
     return np.unique(codes, return_counts=True)
 
 
+def cached_schedule_counts(dataset: dict):
+    """schedule_count_arrays of dataset['Y'], memoized inside the dataset
+    dict — three metric families (raw_schedules, srmse_schedule,
+    diversity_schedules) need the same whole-grid row unique, which is
+    the priciest host op at 1M persons. The cache lives and dies with
+    the loaded-dataset dict."""
+    if "_schedule_counts" not in dataset:
+        dataset["_schedule_counts"] = schedule_count_arrays(dataset["Y"])
+    return dataset["_schedule_counts"]
+
+
 def row_void_keys(Y: np.ndarray):
     """(N,) void-dtype row keys for whole-row hashing/sorting, or None
     when labels don't fit uint8. One T-byte memcmp key per row — ~8x
