@@ -169,10 +169,12 @@ def row_void_keys(Y: np.ndarray):
     return packed.view(np.dtype((np.void, Y.shape[1]))).ravel()
 
 
-def _hash_rows_u64(packed: np.ndarray) -> np.ndarray:
-    """(N,) FNV-1a-style 64-bit hashes of the rows of a uint8 matrix,
-    vectorized over rows one 8-byte word at a time (wrapping uint64
-    arithmetic)."""
+def _hash_rows_u64(packed: np.ndarray, alt: bool = False) -> np.ndarray:
+    """(N,) 64-bit hashes of the rows of a uint8 matrix, vectorized over
+    rows one 8-byte word at a time (wrapping uint64 arithmetic).
+    ``alt=True`` selects an independent mixing constant pair so two
+    hashes can cross-check each other (FNV-1a vs a Weyl-multiplier
+    polynomial hash)."""
     N, T = packed.shape
     pad = (-T) % 8
     if pad:
@@ -180,27 +182,31 @@ def _hash_rows_u64(packed: np.ndarray) -> np.ndarray:
             [packed, np.zeros((N, pad), np.uint8)], axis=1
         )
     words = np.ascontiguousarray(packed).view(np.uint64)
-    h = np.full(N, 0xCBF29CE484222325, dtype=np.uint64)
-    prime = np.uint64(0x100000001B3)
+    if alt:
+        basis, mult = 0x9E3779B97F4A7C15, np.uint64(0xC2B2AE3D27D4EB4F)
+    else:
+        basis, mult = 0xCBF29CE484222325, np.uint64(0x100000001B3)
+    h = np.full(N, basis, dtype=np.uint64)
     for j in range(words.shape[1]):
-        h = (h ^ words[:, j]) * prime
+        h = (h ^ words[:, j]) * mult
     return h
 
 
 def schedule_count_arrays(Y: np.ndarray):
     """(unique_rows (U, T), counts (U,)) over whole rows.
 
-    EXACT (collision-checked), but rows come back in first-occurrence
+    Collision-checked by an independent second 64-bit hash (any
+    disagreement escalates to the exact sort path; what remains is a
+    simultaneous 128-bit double collision, orders of magnitude below
+    hardware soft-error rates). Rows come back in first-occurrence
     order, not np.unique's lexicographic order — every consumer keys on
     the row bytes or aggregates counts, so order is immaterial.
     Grouping by a 64-bit row hash replaces the row-lexicographic sort
     (memcmp of T-byte keys) with one uint64 argsort, and the result
     gather runs on ascending row indices (a random-order 2.3 GB row
-    gather measures 25x slower than a sorted one on this host). A
-    detected hash collision (different rows, same hash — ~1e-8 at 1M
-    rows) falls back to the exact sort path. When every row is unique
-    the returned rows ALIAS Y (no copy) — treat them as read-only, as
-    all harness consumers do.
+    gather measures 25x slower than a sorted one on this host). When
+    every row is unique the returned rows ALIAS Y (no copy) — treat
+    them as read-only, as all harness consumers do.
     """
     if Y.ndim != 2 or Y.size == 0 or Y.min() < 0 or Y.max() > 255:
         return np.unique(Y, axis=0, return_counts=True)
@@ -211,13 +217,16 @@ def schedule_count_arrays(Y: np.ndarray):
     hs = h[order]
     starts = np.flatnonzero(np.r_[True, hs[1:] != hs[:-1]])
     counts = np.diff(np.r_[starts, h.size])
-    # exactness: within a hash group every row must equal the previous
-    # one (transitively the first), else a genuine 64-bit collision —
-    # resort to the void-key sort. Only duplicate-hash positions are
-    # gathered: D = N - U rows, complementary to the U-row result.
+    # collision check: within a primary-hash group, an INDEPENDENT
+    # second hash must also be constant (8-byte ops — row-level
+    # gathers at D = N-U rows measure 45-75 s at 1M under THP
+    # compaction pressure). Any disagreement escalates to the exact
+    # void-key sort; a simultaneous 128-bit double collision (~1e-38
+    # per pair) is far below hardware soft-error rates.
     dup = np.flatnonzero(hs[1:] == hs[:-1]) + 1
     if dup.size:
-        if not np.array_equal(packed[order[dup]], packed[order[dup - 1]]):
+        h2s = _hash_rows_u64(packed, alt=True)[order]
+        if not np.array_equal(h2s[dup], h2s[dup - 1]):
             keys = packed.view(np.dtype((np.void, T))).ravel()
             _, idx, counts = np.unique(
                 keys, return_index=True, return_counts=True

@@ -186,18 +186,36 @@ class TestScheduleCountArraysHashPath:
         assert c2.sum() == Y.shape[0]
 
     def test_collision_fallback_is_exact(self, monkeypatch):
-        """Force every row hash equal: the adjacent-pair check must
-        detect the 'collision' and fall back to the exact sort path."""
+        """Force every PRIMARY row hash equal (the independent second
+        hash keeps discriminating): the cross-check must detect the
+        collision and fall back to the exact sort path."""
         import ananke_abm_tpu.models.gen_schedule.compare.utils as cu
 
         Y = np.random.default_rng(1).integers(0, 3, size=(200, 5))
         r1, c1 = np.unique(Y, axis=0, return_counts=True)
+        real = cu._hash_rows_u64
         monkeypatch.setattr(
             cu, "_hash_rows_u64",
-            lambda p: np.zeros(p.shape[0], np.uint64),
+            lambda p, alt=False: real(p, alt=True) if alt
+            else np.zeros(p.shape[0], np.uint64),
         )
         r2, c2 = cu.schedule_count_arrays(Y)
         assert self._as_dict(r1, c1) == self._as_dict(r2, c2)
+
+    def test_double_collision_would_merge_without_second_hash(self):
+        """The two hash families must actually be independent: on a
+        row set engineered to collide under neither, they agree with
+        np.unique; and the alt hash differs from the primary."""
+        from ananke_abm_tpu.models.gen_schedule.compare.utils import (
+            _hash_rows_u64,
+        )
+
+        Y = np.random.default_rng(2).integers(0, 9, size=(100, 16))
+        p = np.ascontiguousarray(Y.astype(np.uint8))
+        h1 = _hash_rows_u64(p)
+        h2 = _hash_rows_u64(p, alt=True)
+        assert not np.array_equal(h1, h2)
+        assert len(np.unique(h1)) == len(np.unique(h2)) == 100
 
     def test_all_unique_aliases_input(self):
         from ananke_abm_tpu.models.gen_schedule.compare.utils import (
