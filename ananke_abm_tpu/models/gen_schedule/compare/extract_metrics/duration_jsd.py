@@ -58,7 +58,14 @@ def _duration_hists(codes, durations, grid_min: int, num_codes=None):
     sort over all window codes (~10M at 1M persons)."""
     nbins = HORIZON_MIN // grid_min
     bin_idx = np.clip(durations // grid_min - 1, 0, nbins - 1)
-    if num_codes is not None and 0 < num_codes * nbins <= 2**24:
+    if (
+        num_codes is not None
+        and 0 < num_codes * nbins <= 2**24
+        # labels outside the purpose_map (codes >= P^n) keep the unique
+        # path, which simply counts the extra keys like the reference
+        and (codes.size == 0 or (codes.min() >= 0
+                                 and codes.max() < num_codes))
+    ):
         flat = codes * nbins + bin_idx
         dense = np.bincount(flat, minlength=num_codes * nbins).reshape(
             num_codes, nbins

@@ -63,34 +63,42 @@ def metric_raw_schedules(ref: Dict, models: List[Dict], outdir: str):
     ensure_dir(outdir)
     rows_r, counts_r = cached_schedule_counts(ref)
     # membership keys over uint8-packed rows: 8x less bytes to hash
-    # than int64 rows. The packing must be the SAME on both sides of
-    # the set test, so it is decided once from the ref and enforced on
-    # every model grid (labels are purpose indices — always < 256).
-    pack = bool(
-        rows_r.size and 0 <= rows_r.min() and rows_r.max() <= 255
-    )
+    # than int64 rows. Packing must be the SAME on both sides of the
+    # set test, so a grid that doesn't fit uint8 (never happens with
+    # purpose indices, but the loader doesn't forbid it) downgrades the
+    # comparison to int64-normalized keys for BOTH sides.
+    def _packable(rows):
+        return bool(
+            rows.size
+            and np.issubdtype(rows.dtype, np.integer)
+            and rows.min() >= 0
+            and rows.max() <= 255
+        )
 
-    def _keys(rows):
-        if pack:
-            if rows.size and (rows.min() < 0 or rows.max() > 255):
-                raise ValueError(
-                    "model grid labels exceed uint8 while the reference "
-                    "grid fits it — schedule keys would be incomparable"
-                )
-            rows = np.ascontiguousarray(rows.astype(np.uint8))
-        else:
-            rows = np.ascontiguousarray(rows)
+    def _keys(rows, pack):
+        rows = np.ascontiguousarray(
+            rows.astype(np.uint8) if pack else rows.astype(np.int64)
+        )
         return [r.tobytes() for r in rows]
 
-    ref_keys = set(_keys(rows_r))
-    n_ref_unique = len(ref_keys)
+    ref_packable = _packable(rows_r)
+    key_sets = {}  # pack flag -> set of ref keys (int64 set built lazily)
+
+    def _ref_keys(pack):
+        if pack not in key_sets:
+            key_sets[pack] = set(_keys(rows_r, pack))
+        return key_sets[pack]
+
+    n_ref_unique = len(counts_r)
 
     def stats(name, dataset):
         Y = dataset["Y"]
         N = Y.shape[0]
         rows_u, counts_u = cached_schedule_counts(dataset)
+        pack = ref_packable and _packable(rows_u)
+        ref_keys = _ref_keys(pack)
         confirmed_mask = np.fromiter(
-            (k in ref_keys for k in _keys(rows_u)),
+            (k in ref_keys for k in _keys(rows_u, pack)),
             dtype=bool, count=len(counts_u),
         )
         conf_ind = int(counts_u[confirmed_mask].sum())

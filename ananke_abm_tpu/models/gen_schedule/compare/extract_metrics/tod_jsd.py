@@ -33,10 +33,11 @@ def _start_hist_matrix(Y: np.ndarray, n: int, P: int):
     (50-200x over the unique+bincount path at 100k x 288, identical
     outputs); numpy otherwise.
     """
+    from ananke_abm_tpu.ops import native  # lazy: avoids import cycle
+
+    native.check_labels(Y, P)  # uniform across both branches
     Tn = Y.shape[1] - n + 1
     if Tn > 0 and 0 < P**n * Tn <= _DENSE_HIST_MAX:
-        from ananke_abm_tpu.ops import native  # lazy: avoids import cycle
-
         if native.available():
             dense = native.ngram_start_hist_dense(Y, n, P)  # (P^n, Tn)
             codes = np.nonzero(dense.sum(axis=1))[0]

@@ -139,6 +139,7 @@ def ngram_count_arrays(Y: np.ndarray, n: int, P: int):
     """
     from ananke_abm_tpu.ops import native  # lazy: avoids import cycle
 
+    native.check_labels(np.asarray(Y), P)  # uniform across both branches
     if native.available() and 0 < P**n <= _DENSE_TABLE_MAX:
         dense = native.count_ngrams_dense(Y, n, P)
         codes = np.nonzero(dense)[0]
@@ -156,17 +157,6 @@ def cached_schedule_counts(dataset: dict):
     if "_schedule_counts" not in dataset:
         dataset["_schedule_counts"] = schedule_count_arrays(dataset["Y"])
     return dataset["_schedule_counts"]
-
-
-def row_void_keys(Y: np.ndarray):
-    """(N,) void-dtype row keys for whole-row hashing/sorting, or None
-    when labels don't fit uint8. One T-byte memcmp key per row — ~8x
-    less key data than comparing int64 rows element-wise, identical
-    lexicographic order (single-byte elements)."""
-    if Y.ndim != 2 or Y.size == 0 or Y.min() < 0 or Y.max() > 255:
-        return None
-    packed = np.ascontiguousarray(Y.astype(np.uint8))
-    return packed.view(np.dtype((np.void, Y.shape[1]))).ravel()
 
 
 def _hash_rows_u64(packed: np.ndarray, alt: bool = False) -> np.ndarray:
@@ -208,7 +198,13 @@ def schedule_count_arrays(Y: np.ndarray):
     every row is unique the returned rows ALIAS Y (no copy) — treat
     them as read-only, as all harness consumers do.
     """
-    if Y.ndim != 2 or Y.size == 0 or Y.min() < 0 or Y.max() > 255:
+    if (
+        Y.ndim != 2
+        or Y.size == 0
+        or not np.issubdtype(Y.dtype, np.integer)  # uint8 cast would
+        or Y.min() < 0                             # truncate floats
+        or Y.max() > 255
+    ):
         return np.unique(Y, axis=0, return_counts=True)
     N, T = Y.shape
     packed = np.ascontiguousarray(Y.astype(np.uint8))

@@ -26,6 +26,7 @@ def tod_marginals(Y: np.ndarray, P: int) -> np.ndarray:
     """
     from ananke_abm_tpu.ops import native  # lazy: avoids import cycle
 
+    native.check_labels(Y, P)  # uniform across both branches
     N, T = Y.shape
     if native.available():
         return native.tod_counts(Y, P).astype(np.float64) / N
@@ -44,6 +45,7 @@ def _bigram_counts(Y: np.ndarray, P: int) -> np.ndarray:
     """
     from ananke_abm_tpu.ops import native  # lazy: avoids import cycle
 
+    native.check_labels(Y, P)  # uniform across both branches
     if native.available():
         return native.count_ngrams_dense(Y, 2, P).reshape(P, P)
     a = Y[:, :-1].ravel()

@@ -71,16 +71,22 @@ def available() -> bool:
     return _load() is not None
 
 
-def _check_labels(Y: np.ndarray, P: int) -> None:
+def check_labels(Y: np.ndarray, P: int) -> None:
     """Reject out-of-range labels before dispatch: the C kernels index
     dense accumulators by raw label value, so a label >= P (or negative)
-    in an externally supplied grid would write out of bounds. One uniform
-    ValueError for both the native and numpy paths."""
+    in an externally supplied grid would write out of bounds — and the
+    numpy fallbacks either alias base-P codes or crash on a reshape for
+    the same inputs. One uniform ValueError for both paths; the metric
+    dispatchers call this too so behavior does not depend on whether
+    the native lib is built."""
     if Y.size and (Y.min() < 0 or Y.max() >= P):
         raise ValueError(
             f"labels out of range: expected 0 <= Y < {P}, "
             f"got [{Y.min()}, {Y.max()}]"
         )
+
+
+_check_labels = check_labels  # internal alias, kept for call sites below
 
 
 def count_ngrams_dense(Y: np.ndarray, n: int, P: int) -> np.ndarray:

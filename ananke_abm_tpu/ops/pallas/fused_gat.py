@@ -62,28 +62,46 @@ def probe_lowering(num_zones, in_feats, feat, heads, num_layers):
     of crashing the whole train step if Mosaic rejects a lowering on
     this backend/shape. The compiled programs are cached by the runtime,
     so the real call pays nothing extra.
+
+    The probe body runs in a FRESH THREAD: build_fused_loss_fn is also
+    invoked inside jit/shard_map traces (parallel/sharded.py), where an
+    in-trace call would be staged into the jaxpr — no compile happens,
+    the try/except can never fire, and the cache would record an
+    unverified True. JAX trace contexts are thread-local, so a worker
+    thread always evaluates eagerly (really compiling the kernels).
     """
     key = (num_zones, in_feats, feat, heads, num_layers)
     if key in _PROBE_CACHE:
         return _PROBE_CACHE[key]
-    d = feat // heads
-    gp = {"Dense_0": {"kernel": jnp.zeros((in_feats, feat)),
-                      "bias": jnp.zeros((feat,))}}
-    for i in range(num_layers):
-        gp[f"GATLayer_{i}"] = {"Dense_0": {"kernel": jnp.zeros((feat, feat))},
-                               "a_src": jnp.zeros((heads, d)),
-                               "a_dst": jnp.zeros((heads, d))}
-        gp[f"LayerNorm_{i}"] = {"scale": jnp.ones((feat,)),
-                                "bias": jnp.zeros((feat,))}
-    zf = jnp.zeros((num_zones, in_feats))
-    adj = jnp.eye(num_zones)
-    try:
+
+    def _probe():
+        d = feat // heads
+        gp = {"Dense_0": {"kernel": jnp.zeros((in_feats, feat)),
+                          "bias": jnp.zeros((feat,))}}
+        for i in range(num_layers):
+            gp[f"GATLayer_{i}"] = {
+                "Dense_0": {"kernel": jnp.zeros((feat, feat))},
+                "a_src": jnp.zeros((heads, d)),
+                "a_dst": jnp.zeros((heads, d)),
+            }
+            gp[f"LayerNorm_{i}"] = {"scale": jnp.ones((feat,)),
+                                    "bias": jnp.zeros((feat,))}
+        zf = jnp.zeros((num_zones, in_feats))
+        adj = jnp.eye(num_zones)
         out, pull = jax.vjp(
             lambda p: zone_gat_fused(zf, adj, p, heads=heads,
                                      num_layers=num_layers),
             gp,
         )
         pull(jnp.ones_like(out))
+        if isinstance(out, jax.core.Tracer):  # pragma: no cover
+            raise RuntimeError("probe was staged instead of executed")
+
+    import concurrent.futures
+
+    try:
+        with concurrent.futures.ThreadPoolExecutor(1) as ex:
+            ex.submit(_probe).result()
         ok = True
     except Exception:  # Mosaic lowering/compile failure on this backend
         ok = False

@@ -236,3 +236,73 @@ class TestScheduleCountArraysHashPath:
         rows, counts = schedule_count_arrays(Y)
         assert self._as_dict(*np.unique(Y, axis=0, return_counts=True)) \
             == self._as_dict(rows, counts)
+
+    def test_float_rows_use_exact_unique(self):
+        """Non-integer dtypes must not be truncated to uint8 before
+        hashing (1.2 and 1.7 are distinct rows)."""
+        from ananke_abm_tpu.models.gen_schedule.compare.utils import (
+            schedule_count_arrays,
+        )
+
+        Y = np.array([[1.2, 2.0], [1.7, 2.0], [1.2, 2.0]])
+        rows, counts = schedule_count_arrays(Y)
+        assert len(counts) == 2 and sorted(counts) == [1, 2]
+
+
+class TestLabelValidationUniform:
+    """Out-of-range labels raise the same clear error on the native AND
+    numpy branches (previously: native raised, numpy silently aliased
+    base-P codes or crashed on a reshape)."""
+
+    def test_ngram_count_arrays(self):
+        from ananke_abm_tpu.models.gen_schedule.compare.utils import (
+            ngram_count_arrays,
+        )
+
+        Y = np.array([[0, 5, 1]])
+        with pytest.raises(ValueError, match="labels out of range"):
+            ngram_count_arrays(Y, 2, P=3)
+
+    def test_tod_marginals_and_bigram(self):
+        from ananke_abm_tpu.models.gen_schedule.evals.metrics import (
+            bigram_matrix,
+            tod_marginals,
+        )
+
+        Y = np.array([[0, 5, 1]])
+        with pytest.raises(ValueError, match="labels out of range"):
+            tod_marginals(Y, P=3)
+        with pytest.raises(ValueError, match="labels out of range"):
+            bigram_matrix(Y, P=3)
+
+    def test_duration_hists_out_of_range_codes_fall_back(self):
+        """Codes >= P^n keep the tolerant unique path (the reference
+        counted extra keys; the dense path would crash on reshape)."""
+        from ananke_abm_tpu.models.gen_schedule.compare.extract_metrics.duration_jsd import (
+            _duration_hists,
+        )
+
+        keys, hists = _duration_hists(
+            np.array([5]), np.array([60]), grid_min=60, num_codes=4
+        )
+        assert list(keys) == [5] and hists.shape[1] == 1440 // 60
+
+    def test_raw_schedules_wide_labels_compare_correctly(self, tmp_path):
+        """A model grid with a label > 255 must be compared (never
+        confirmed vs a uint8-packable ref), not crash the run."""
+        from ananke_abm_tpu.models.gen_schedule.compare.extract_metrics.raw_counts import (
+            metric_raw_schedules,
+        )
+
+        pm = {"Home": 0, "A": 1}
+        ref = {"Y": np.array([[0, 1], [0, 0]]), "purpose_map": pm,
+               "name": "ref"}
+        syn = {"Y": np.array([[0, 1], [0, 300]]), "purpose_map": pm,
+               "name": "syn"}
+        metric_raw_schedules(ref, [syn], str(tmp_path))
+        import csv
+
+        with open(tmp_path / "raw_counts_schedule_confirmation.csv") as f:
+            rows = {r["model"]: r for r in csv.DictReader(f)}
+        assert int(rows["syn"]["confirmed_individual_count"]) == 1
+        assert int(rows["syn"]["unique_confirmed_count"]) == 1

@@ -472,3 +472,21 @@ class TestFusedZoneGAT:
         import ananke_abm_tpu.ops.pallas.fused_gat as fg
 
         assert fg.probe_lowering(40, 7, 16, 2, 1) is True
+
+    def test_probe_lowering_executes_under_jit_trace(self):
+        """build_fused_loss_fn is also called inside jit/shard_map
+        traces (parallel/sharded.py) — the probe must really compile
+        the kernels there, not get staged into the jaxpr."""
+        import ananke_abm_tpu.ops.pallas.fused_gat as fg
+
+        fg._PROBE_CACHE.pop((16, 7, 16, 2, 1), None)
+        seen = {}
+
+        @jax.jit
+        def f(x):
+            seen["probe"] = fg.probe_lowering(16, 7, 16, 2, 1)
+            return x + 1
+
+        f(jnp.ones(2))
+        assert seen["probe"] is True
+        assert fg._PROBE_CACHE[(16, 7, 16, 2, 1)] is True
