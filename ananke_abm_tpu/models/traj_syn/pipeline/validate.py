@@ -16,10 +16,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ananke_abm_tpu.models.gen_schedule.evals.report import make_report
-from ananke_abm_tpu.models.gen_schedule.pipeline.sample import (
-    decode_person_to_segments,
+from ananke_abm_tpu.models.gen_schedule.compare.utils import (
+    segments_run_length_fast,
 )
+from ananke_abm_tpu.models.gen_schedule.evals.report import make_report
 from ananke_abm_tpu.models.traj_syn.configs import TrajEmbedConfig
 from ananke_abm_tpu.models.traj_syn.model import TrajEmbedVAE
 from ananke_abm_tpu.ops.crf import viterbi_decode, viterbi_decode_no_all_home
@@ -110,6 +110,45 @@ def generate_trajectories(
     return Y, meta
 
 
+def write_segments_csv(Y, gen_csv, grid_min, inv_map):
+    """Whole-population segment CSV in one native run-length pass +
+    vectorized columns (the per-person decode_person_to_segments loop
+    costs ~20 s of python at 100k gen). Same schema and row order as
+    the reference sample.py segment writer. Returns the segmentation
+    (person, purpose, length) for reuse."""
+    import pandas as pd
+
+    d = os.path.dirname(gen_csv)
+    if d:
+        os.makedirs(d, exist_ok=True)
+    person, purpose, length = segments_run_length_fast(Y)
+    # every row spans exactly T bins, so the global segment-length
+    # cumsum at person p's first segment is p*T: within-row start bin
+    # = (cumsum - length) - person*T
+    start_bin = (np.cumsum(length) - length) - person * Y.shape[1]
+    first_seg = np.flatnonzero(
+        np.r_[True, person[1:] != person[:-1]]
+    ) if person.size else np.zeros(0, np.int64)
+    seg_per_person = np.diff(np.r_[first_seg, person.size])
+    stopno = np.arange(person.size) - np.repeat(first_seg, seg_per_person)
+    name_table = np.array(
+        [inv_map.get(i, str(i)) for i in range(max(inv_map) + 1)],
+        dtype=object,
+    )
+    pd.DataFrame(
+        {
+            "persid": np.char.add(
+                "gen_", np.char.zfill(person.astype("U12"), 6)
+            ),
+            "stopno": stopno,
+            "purpose": name_table[purpose],
+            "starttime": start_bin * grid_min,
+            "total_duration": length * grid_min,
+        }
+    ).to_csv(gen_csv, index=False)
+    return person, purpose, length
+
+
 def gen_n_val_traj(
     ckpt_path: str,
     num_gen: int,
@@ -130,22 +169,9 @@ def gen_n_val_traj(
     inv_map = {v: k for k, v in meta["purpose_map"].items()}
     grid_min = meta["grid_min"]
 
-    # segment-format CSV
-    import csv
-
-    d = os.path.dirname(gen_csv)
-    if d:
-        os.makedirs(d, exist_ok=True)
-    with open(gen_csv, "w", newline="", encoding="utf-8") as f:
-        w = csv.DictWriter(
-            f, fieldnames=["persid", "stopno", "purpose", "starttime",
-                           "total_duration"],
-        )
-        w.writeheader()
-        for i in range(Y.shape[0]):
-            w.writerows(
-                decode_person_to_segments(Y[i], f"gen_{i:06d}", grid_min, inv_map)
-            )
+    person, purpose, length = write_segments_csv(
+        Y, gen_csv, grid_min, inv_map
+    )
 
     summary = {
         "num_gen": int(num_gen),
@@ -168,12 +194,8 @@ def gen_n_val_traj(
         )
         summary["validation"] = report
 
-    # duration statistics of the generated population
-    from ananke_abm_tpu.models.gen_schedule.compare.utils import (
-        segments_run_length_fast,
-    )
-
-    _, purpose, length = segments_run_length_fast(Y)
+    # duration statistics of the generated population (segmentation
+    # reused from the CSV write above)
     summary["generated_stats"] = {
         "mean_segments_per_person": float(len(purpose) / max(Y.shape[0], 1)),
         "max_segment_minutes": int(length.max() * grid_min) if length.size else 0,

@@ -162,3 +162,32 @@ class TestEndToEnd:
         analysis = analyze_vae(npz, str(tmp_path / "analysis.json"))
         assert analysis["N"] == 10
         assert "minutes_share" in analysis
+
+
+class TestWriteSegmentsCSV:
+    def test_matches_per_person_decoder(self, tmp_path):
+        """The vectorized whole-population CSV writer must emit exactly
+        the rows the reference-style per-person decoder produces."""
+        import pandas as pd
+
+        from ananke_abm_tpu.models.gen_schedule.pipeline.sample import (
+            decode_person_to_segments,
+        )
+        from ananke_abm_tpu.models.traj_syn.pipeline.validate import (
+            write_segments_csv,
+        )
+
+        rng = np.random.default_rng(7)
+        Y = np.repeat(rng.integers(0, 4, size=(50, 6)), 3, axis=1)
+        inv_map = {0: "Home", 1: "Work", 2: "Shop", 3: "Edu"}
+        path = str(tmp_path / "gen.csv")
+        write_segments_csv(Y, path, grid_min=5, inv_map=inv_map)
+        got = pd.read_csv(path)
+
+        want_rows = []
+        for i in range(Y.shape[0]):
+            want_rows += decode_person_to_segments(
+                Y[i], f"gen_{i:06d}", 5, inv_map
+            )
+        want = pd.DataFrame(want_rows)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
