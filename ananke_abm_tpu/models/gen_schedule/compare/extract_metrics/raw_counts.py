@@ -63,10 +63,11 @@ def metric_raw_schedules(ref: Dict, models: List[Dict], outdir: str):
     ensure_dir(outdir)
     rows_r, counts_r = cached_schedule_counts(ref)
     # membership keys over uint8-packed rows: 8x less bytes to hash
-    # than int64 rows. Packing must be the SAME on both sides of the
-    # set test, so a grid that doesn't fit uint8 (never happens with
-    # purpose indices, but the loader doesn't forbid it) downgrades the
-    # comparison to int64-normalized keys for BOTH sides.
+    # than int64 rows. The key dtype must be the SAME on both sides of
+    # the set test, so each ref/model pair picks the cheapest VALUE-EXACT
+    # common dtype: uint8 when both fit, int64 when both are integer,
+    # float64 otherwise (an int cast would truncate float grids and
+    # falsely "confirm" distinct rows, e.g. 1.2 vs 1.7).
     def _packable(rows):
         return bool(
             rows.size
@@ -75,19 +76,24 @@ def metric_raw_schedules(ref: Dict, models: List[Dict], outdir: str):
             and rows.max() <= 255
         )
 
-    def _keys(rows, pack):
-        rows = np.ascontiguousarray(
-            rows.astype(np.uint8) if pack else rows.astype(np.int64)
-        )
+    def _key_mode(rows_a, rows_b):
+        if _packable(rows_a) and _packable(rows_b):
+            return np.uint8
+        if (np.issubdtype(rows_a.dtype, np.integer)
+                and np.issubdtype(rows_b.dtype, np.integer)):
+            return np.int64
+        return np.float64  # exact for int values < 2^53 and any float32
+
+    def _keys(rows, dtype):
+        rows = np.ascontiguousarray(rows.astype(dtype))
         return [r.tobytes() for r in rows]
 
-    ref_packable = _packable(rows_r)
-    key_sets = {}  # pack flag -> set of ref keys (int64 set built lazily)
+    key_sets = {}  # key dtype -> set of ref keys (built lazily)
 
-    def _ref_keys(pack):
-        if pack not in key_sets:
-            key_sets[pack] = set(_keys(rows_r, pack))
-        return key_sets[pack]
+    def _ref_keys(dtype):
+        if dtype not in key_sets:
+            key_sets[dtype] = set(_keys(rows_r, dtype))
+        return key_sets[dtype]
 
     n_ref_unique = len(counts_r)
 
@@ -95,10 +101,10 @@ def metric_raw_schedules(ref: Dict, models: List[Dict], outdir: str):
         Y = dataset["Y"]
         N = Y.shape[0]
         rows_u, counts_u = cached_schedule_counts(dataset)
-        pack = ref_packable and _packable(rows_u)
-        ref_keys = _ref_keys(pack)
+        dtype = _key_mode(rows_r, rows_u)
+        ref_keys = _ref_keys(dtype)
         confirmed_mask = np.fromiter(
-            (k in ref_keys for k in _keys(rows_u, pack)),
+            (k in ref_keys for k in _keys(rows_u, dtype)),
             dtype=bool, count=len(counts_u),
         )
         conf_ind = int(counts_u[confirmed_mask].sum())

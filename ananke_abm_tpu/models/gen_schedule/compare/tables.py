@@ -7,6 +7,7 @@ from ananke_abm_tpu.models.gen_schedule.compare.extract_metrics import (
     METRIC_FUNCS,
 )
 from ananke_abm_tpu.models.gen_schedule.compare.utils import (
+    assert_labels_fit_purpose_map,
     assert_same_temporal_grid,
     ensure_dir,
     load_comparison_models,
@@ -22,6 +23,7 @@ def metric_tables(
     ref = load_reference(ref_npz, ref_meta)
     models = load_comparison_models(compare_dir)
     assert_same_temporal_grid(ref, models)
+    assert_labels_fit_purpose_map(ref, models)
     ensure_dir(outdir)
     ran = []
     for name, fn in METRIC_FUNCS.items():

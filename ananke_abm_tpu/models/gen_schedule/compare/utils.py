@@ -91,6 +91,29 @@ def ensure_dir(path: str):
     return path
 
 
+def assert_labels_fit_purpose_map(ref: Dict, models: List[Dict]) -> None:
+    """Fail FAST (before any CSV is written) when a dataset's labels do
+    not fit the reference purpose_map's index range [0, P).
+
+    Without this, an out-of-map label surfaces mid-suite with an
+    inconsistent policy: the duration metrics tolerate extra labels (the
+    reference's dict counting did), while the base-P n-gram encoders
+    must reject them (label >= P aliases window codes; the reference's
+    own tod/bigram cores crashed on them with opaque broadcast/index
+    errors — general.py:27-51). One clear error up front instead."""
+    P = len(ref["purpose_map"])
+    for d in [ref] + list(models):
+        Y = d["Y"]
+        if Y.size and (Y.min() < 0 or Y.max() >= P):
+            raise ValueError(
+                f"dataset '{d['name']}' has labels in "
+                f"[{Y.min()}, {Y.max()}] but the reference purpose_map "
+                f"has {P} purposes (valid indices 0..{P - 1}); regenerate "
+                f"the model samples with the reference's purpose_map or "
+                f"supply a matching ref_meta"
+            )
+
+
 def assert_same_temporal_grid(ref: Dict, models: List[Dict]) -> None:
     for m in models:
         if m["T"] != ref["T"]:

@@ -121,10 +121,23 @@ def _euler_maruyama_fixed_grid(
     T = ts.shape[0]
     t_start = ts[0]
     t_end = ts[-1]
+    # enforce the documented num_steps * dt >= span contract: clamping
+    # an out-of-span time to index num_steps would silently return the
+    # end-of-grid state for every later time. Concrete ts -> eager
+    # error; traced ts -> NaN-poison the out-of-span rows (the same
+    # convention dopri5 uses for unfilled rows).
+    if not isinstance(ts, jax.core.Tracer):
+        span = float(ts[-1] - ts[0])
+        if num_steps * dt < span - 1e-9:
+            raise ValueError(
+                f"fixed-grid SDE: num_steps * dt = {num_steps * dt:g} "
+                f"does not cover ts span {span:g}; raise num_steps (or "
+                f"the caller's sde_span_hours)"
+            )
     # snapped internal index per requested time, ascending (ts sorted)
-    idx = jnp.clip(
-        jnp.round((ts - t_start) / dt).astype(jnp.int32), 0, num_steps
-    )
+    raw_idx = jnp.round((ts - t_start) / dt).astype(jnp.int32)
+    out_of_span = raw_idx > num_steps
+    idx = jnp.clip(raw_idx, 0, num_steps)
 
     leaves0, treedef = jax.tree_util.tree_flatten(y0)
     out0 = [
@@ -168,5 +181,11 @@ def _euler_maruyama_fixed_grid(
     # duplicate snapped indices: copy each row from the first row with
     # the same internal index (the only one the scatter populated)
     first = jnp.searchsorted(idx, idx)
-    outs = [o[first] for o in out]
+    outs = []
+    for o in out:
+        rows = o[first]
+        if jnp.issubdtype(rows.dtype, jnp.floating):
+            mask = out_of_span.reshape((T,) + (1,) * (rows.ndim - 1))
+            rows = jnp.where(mask, jnp.nan, rows)
+        outs.append(rows)
     return jax.tree_util.tree_unflatten(treedef, outs)

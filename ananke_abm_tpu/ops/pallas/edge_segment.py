@@ -278,10 +278,15 @@ def gat_edge_aggregate_pallas(
                 axis=1,
             )
             shift = _pair_gather(s_dst, dm_pair)  # (tile_e, 1)
-            # e - shift <= 0 per destination (exact max subtraction);
-            # padding edges (all-zero one-hot row) get shift 0 and
-            # scatter nothing
-            ex = jnp.exp(e - shift)
+            # e - shift <= 0 per destination (exact max subtraction).
+            # Padding edges (dst == Zd, all-zero one-hot row) gather
+            # shift 0, so exp(e) could overflow to inf at large caller
+            # scores — and 0 * inf = NaN would poison the scatter
+            # matmul. Clamp their exp argument to NEG_BIG (exp -> 0)
+            # BEFORE exponentiating (masking after would still compute
+            # the inf).
+            valid = (dst[:, None] >= 0) & (dst[:, None] < Zd)  # (tile_e, 1)
+            ex = jnp.exp(jnp.where(valid, e - shift, NEG_BIG))
             sdT = s_dst.T
             numer_ref[:] += jnp.dot(
                 sdT, _to16(v * ex), preferred_element_type=jnp.float32

@@ -98,13 +98,25 @@ def probe_lowering(num_zones, in_feats, feat, heads, num_layers):
             raise RuntimeError("probe was staged instead of executed")
 
     import concurrent.futures
+    import logging
 
     try:
         with concurrent.futures.ThreadPoolExecutor(1) as ex:
             ex.submit(_probe).result()
         ok = True
-    except Exception:  # Mosaic lowering/compile failure on this backend
+    except Exception as e:  # Mosaic lowering/compile failure on this backend
         ok = False
+        # a silent demotion to the flax encoder costs ~2 ms/step; say so
+        logging.getLogger(__name__).warning(
+            "fused ZoneGAT lowering probe failed (%s: %s) — using the "
+            "flax/XLA encoder", type(e).__name__, str(e)[:200],
+        )
+        # a down remote backend is not a lowering verdict: do not cache,
+        # so the next build re-probes after the tunnel recovers
+        msg = f"{type(e).__name__} {e}".upper()
+        if any(t in msg for t in ("UNAVAILABLE", "DEADLINE", "CONNECT",
+                                  "SOCKET", "TUNNEL")):
+            return False
     _PROBE_CACHE[key] = ok
     return ok
 

@@ -211,6 +211,7 @@ def build_purposes_catalog(
         "purpose": _titleize(act[p_col]),
         "start": pd.to_numeric(act[s_col], errors="coerce"),
         "dur": pd.to_numeric(act[d_col], errors="coerce"),
+        "day": act[day_col],
         "pday": act[pid_col].astype(str) + "||" + act[day_col].astype(str),
     })
     work = work.dropna(subset=["purpose", "start", "dur"])
@@ -219,7 +220,9 @@ def build_purposes_catalog(
     if persons_csv and os.path.exists(persons_csv):
         persons = pd.read_csv(persons_csv)
         ppid = _resolve_column(persons, person_col, "person")
-        n_days = max(1, act[day_col].nunique())
+        # count days among the rows that survived parsing — a day whose
+        # rows are all unparseable must not inflate the denominator
+        n_days = max(1, work["day"].nunique())
         denom = max(denom, persons[ppid].nunique() * n_days)
 
     # per-purpose stats in one vectorized agg pass (ddof=1 std, matching

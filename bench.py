@@ -158,13 +158,16 @@ def measure_train_step() -> dict:
     hz = jnp.asarray(data["home_zone"])
     tg = jnp.asarray(data["zone_ids"])
 
+    # data arrays are threaded as explicit jit args — closure-captured
+    # device arrays get baked into the serialized program shipped over
+    # the remote-compile tunnel (CLAUDE.md: HTTP 413 at VISTA scale)
     def body(carry, _):
-        p, o = carry
+        p, o, pf, hz, tg = carry
         (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             p, pf, hz, tg
         )
         updates, o = optimizer.update(grads, o, p)
-        return (optax.apply_updates(p, updates), o), loss
+        return (optax.apply_updates(p, updates), o, pf, hz, tg), loss
 
     # two-K scan difference: total(K) = fixed_call_overhead + K * step, so
     # (total(K2) - total(K1)) / (K2 - K1) cancels the ~31 ms per-call
@@ -176,12 +179,13 @@ def measure_train_step() -> dict:
         def run(c):
             return jax.lax.scan(body, c, None, length=K)
 
-        _, losses = run((params, opt_state))
+        carry0 = (params, opt_state, pf, hz, tg)
+        _, losses = run(carry0)
         float(jnp.sum(losses))  # compile + warm, scalar-pull synced
         best = float("inf")
         for _ in range(reps):
             t0 = time.time()
-            _, losses = run((params, opt_state))
+            _, losses = run(carry0)
             float(jnp.sum(losses))
             best = min(best, time.time() - t0)
         return best

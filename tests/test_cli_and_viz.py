@@ -226,6 +226,33 @@ class TestAnankeCLI:
         notes = out.set_index("purpose")["notes"]
         assert notes.get("Work") == "last-wins"
 
+    def test_unparseable_day_excluded_from_denominator(self, tmp_path):
+        """Regression: a day whose rows are ALL dropped as unparseable
+        (non-numeric durations) must not count toward the person-day
+        participation denominator."""
+        import pandas as pd
+
+        from ananke_abm_tpu.utils.make_purposes import (
+            build_purposes_catalog,
+        )
+
+        acts = tmp_path / "acts.csv"
+        pd.DataFrame({
+            "persid": ["p1", "p1", "p1"],
+            "day": [1, 1, 2],
+            "purpose": ["Work", "Home", "Work"],
+            "startime": [540, 0, 540],
+            "total_duration": [480, 500, "bad"],  # day 2 fully dropped
+        }).to_csv(acts, index=False)
+        persons = tmp_path / "persons.csv"
+        pd.DataFrame({"persid": ["p1", "p2"]}).to_csv(persons, index=False)
+
+        out = build_purposes_catalog(
+            str(acts), persons_csv=str(persons), day_col="day"
+        ).set_index("purpose")
+        # denominator = 2 persons x 1 parseable day = 2 (NOT 4)
+        assert out.loc["Work", "person_day_participation_rate"] == 0.5
+
 
 class TestDataGenerator:
     def test_export_csvs_roundtrip(self, tmp_path):

@@ -164,6 +164,34 @@ class TestMetricTables:
                 str(cdir), str(tmp_path / "out"),
             )
 
+    def test_out_of_map_labels_fail_fast(self, tmp_path):
+        """A model grid with labels outside the ref purpose_map range
+        must abort BEFORE any CSV is written (previously the suite
+        crashed mid-run: duration metrics tolerated the labels, tod/
+        ngram/bigram raised, leaving partial output)."""
+        from ananke_abm_tpu.models.gen_schedule.compare.tables import (
+            metric_tables,
+        )
+
+        pm = {"Home": 0, "Work": 1}
+        np.savez(str(tmp_path / "ref.npz"), Y=np.zeros((4, 10), np.int64))
+        with open(str(tmp_path / "ref_meta.json"), "w") as f:
+            json.dump({"purpose_map": pm, "grid_min": 5, "L": 10}, f)
+        cdir = tmp_path / "m"
+        cdir.mkdir()
+        bad = np.zeros((4, 10), np.int64)
+        bad[0, 0] = 7  # purpose index beyond ref's P=2
+        np.savez(str(cdir / "x.npz"), Y_generated=bad)
+        with open(str(cdir / "x_meta.json"), "w") as f:
+            json.dump({"purpose_map": pm, "grid_min": 5, "L": 10}, f)
+        outdir = tmp_path / "out"
+        with pytest.raises(ValueError, match="purpose_map"):
+            metric_tables(
+                str(tmp_path / "ref.npz"), str(tmp_path / "ref_meta.json"),
+                str(cdir), str(outdir),
+            )
+        assert not outdir.exists() or not any(outdir.iterdir())
+
 
 class TestScheduleCountArraysHashPath:
     """compare.utils.schedule_count_arrays — the hash-grouped row unique:
@@ -306,3 +334,31 @@ class TestLabelValidationUniform:
             rows = {r["model"]: r for r in csv.DictReader(f)}
         assert int(rows["syn"]["confirmed_individual_count"]) == 1
         assert int(rows["syn"]["unique_confirmed_count"]) == 1
+
+    def test_raw_schedules_float_rows_not_truncated(self, tmp_path):
+        """Regression: float grids used to be keyed via astype(int64),
+        so 1.2 and 1.7 collided and falsely 'confirmed' distinct rows."""
+        from ananke_abm_tpu.models.gen_schedule.compare.extract_metrics.raw_counts import (
+            metric_raw_schedules,
+        )
+
+        pm = {"Home": 0, "A": 1}
+        ref = {"Y": np.array([[1.2, 2.0], [0.0, 0.0]]), "purpose_map": pm,
+               "name": "ref"}
+        syn = {"Y": np.array([[1.7, 2.0], [1.2, 2.0]]), "purpose_map": pm,
+               "name": "syn"}
+        metric_raw_schedules(ref, [syn], str(tmp_path))
+        import csv
+
+        with open(tmp_path / "raw_counts_schedule_confirmation.csv") as f:
+            rows = {r["model"]: r for r in csv.DictReader(f)}
+        # only [1.2, 2.0] matches the ref; [1.7, 2.0] must NOT
+        assert int(rows["syn"]["confirmed_individual_count"]) == 1
+        assert int(rows["syn"]["unique_confirmed_count"]) == 1
+        # an int-valued float ref row must still match an int model row
+        syn_int = {"Y": np.array([[0, 0]]), "purpose_map": pm,
+                   "name": "syn_int"}
+        metric_raw_schedules(ref, [syn_int], str(tmp_path))
+        with open(tmp_path / "raw_counts_schedule_confirmation.csv") as f:
+            rows = {r["model"]: r for r in csv.DictReader(f)}
+        assert int(rows["syn_int"]["unique_confirmed_count"]) == 1

@@ -262,6 +262,30 @@ class TestSDE:
         np.testing.assert_allclose(ys[3], (1 - 0.01) ** 100 * np.ones(3),
                                    rtol=1e-5)
 
+    def test_fixed_grid_undersized_num_steps_rejected(self):
+        """Regression: num_steps * dt < span used to silently clamp every
+        later output to the end-of-grid state. Concrete ts now raise;
+        traced ts NaN-poison the out-of-span rows (dopri5 convention)."""
+        drift = lambda t, y, args: -y
+        diff = lambda t, y, args: jnp.zeros_like(y)
+        y0 = jnp.ones((3,))
+        ts = jnp.array([0.0, 0.5, 2.0])  # span 2.0 > 100 * 0.01
+        with pytest.raises(ValueError, match="does not cover"):
+            euler_maruyama_solve(
+                drift, diff, y0, ts, jax.random.PRNGKey(0),
+                dt=0.01, num_steps=100,
+            )
+        # traced ts: in-span rows intact, out-of-span rows NaN
+        ys = jax.jit(
+            lambda ts: euler_maruyama_solve(
+                drift, diff, y0, ts, jax.random.PRNGKey(0),
+                dt=0.01, num_steps=100,
+            )
+        )(ts)
+        ys = np.asarray(ys)
+        assert np.isfinite(ys[:2]).all()
+        assert np.isnan(ys[2]).all()
+
     def test_fixed_grid_gradient_flows(self):
         def loss(scale):
             drift = lambda t, y, args: -y * args

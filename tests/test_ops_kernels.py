@@ -318,6 +318,37 @@ class TestEdgeSegmentPallas:
         denom = np.maximum(np.abs(want).max(), 1e-6)
         assert np.abs(got - want).max() / denom < 2e-2
 
+    @pytest.mark.parametrize("score_shift", ["exact", "bounded"])
+    def test_padding_edges_cannot_overflow(self, score_shift):
+        """Regression: padding edges (E not a tile multiple point at
+        dst=Zd with src padded to 0) gather shift 0, so exp(e) used to
+        overflow to inf once qs[0] > ~88 — and 0 * inf = NaN poisoned
+        every output row through the scatter matmul. The exp argument
+        is now clamped on invalid rows BEFORE exponentiation."""
+        from ananke_abm_tpu.ops.pallas.edge_segment import (
+            gat_edge_aggregate_pallas,
+        )
+        from ananke_abm_tpu.ops.segment import edge_softmax_attention
+
+        Z, E, D = 32, 200, 8  # E pads to tile_e -> hundreds of pad edges
+        src, dst, Wh, a_s, a_d = self._random_graph(Z, E, D, seed=3)
+        qs = (Wh @ a_s).at[0].set(150.0)  # exp(150) overflows f32
+        qd = Wh @ a_d
+        e = jax.nn.leaky_relu(qs[src] + qd[dst], negative_slope=0.2)
+        want = np.asarray(edge_softmax_attention(Wh[src], e, dst, Z))
+        got = np.asarray(gat_edge_aggregate_pallas(
+            Wh, qs, qd, src, dst, score_shift=score_shift, interpret=True
+        ))
+        assert np.isfinite(got).all(), "padding edges poisoned the output"
+        denom = np.maximum(np.abs(want).max(), 1e-6)
+        if score_shift == "exact":
+            rows = np.arange(Z)
+        else:
+            # bounded mode documents underflow-to-zero for destinations
+            # far below the global max score; check the rows node 0 feeds
+            rows = np.unique(np.asarray(dst)[np.asarray(src) == 0])
+        assert np.abs(got[rows] - want[rows]).max() / denom < 2e-2
+
     def test_bounded_shift_matches_exact_at_moderate_scores(self):
         """score_shift='bounded' (single sweep, per-destination upper
         bound) == 'exact' (two-pass true max) at trained-model score
