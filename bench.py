@@ -317,7 +317,58 @@ def get_baseline() -> float:
     return val
 
 
+TPU_LOCK = "/tmp/ananke_tpu.lock"  # held by any long-running TPU job
+
+
+def wait_for_tpu(budget_s: float | None = None) -> bool:
+    """Wait (bounded) until the remote axon backend answers and no other
+    TPU job holds the lock. The tunnel goes down for stretches and a
+    second TPU process can wedge a running one (CLAUDE.md), so each
+    probe runs in a SUBPROCESS with a hard timeout — a failed backend
+    init never poisons this process's jax state. Returns True when the
+    backend responded; False when the budget ran out (the measurement
+    then proceeds and surfaces the real error)."""
+    import subprocess
+
+    if budget_s is None:
+        budget_s = float(os.environ.get("BENCH_TPU_WAIT_S", "900"))
+    def lock_held():
+        # the lock names its holder pid; a dead holder = stale lock
+        try:
+            with open(TPU_LOCK) as f:
+                pid = int(f.read().strip() or "0")
+            os.kill(pid, 0)
+            return True
+        except (FileNotFoundError, ValueError, ProcessLookupError,
+                PermissionError):
+            return False
+
+    deadline = time.time() + budget_s
+    first = True
+    while True:
+        if not lock_held():
+            try:
+                probe = subprocess.run(
+                    [sys.executable, "-c",
+                     "import jax; assert jax.devices()[0].platform == 'tpu'"],
+                    timeout=max(60.0, min(240.0, deadline - time.time() + 240.0)),
+                    capture_output=True,
+                )
+                if probe.returncode == 0:
+                    return True
+            except subprocess.TimeoutExpired:
+                pass  # backend init hung — tunnel down
+        if time.time() >= deadline:
+            return False
+        if first:
+            print("bench: waiting for the TPU backend/lock...",
+                  file=sys.stderr)
+            first = False
+        time.sleep(30)
+
+
 def main():
+    wait_for_tpu()
     tpu = measure_tpu()
     baseline = get_baseline()
     train_stats = measure_train_step()
