@@ -282,3 +282,69 @@ class TestSemiCRFPathScoreProperty:
             [self._naive_score(u[b], labels[b], dur, A) for b in range(B)]
         )
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+class TestEdgeKernelProperties:
+    """Pallas edge-softmax aggregation (exact mode) == the XLA segment
+    composition for ARBITRARY graphs: any edge count (incl. zero and
+    non-tile-multiple E -> padding edges), any score scale (incl. ones
+    whose exp overflows f32 without the max shift), out-of-range dst
+    ids (dropped, like segment_sum)."""
+
+    @given(
+        seed=st.integers(0, 10_000),
+        Z=st.integers(2, 70),
+        E=st.integers(0, 500),
+        D=st.sampled_from([4, 8, 16]),
+        scale=st.sampled_from([0.3, 1.0, 60.0, 200.0]),
+        extra_dst=st.integers(0, 3),  # ids >= Z must be dropped
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_gat_edge_aggregate_matches_xla(self, seed, Z, E, D, scale,
+                                            extra_dst):
+        import jax
+        import jax.numpy as jnp
+
+        from ananke_abm_tpu.ops.pallas.edge_segment import (
+            gat_edge_aggregate_pallas,
+        )
+        from ananke_abm_tpu.ops.segment import edge_softmax_attention
+
+        rng = np.random.default_rng(seed)
+        src = jnp.asarray(rng.integers(0, Z, E), jnp.int32)
+        dst = jnp.asarray(rng.integers(0, Z + extra_dst, E), jnp.int32)
+        Wh = jnp.asarray(rng.normal(size=(Z, D)).astype(np.float32))
+        qs = jnp.asarray(rng.normal(size=(Z,)).astype(np.float32)) * scale
+        qd = jnp.asarray(rng.normal(size=(Z,)).astype(np.float32)) * scale
+        e = jax.nn.leaky_relu(qs[src] + qd[dst], negative_slope=0.2)
+        want = np.asarray(edge_softmax_attention(Wh[src], e, dst, Z))
+        got = np.asarray(gat_edge_aggregate_pallas(
+            Wh, qs, qd, src, dst, num_nodes=Z, interpret=True
+        ))
+        assert np.isfinite(got).all()
+        denom = max(np.abs(want).max(), 1e-6)
+        assert np.abs(got - want).max() / denom < 2e-2
+
+    @given(
+        seed=st.integers(0, 10_000),
+        Z=st.integers(1, 60),
+        E=st.integers(0, 400),
+        D=st.sampled_from([4, 16]),
+    )
+    @settings(max_examples=20, deadline=None)
+    def test_segment_sum_matches_xla(self, seed, Z, E, D):
+        import jax
+        import jax.numpy as jnp
+
+        from ananke_abm_tpu.ops.pallas.edge_segment import (
+            segment_sum_pallas,
+        )
+
+        rng = np.random.default_rng(seed)
+        vals = jnp.asarray(rng.normal(size=(E, D)).astype(np.float32))
+        # ids beyond Z (and at Z-1) -> out-of-range rows must be dropped
+        ids = jnp.asarray(rng.integers(0, Z + 2, E), jnp.int32)
+        want = np.asarray(jax.ops.segment_sum(vals, ids, num_segments=Z))
+        got = np.asarray(segment_sum_pallas(vals, ids, Z, interpret=True))
+        denom = max(np.abs(want).max(), 1e-6)
+        assert np.abs(got - want).max() / denom < 2e-2
