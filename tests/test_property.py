@@ -348,3 +348,80 @@ class TestEdgeKernelProperties:
         got = np.asarray(segment_sum_pallas(vals, ids, Z, interpret=True))
         denom = max(np.abs(want).max(), 1e-6)
         assert np.abs(got - want).max() / denom < 2e-2
+
+
+class TestFusedRolloutShapeSpace:
+    """The serving kernels' tiling/padding arithmetic must hold at
+    ARBITRARY shapes, not just the curated fixtures: odd agent counts
+    (partial final tile), small/odd zone counts, any substeps/num_blocks.
+    The two Pallas kernels (per-step and interval-fused decode) must
+    agree EXACTLY with each other; both must track the f32 XLA model
+    closely (bf16 kernel -> rare argmax flips near ties are allowed)."""
+
+    @given(
+        seed=st.integers(0, 1000),
+        n_agents=st.integers(17, 150),
+        num_zones=st.integers(4, 40),
+        num_times=st.integers(3, 10),
+        substeps=st.integers(1, 3),
+        num_blocks=st.integers(1, 3),
+    )
+    @settings(max_examples=8, deadline=None)
+    def test_kernels_agree_across_shapes(self, seed, n_agents, num_zones,
+                                         num_times, substeps, num_blocks):
+        import jax
+        import jax.numpy as jnp
+
+        from ananke_abm_tpu.data_generator.agent_trajectories import (
+            generate_agent_population,
+        )
+        from ananke_abm_tpu.models.gnn_embed.train import (
+            GATODEConfig,
+            build_model,
+            init_params,
+        )
+        from ananke_abm_tpu.ops.pallas.fused_step import make_pallas_rollout
+
+        cfg = GATODEConfig(
+            zone_dim=16, agent_dim=8, context_dim=8, hidden_dim=16,
+            gat_heads=2, gat_layers=1, num_blocks=num_blocks,
+            substeps=substeps,
+        )
+        d = generate_agent_population(
+            n_agents, num_times=num_times, num_zones=num_zones, seed=seed
+        )
+        model = build_model(cfg, 7, 8)
+        params = init_params(model, cfg, d, n_agents, jax.random.PRNGKey(seed))
+        zf, adj = jnp.asarray(d["zone_features"]), jnp.asarray(d["adj"])
+        times = jnp.asarray(d["times"])
+        pf, hz = jnp.asarray(d["person_feats"]), jnp.asarray(d["home_zone"])
+
+        per_step = make_pallas_rollout(
+            model, zf, adj, times, substeps=substeps
+        )(params, pf, hz)
+        fused = make_pallas_rollout(
+            model, zf, adj, times, substeps=substeps, fuse_decode=True
+        )(params, pf, hz)
+        # the two kernel variants share the bf16 math: exact agreement
+        np.testing.assert_array_equal(np.asarray(fused), np.asarray(per_step))
+        assert fused.shape == (n_agents, num_times)
+
+        logits, _ = model.apply(
+            {"params": params}, zf, adj, pf, hz, times,
+            ode_method="rk4", substeps=substeps,
+        )
+        lg = np.asarray(logits, dtype=np.float64)
+        xla_ids = lg.argmax(-1)
+        ids = np.asarray(fused)
+        agree = (ids == xla_ids).mean()
+        assert agree > 0.9, f"bf16 kernel ids diverged: {agree:.3f}"
+        # every disagreement must be a bf16-scale near-tie in the f32
+        # logits, not a genuinely different answer
+        flips = np.argwhere(ids != xla_ids)
+        scale = np.abs(lg).max() + 1e-9
+        for a, t in flips:
+            margin = lg[a, t, xla_ids[a, t]] - lg[a, t, ids[a, t]]
+            assert margin / scale < 0.05, (
+                f"kernel picked a clearly-worse zone at ({a},{t}): "
+                f"margin {margin:.4g} vs scale {scale:.4g}"
+            )
