@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ananke_abm_tpu.ode.tree import tree_axpy, tree_map
 
@@ -125,9 +126,16 @@ def _euler_maruyama_fixed_grid(
     # an out-of-span time to index num_steps would silently return the
     # end-of-grid state for every later time. Concrete ts -> eager
     # error; traced ts -> NaN-poison the out-of-span rows (the same
-    # convention dopri5 uses for unfilled rows).
-    if not isinstance(ts, jax.core.Tracer):
-        span = float(ts[-1] - ts[0])
+    # convention dopri5 uses for unfilled rows). Concreteness is probed
+    # with np.asarray, NOT isinstance(ts, Tracer): a closure-captured
+    # grid inside jit is a concrete Array whose jnp ops are still staged
+    # (op-level constant lifting), so float(ts[-1] - ts[0]) would raise.
+    try:
+        ts_host = np.asarray(ts)
+    except jax.errors.TracerArrayConversionError:
+        ts_host = None
+    if ts_host is not None:
+        span = float(ts_host[-1] - ts_host[0])
         if num_steps * dt < span - 1e-9:
             raise ValueError(
                 f"fixed-grid SDE: num_steps * dt = {num_steps * dt:g} "

@@ -286,6 +286,40 @@ class TestSDE:
         assert np.isfinite(ys[:2]).all()
         assert np.isnan(ys[2]).all()
 
+    def test_fixed_grid_closure_captured_ts_under_jit(self):
+        """Regression: a grid closure-captured into a jitted train step is
+        a CONCRETE array whose jnp ops are still staged (op-level constant
+        lifting in jax 0.9), so the span check must not probe concreteness
+        via isinstance(ts, Tracer) + float(ts[-1] - ts[0]) — that raised
+        ConcretizationTypeError and broke every SDE training path."""
+        drift = lambda t, y, args: -y
+        diff = lambda t, y, args: jnp.zeros_like(y)
+        ts = jnp.array([0.0, 0.5, 1.0])  # concrete, closed over below
+
+        @jax.jit
+        def run(y0):
+            return euler_maruyama_solve(
+                drift, diff, y0, ts, jax.random.PRNGKey(0),
+                dt=0.01, num_steps=100,
+            )
+
+        ys = np.asarray(run(jnp.ones((3,))))
+        assert np.isfinite(ys).all()
+
+        # ...and the eager contract error still fires at trace time for a
+        # closure-captured OUT-OF-SPAN grid (np.asarray sees the constant)
+        ts_bad = jnp.array([0.0, 0.5, 2.0])
+
+        @jax.jit
+        def run_bad(y0):
+            return euler_maruyama_solve(
+                drift, diff, y0, ts_bad, jax.random.PRNGKey(0),
+                dt=0.01, num_steps=100,
+            )
+
+        with pytest.raises(ValueError, match="does not cover"):
+            run_bad(jnp.ones((3,)))
+
     def test_fixed_grid_gradient_flows(self):
         def loss(scale):
             drift = lambda t, y, args: -y * args
