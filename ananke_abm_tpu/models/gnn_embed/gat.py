@@ -1,9 +1,14 @@
 """Graph-attention zone encoder.
 
-Multi-head GAT over the zone graph (adjacency-masked dense attention —
-zone counts are O(10^2..10^3), so the (Z, Z) attention is a single small
-MXU matmul; the sparse edge-list path for larger graphs lives in
-ananke_abm_tpu.ops.segment / ops.pallas).
+Multi-head GAT over the zone graph. Two attention paths sharing ONE
+parameter set:
+
+- dense (default): adjacency-masked (Z, Z) attention — zone counts are
+  O(10^2..10^3), one small MXU matmul;
+- sparse: pass ``edge_index`` (from ``ops.segment.edges_from_adj``) to
+  route the same math through the edge-list segment ops / Pallas
+  one-hot-matmul kernels (ops/segment.py, ops/pallas/edge_segment.py)
+  — for zone graphs too large or too sparse for dense (Z, Z) scores.
 """
 from __future__ import annotations
 
@@ -18,8 +23,14 @@ class GATLayer(nn.Module):
     heads: int = 4
 
     @nn.compact
-    def __call__(self, h, adj):
-        """h: (Z, F_in), adj: (Z, Z) {0,1} with self loops. -> (Z, features)"""
+    def __call__(self, h, adj, edge_index=None):
+        """h: (Z, F_in), adj: (Z, Z) {0,1} with self loops. -> (Z, features)
+
+        ``edge_index``: optional ``(edge_src, edge_dst)`` int arrays
+        equivalent to ``adj`` (``adj[i, j] != 0 <=> (src=j, dst=i)``);
+        when given, attention runs over the edge list instead of the
+        dense mask — identical params, identical output.
+        """
         Z = h.shape[0]
         assert self.features % self.heads == 0
         d = self.features // self.heads
@@ -28,8 +39,19 @@ class GATLayer(nn.Module):
 
         a_src = self.param("a_src", nn.initializers.xavier_uniform(), (self.heads, d))
         a_dst = self.param("a_dst", nn.initializers.xavier_uniform(), (self.heads, d))
+        # a_src couples to the RECEIVING row i, a_dst to the neighbor j
+        # (the dense broadcast below fixes that orientation)
         e_src = jnp.einsum("zhd,hd->zh", Wh, a_src)  # (Z, H)
         e_dst = jnp.einsum("zhd,hd->zh", Wh, a_dst)
+        if edge_index is not None:
+            from ananke_abm_tpu.ops.segment import (
+                gat_edge_attention_multihead,
+            )
+
+            out = gat_edge_attention_multihead(
+                Wh, e_src, e_dst, edge_index[0], edge_index[1], Z
+            )
+            return out.reshape(Z, self.features)
         scores = nn.leaky_relu(
             e_src[:, None, :] + e_dst[None, :, :], negative_slope=0.2
         )  # (Zi, Zj, H)
@@ -47,9 +69,11 @@ class ZoneGAT(nn.Module):
     num_layers: int = 2
 
     @nn.compact
-    def __call__(self, zone_feats, adj):
+    def __call__(self, zone_feats, adj, edge_index=None):
         h = nn.Dense(self.features)(zone_feats)
         for _ in range(self.num_layers):
-            h = h + nn.elu(GATLayer(self.features, self.heads)(h, adj))
+            h = h + nn.elu(
+                GATLayer(self.features, self.heads)(h, adj, edge_index)
+            )
             h = nn.LayerNorm()(h)
         return h

@@ -90,8 +90,13 @@ class GATODE(nn.Module):
         self.init_proj = nn.Dense(self.agent_dim)
         self.decode_proj = nn.Dense(self.zone_dim, use_bias=False)
 
-    def encode_zones(self, zone_feats, adj):
-        return self.zone_gat(zone_feats, adj)  # (Z, Dz)
+    def encode_zones(self, zone_feats, adj, edge_index=None):
+        """(Z, Dz) zone embeddings. Pass ``edge_index`` (host-built once
+        via ops.segment.edges_from_adj) to run the attention over the
+        edge list instead of the dense (Z, Z) mask — same params, same
+        output; the sparse path dispatches to the Pallas edge kernels
+        on TPU inside their measured win region (Z <= 2048)."""
+        return self.zone_gat(zone_feats, adj, edge_index)  # (Z, Dz)
 
     def zone_attention(self, x, zone_emb):
         """Bipartite person->zone attention. x: (N, Da) -> ctx (N, Dz)."""
@@ -137,9 +142,10 @@ class GATODE(nn.Module):
         rtol: float = 1e-5,
         atol: float = 1e-5,
         checkpoint: bool = True,
+        edge_index=None,
     ):
         """Full integrate-then-decode. Returns (logits (N, T, Z), xs (N, T, Da))."""
-        zone_emb = self.encode_zones(zone_feats, adj)
+        zone_emb = self.encode_zones(zone_feats, adj, edge_index)
         x0, h = self.initial_state(person_feats, home_zone_ids, zone_emb)
 
         if self.is_initializing():

@@ -98,6 +98,79 @@ def gat_edge_layer(h, edge_src, edge_dst, W, a_src, a_dst, num_nodes=None,
     return edge_softmax_attention(Wh[edge_src], e, edge_dst, num_nodes)
 
 
+def edges_from_adj(adj):
+    """Edge list from a dense {0,1} adjacency, host-side (numpy).
+
+    ``adj[i, j] != 0`` means a message j -> i (the dense GATLayer's
+    row-wise softmax semantics: row i aggregates over columns j).
+    Returns ``(edge_src, edge_dst)`` int32 arrays with src=j, dst=i.
+    Build this ONCE per graph outside jit — the edge count is static.
+    """
+    import numpy as np
+
+    pairs = np.argwhere(np.asarray(adj) != 0)  # (E, 2) rows (dst, src)
+    return (
+        pairs[:, 1].astype(np.int32),
+        pairs[:, 0].astype(np.int32),
+    )
+
+
+def gat_edge_attention_multihead(
+    Wh, e_recv, e_send, edge_src, edge_dst, num_nodes,
+    use_pallas: str | bool = "auto",
+):
+    """Multi-head edge-list GAT aggregation — the sparse counterpart of
+    the dense ``GATLayer`` attention (models/gnn_embed/gat.py:31-39).
+
+    Wh: (Z, H, d) per-head projected features; ``e_recv``/``e_send``:
+    (Z, H) attention logits coupling to the receiving (destination) /
+    sending (source) node; edges carry messages edge_src -> edge_dst.
+    Returns (num_nodes, H, d) with
+    ``out[i] = sum_j alpha_ij Wh[j]``, ``alpha_i: = softmax_j``
+    over i's in-neighbors of ``leaky_relu(e_recv[i] + e_send[j])`` —
+    exactly the dense layer with ``adj[i, j] = 1 <=> edge (src=j,
+    dst=i)`` (see ``edges_from_adj``).
+
+    Dispatch matches ``gat_edge_layer``: per-head Pallas one-hot-matmul
+    kernels on TPU inside the measured win region, XLA segment ops
+    otherwise; both are differentiable. ``use_pallas="interpret"`` runs
+    the kernel in Pallas interpret mode (forward-only — for testing the
+    kernel argument mapping off-TPU).
+    """
+    Z, H, d = Wh.shape
+    if use_pallas == "auto":
+        use_pallas = _on_tpu() and max(num_nodes, Z) <= _PALLAS_MAX_Z
+    if use_pallas:
+        from ananke_abm_tpu.ops.pallas.edge_segment import (
+            gat_edge_aggregate,
+            gat_edge_aggregate_pallas,
+        )
+
+        def agg(w, qs, qd):
+            # kernel scores are leaky_relu(qs[src] + qd[dst]) — the
+            # receiving-node logits therefore ride qd
+            if use_pallas == "interpret":
+                return gat_edge_aggregate_pallas(
+                    w, qs, qd, edge_src, edge_dst,
+                    num_nodes=num_nodes, interpret=True,
+                )
+            return gat_edge_aggregate(
+                w, qs, qd, edge_src, edge_dst, num_nodes=num_nodes
+            )
+
+        outs = [
+            agg(Wh[:, h], e_send[:, h], e_recv[:, h]) for h in range(H)
+        ]
+        return jnp.stack(outs, axis=1)
+    scores = jax.nn.leaky_relu(
+        e_recv[edge_dst] + e_send[edge_src], negative_slope=0.2
+    )  # (E, H)
+    alpha = segment_softmax(scores, edge_dst, num_nodes)
+    vals = (Wh[edge_src] * alpha[:, :, None]).reshape(edge_src.shape[0], -1)
+    out = jax.ops.segment_sum(vals, edge_dst, num_segments=num_nodes)
+    return out.reshape(num_nodes, H, d)
+
+
 def person_zone_segment_sum(values, zone_ids, num_zones):
     """Aggregate per-person values (N, D) into their zones — the sharded
     segment-sum primitive for zone-level statistics (BASELINE config 4).

@@ -72,6 +72,122 @@ class TestGAT:
         )
         assert not np.allclose(np.asarray(out1[3:]), np.asarray(out2[3:]))
 
+    @pytest.mark.parametrize("Z,density,heads,layers", [
+        (12, 0.4, 2, 1),
+        (33, 0.15, 4, 2),   # odd Z, multi-layer
+        (64, 0.05, 2, 2),   # sparse
+    ])
+    def test_sparse_edge_path_matches_dense(self, Z, density, heads, layers):
+        """The edge-list attention path (ops.segment kernels) must equal
+        the dense adjacency-masked path — same params, values AND grads."""
+        from ananke_abm_tpu.ops.segment import edges_from_adj
+
+        rng = np.random.default_rng(Z)
+        zf = rng.normal(size=(Z, 7)).astype(np.float32)
+        adj = (rng.random((Z, Z)) < density).astype(np.float32)
+        adj = np.maximum(adj, adj.T)
+        np.fill_diagonal(adj, 1.0)  # self loops, like the real worlds
+        edge_index = edges_from_adj(adj)
+
+        gat = ZoneGAT(features=8, heads=heads, num_layers=layers)
+        params = gat.init(
+            jax.random.PRNGKey(1), jnp.asarray(zf), jnp.asarray(adj)
+        )
+        dense = gat.apply(params, jnp.asarray(zf), jnp.asarray(adj))
+        sparse = gat.apply(
+            params, jnp.asarray(zf), jnp.asarray(adj), edge_index
+        )
+        np.testing.assert_allclose(
+            np.asarray(sparse), np.asarray(dense), rtol=2e-5, atol=2e-5
+        )
+
+        def loss_dense(p):
+            return jnp.sum(gat.apply(p, jnp.asarray(zf), jnp.asarray(adj)) ** 2)
+
+        def loss_sparse(p):
+            return jnp.sum(
+                gat.apply(p, jnp.asarray(zf), jnp.asarray(adj), edge_index) ** 2
+            )
+
+        gd = jax.grad(loss_dense)(params)
+        gs = jax.grad(loss_sparse)(params)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(gd), jax.tree_util.tree_leaves(gs)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=5e-4, atol=5e-5
+            )
+
+    def test_sparse_pallas_dispatch_matches_dense_interpret(self):
+        """The multihead Pallas dispatch (per-head kernel calls + the
+        e_send->qs / e_recv->qd orientation) must reproduce the dense
+        layer — run in interpret mode so the mapping is gated off-TPU."""
+        from ananke_abm_tpu.models.gnn_embed.gat import GATLayer
+        from ananke_abm_tpu.ops.segment import (
+            edges_from_adj,
+            gat_edge_attention_multihead,
+        )
+
+        Z, F, feats, heads = 10, 7, 8, 2
+        rng = np.random.default_rng(7)
+        zf = rng.normal(size=(Z, F)).astype(np.float32)
+        adj = (rng.random((Z, Z)) < 0.4).astype(np.float32)
+        adj = np.maximum(adj, adj.T)
+        np.fill_diagonal(adj, 1.0)
+        src, dst = edges_from_adj(adj)
+
+        layer = GATLayer(features=feats, heads=heads)
+        params = layer.init(
+            jax.random.PRNGKey(2), jnp.asarray(zf), jnp.asarray(adj)
+        )
+        dense = np.asarray(
+            layer.apply(params, jnp.asarray(zf), jnp.asarray(adj))
+        )
+
+        # rebuild the layer's internals to drive the dispatch directly
+        W = params["params"]["Dense_0"]["kernel"]
+        Wh = (jnp.asarray(zf) @ W).reshape(Z, heads, feats // heads)
+        a_src = params["params"]["a_src"]
+        a_dst = params["params"]["a_dst"]
+        e_recv = jnp.einsum("zhd,hd->zh", Wh, a_src)
+        e_send = jnp.einsum("zhd,hd->zh", Wh, a_dst)
+        out = gat_edge_attention_multihead(
+            Wh, e_recv, e_send, jnp.asarray(src), jnp.asarray(dst), Z,
+            use_pallas="interpret",
+        )
+        # interpret kernel runs the bf16 feature path: loose tolerance
+        np.testing.assert_allclose(
+            np.asarray(out).reshape(Z, feats), dense, rtol=2e-2, atol=2e-2
+        )
+
+    def test_sparse_edge_path_through_full_model(self):
+        """edge_index threads through GATODE.__call__ / encode_zones and
+        reproduces the dense forward exactly (same logits)."""
+        from ananke_abm_tpu.models.gnn_embed.train import build_model
+        from ananke_abm_tpu.ops.segment import edges_from_adj
+
+        cfg = tiny_cfg()
+        d = generate_agent_population(32, num_times=5, num_zones=10, seed=3)
+        model = build_model(cfg, 7, 8)
+        params = init_params(model, cfg, d, 32, jax.random.PRNGKey(0))
+        zf, adj = jnp.asarray(d["zone_features"]), jnp.asarray(d["adj"])
+        pf, hz = jnp.asarray(d["person_feats"]), jnp.asarray(d["home_zone"])
+        times = jnp.asarray(d["times"])
+        edge_index = edges_from_adj(np.asarray(d["adj"]))
+
+        logits_dense, _ = model.apply(
+            {"params": params}, zf, adj, pf, hz, times,
+            ode_method="rk4", substeps=1,
+        )
+        logits_sparse, _ = model.apply(
+            {"params": params}, zf, adj, pf, hz, times,
+            ode_method="rk4", substeps=1, edge_index=edge_index,
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits_sparse), np.asarray(logits_dense),
+            rtol=2e-4, atol=2e-4,
+        )
+
 
 class TestTraining:
     def test_loss_decreases(self, tmp_path):
