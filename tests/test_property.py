@@ -416,12 +416,18 @@ class TestFusedRolloutShapeSpace:
         agree = (ids == xla_ids).mean()
         assert agree > 0.9, f"bf16 kernel ids diverged: {agree:.3f}"
         # every disagreement must be a bf16-scale near-tie in the f32
-        # logits, not a genuinely different answer
+        # logits, not a genuinely different answer. bf16 state drift
+        # compounds over RK4 stages, so the allowed margin grows with
+        # rollout depth (an indexing bug would show margins of order
+        # `scale`, far above this bound — capped at 0.3 to keep that
+        # detection power).
         flips = np.argwhere(ids != xla_ids)
         scale = np.abs(lg).max() + 1e-9
+        n_stages = (num_times - 1) * substeps * num_blocks
+        tol = min(0.3, max(0.05, 0.004 * n_stages))
         for a, t in flips:
             margin = lg[a, t, xla_ids[a, t]] - lg[a, t, ids[a, t]]
-            assert margin / scale < 0.05, (
+            assert margin / scale < tol, (
                 f"kernel picked a clearly-worse zone at ({a},{t}): "
                 f"margin {margin:.4g} vs scale {scale:.4g}"
             )
