@@ -5,10 +5,15 @@ parameter set:
 
 - dense (default): adjacency-masked (Z, Z) attention — zone counts are
   O(10^2..10^3), one small MXU matmul;
-- sparse: pass ``edge_index`` (from ``ops.segment.edges_from_adj``) to
-  route the same math through the edge-list segment ops / Pallas
-  one-hot-matmul kernels (ops/segment.py, ops/pallas/edge_segment.py)
-  — for zone graphs too large or too sparse for dense (Z, Z) scores.
+- sparse: pass ``edge_index`` — built once host-side, either from a
+  dense matrix (``ops.segment.edges_from_adj``) or directly as COO
+  ``(edge_src, edge_dst)`` int arrays without ever materializing the
+  (Z, Z) matrix (``adj`` may then be ``None``) — to route the same
+  math through the edge-list segment ops / Pallas one-hot-matmul
+  kernels (ops/segment.py, ops/pallas/edge_segment.py) for zone
+  graphs too large or too sparse for dense (Z, Z) scores. Same
+  params; output exact vs dense on the XLA path, bf16-feature
+  precision (rel err <= ~3e-3) when the TPU Pallas dispatch engages.
 """
 from __future__ import annotations
 
@@ -29,8 +34,18 @@ class GATLayer(nn.Module):
         ``edge_index``: optional ``(edge_src, edge_dst)`` int arrays
         equivalent to ``adj`` (``adj[i, j] != 0 <=> (src=j, dst=i)``);
         when given, attention runs over the edge list instead of the
-        dense mask — identical params, identical output.
+        dense mask, sharing the same parameters, and ``adj`` may be
+        ``None`` (it is not read — the sparse path never materializes
+        the (Z, Z) matrix). Output equivalence: exact on the CPU/XLA
+        segment path; on TPU the auto dispatch may route through the
+        bf16-feature Pallas kernel (rel err vs dense f32 <= ~3e-3, so
+        near-tie argmaxes downstream can flip — see ops/segment.py).
         """
+        if edge_index is None and adj is None:
+            raise ValueError(
+                "GATLayer needs `adj` (dense path) or `edge_index` "
+                "(sparse path); both were None"
+            )
         Z = h.shape[0]
         assert self.features % self.heads == 0
         d = self.features // self.heads

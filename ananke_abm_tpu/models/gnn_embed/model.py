@@ -92,10 +92,12 @@ class GATODE(nn.Module):
 
     def encode_zones(self, zone_feats, adj, edge_index=None):
         """(Z, Dz) zone embeddings. Pass ``edge_index`` (host-built once
-        via ops.segment.edges_from_adj) to run the attention over the
-        edge list instead of the dense (Z, Z) mask — same params, same
-        output; the sparse path dispatches to the Pallas edge kernels
-        on TPU inside their measured win region (Z <= 2048)."""
+        — via ops.segment.edges_from_adj or directly as COO src/dst
+        arrays, in which case ``adj`` may be None and the (Z, Z) matrix
+        is never materialized) to run the attention over the edge list
+        instead of the dense mask. Same params; exact equality vs dense
+        on the XLA path, bf16-feature precision (rel err <= ~3e-3) when
+        the TPU Pallas dispatch engages (Z <= 2048 win region)."""
         return self.zone_gat(zone_feats, adj, edge_index)  # (Z, Dz)
 
     def zone_attention(self, x, zone_emb):

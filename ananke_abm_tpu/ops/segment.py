@@ -37,6 +37,12 @@ import jax.numpy as jnp
 from ananke_abm_tpu.ops._platform import on_tpu as _on_tpu
 
 _PALLAS_MAX_Z = 2048  # measured crossover: XLA wins from Z=4096 up
+# Multihead auto-dispatch additionally requires this per-head feature
+# width: the win region was measured at single-head D=64, and the
+# per-head kernel launch repeats the one-hot construction H times over
+# (Z, d) matmuls that waste MXU width when d is small (see
+# gat_edge_attention_multihead).
+_PALLAS_MIN_HEAD_D = 32
 
 
 def segment_softmax(scores, segment_ids, num_segments):
@@ -105,6 +111,13 @@ def edges_from_adj(adj):
     row-wise softmax semantics: row i aggregates over columns j).
     Returns ``(edge_src, edge_dst)`` int32 arrays with src=j, dst=i.
     Build this ONCE per graph outside jit — the edge count is static.
+
+    This is a CONVENIENCE for graphs that already exist in dense form.
+    For graphs too large to materialize (Z, Z) at all, skip it: any
+    ``(edge_src, edge_dst)`` int32 COO pair in the j -> i orientation
+    above is a valid ``edge_index``, and the consumers (GATLayer /
+    ZoneGAT / GATODE.encode_zones) accept ``adj=None`` alongside it —
+    the sparse path never reads the dense matrix.
     """
     import numpy as np
 
@@ -131,15 +144,25 @@ def gat_edge_attention_multihead(
     exactly the dense layer with ``adj[i, j] = 1 <=> edge (src=j,
     dst=i)`` (see ``edges_from_adj``).
 
-    Dispatch matches ``gat_edge_layer``: per-head Pallas one-hot-matmul
-    kernels on TPU inside the measured win region, XLA segment ops
-    otherwise; both are differentiable. ``use_pallas="interpret"`` runs
-    the kernel in Pallas interpret mode (forward-only — for testing the
-    kernel argument mapping off-TPU).
+    Dispatch: the Pallas branch launches one kernel PER HEAD, each
+    rebuilding the one-hot gather/scatter matrices for (Z, d) per-head
+    features — the Z <= 2048 win region was measured at single-head
+    D=64, and at small per-head widths (the model defaults give
+    d = zone_dim/heads = 16) those (.., d) matmuls waste most of each
+    MXU tile while the one-hot construction cost is paid H times. So
+    ``"auto"`` requires ``d >= _PALLAS_MIN_HEAD_D`` (in addition to the
+    Z bound) before picking Pallas; True still forces it. Both paths
+    are differentiable. ``use_pallas="interpret"`` runs the kernel in
+    Pallas interpret mode (forward-only — for testing the kernel
+    argument mapping off-TPU).
     """
     Z, H, d = Wh.shape
     if use_pallas == "auto":
-        use_pallas = _on_tpu() and max(num_nodes, Z) <= _PALLAS_MAX_Z
+        use_pallas = (
+            _on_tpu()
+            and max(num_nodes, Z) <= _PALLAS_MAX_Z
+            and d >= _PALLAS_MIN_HEAD_D
+        )
     if use_pallas:
         from ananke_abm_tpu.ops.pallas.edge_segment import (
             gat_edge_aggregate,

@@ -188,6 +188,55 @@ class TestGAT:
             rtol=2e-4, atol=2e-4,
         )
 
+    def test_sparse_path_accepts_adj_none(self):
+        """The sparse path must not require the dense matrix: edge_index
+        with adj=None reproduces the dense result through ZoneGAT AND
+        the full GATODE forward (the whole point of the edge-list path
+        is escaping the O(Z^2) adjacency)."""
+        from ananke_abm_tpu.models.gnn_embed.train import build_model
+        from ananke_abm_tpu.ops.segment import edges_from_adj
+
+        rng = np.random.default_rng(11)
+        Z = 14
+        zf = rng.normal(size=(Z, 7)).astype(np.float32)
+        adj = (rng.random((Z, Z)) < 0.3).astype(np.float32)
+        adj = np.maximum(adj, adj.T)
+        np.fill_diagonal(adj, 1.0)
+        edge_index = edges_from_adj(adj)
+
+        gat = ZoneGAT(features=8, heads=2, num_layers=2)
+        params = gat.init(
+            jax.random.PRNGKey(4), jnp.asarray(zf), jnp.asarray(adj)
+        )
+        dense = gat.apply(params, jnp.asarray(zf), jnp.asarray(adj))
+        no_adj = gat.apply(params, jnp.asarray(zf), None, edge_index)
+        np.testing.assert_allclose(
+            np.asarray(no_adj), np.asarray(dense), rtol=2e-5, atol=2e-5
+        )
+        with pytest.raises(ValueError, match="adj.*edge_index|edge_index.*adj"):
+            gat.apply(params, jnp.asarray(zf), None)
+
+        cfg = tiny_cfg()
+        d = generate_agent_population(16, num_times=4, num_zones=10, seed=5)
+        model = build_model(cfg, 7, 8)
+        mp = init_params(model, cfg, d, 16, jax.random.PRNGKey(0))
+        zfm, adjm = jnp.asarray(d["zone_features"]), jnp.asarray(d["adj"])
+        pf, hz = jnp.asarray(d["person_feats"]), jnp.asarray(d["home_zone"])
+        times = jnp.asarray(d["times"])
+        ei = edges_from_adj(np.asarray(d["adj"]))
+        logits_dense, _ = model.apply(
+            {"params": mp}, zfm, adjm, pf, hz, times,
+            ode_method="rk4", substeps=1,
+        )
+        logits_no_adj, _ = model.apply(
+            {"params": mp}, zfm, None, pf, hz, times,
+            ode_method="rk4", substeps=1, edge_index=ei,
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits_no_adj), np.asarray(logits_dense),
+            rtol=2e-4, atol=2e-4,
+        )
+
 
 class TestTraining:
     def test_loss_decreases(self, tmp_path):
