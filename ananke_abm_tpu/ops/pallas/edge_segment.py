@@ -386,6 +386,255 @@ def _gat_agg_bwd(num_nodes, negative_slope, res, g):
 _gat_edge_aggregate_vjp.defvjp(_gat_agg_fwd, _gat_agg_bwd)
 
 
+def _hi_lo16_cols(x):
+    """(Z, H) f32 -> (Z, 2H) bf16 ``[hi_0..hi_{H-1} | lo_0..lo_{H-1}]``
+    with x[:, h] == hi_h + lo_h to f32 precision when the two matmul
+    output column groups are re-added in f32 (the (Z, H) generalization
+    of ``_hi_lo16_pair``)."""
+    hi_f32 = _trunc_bf16_f32(x)
+    return jnp.concatenate(
+        [hi_f32.astype(jnp.bfloat16), _to16(x - hi_f32)], axis=1
+    )
+
+
+def _cols_gather(onehot16, pair_cols, H):
+    """Gather (Z, H) f32 values through their (Z, 2H) bf16 hi|lo column
+    groups: one (tile, Z) @ (Z, 2H) matmul, then an f32 column re-add."""
+    p = jnp.dot(onehot16, pair_cols, preferred_element_type=jnp.float32)
+    return p[:, :H] + p[:, H:]  # (tile, H) f32
+
+
+def gat_edge_aggregate_multihead_pallas(
+    Wh, qs, qd, edge_src, edge_dst, *, num_nodes=None,
+    negative_slope: float = 0.2, score_shift: str = "exact",
+    interpret=None,
+):
+    """ALL heads of a sparse multi-head GAT aggregation in ONE kernel.
+
+    Wh: (Zs, H, d) f32 per-head projected features; qs/qd: (Zs, H) f32
+    per-head score halves; edge_src/edge_dst: (E,) int32. Returns
+    (Zd, H, d) f32 — numerically the per-head composition
+    ``edge_softmax_attention(Wh[:, h][src], leaky_relu(qs[src, h] +
+    qd[dst, h]), dst)`` stacked over h, to bf16 feature precision with
+    ~f32 score math (hi+lo column gathers).
+
+    Launching one kernel per head (the obvious lift of the single-head
+    kernel) pays the one-hot construction H times and runs (.., d)
+    matmuls that waste most of each MXU tile at small per-head widths
+    (the model default is d = 16). This kernel instead shares the
+    (tile_e, Z) one-hots across heads and keeps every heavy matmul at
+    full width:
+
+        v      = S_src @ Wh_flat            (tile_e, H*d)  one gather
+        e      = cols_gather(qs) + cols_gather(qd)   (tile_e, H) scores
+        w      = exp(e - shift) @ EXPAND    (tile_e, H*d)  -- EXPAND is
+                 the constant 0/1 (H, H*d) block-diagonal that repeats
+                 each head's weight across its d feature columns (a
+                 tiny MXU matmul instead of a Mosaic-hostile reshape)
+        numer += S_dst.T @ (v * w)          (Zd, H*d)      one scatter
+        denom += S_dst.T @ ex               (Zd, H)
+
+    so the extra cost over the single-head kernel at equal total width
+    D = H*d is only the H-wide score/shift gathers and the per-head
+    running-max scan. ``score_shift`` semantics match
+    ``gat_edge_aggregate_pallas``. Forward-only (cross-tile VMEM
+    accumulation); use ``gat_edge_aggregate_multihead`` under jax.grad.
+    """
+    if score_shift not in ("exact", "bounded"):
+        raise ValueError(f"score_shift must be exact|bounded, got "
+                         f"{score_shift!r}")
+    exact = score_shift == "exact"
+    Zs, H, d = Wh.shape
+    HD = H * d
+    Zd = Zs if num_nodes is None else int(num_nodes)
+    if exact and max(Zs, Zd) > 16384:
+        raise ValueError(
+            "score_shift='exact' supports num_nodes <= 16384; use "
+            "score_shift='bounded' or the XLA segment path"
+        )
+    if interpret is None:
+        interpret = not _on_tpu()
+    tile_e = _tile_e(max(Zs, Zd))
+    edge_src, edge_dst, _, n_tiles = _pad_edges(
+        edge_src.astype(jnp.int32), edge_dst.astype(jnp.int32), None, Zd,
+        tile_e,
+    )
+    slope = np.float32(negative_slope)
+    qd_d = qd[:Zd]
+    if qd_d.shape[0] < Zd:
+        qd_d = jnp.pad(qd_d, ((0, Zd - qd_d.shape[0]), (0, 0)))
+    qs_cols = _hi_lo16_cols(qs)  # (Zs, 2H)
+    qd_cols = _hi_lo16_cols(qd_d)  # (Zd, 2H)
+    NEG_BIG = np.float32(-1e30)
+    if exact:
+        shift_in = jnp.zeros((Zd, H), jnp.float32)  # unused
+    else:
+        b = jnp.max(qs, axis=0)[None, :] + qd_d  # (Zd, H)
+        shift_in = jnp.where(b >= 0, b, slope * b)
+    # constant head->feature-column expander (block diagonal 0/1)
+    expand = _to16(
+        jnp.repeat(jnp.eye(H, dtype=jnp.float32), d, axis=1)
+    )  # (H, H*d)
+
+    def kernel(src_ref, dst_ref, wh_ref, qs_ref, qd_ref, shift_ref,
+               exp_ref, numer_ref, denom_ref, dmax_ref):
+        phase = pl.program_id(0) + (0 if exact else 1)
+        tile = pl.program_id(1)
+
+        @pl.when((phase == 0) & (tile == 0))
+        def _init0():
+            dmax_ref[:] = jnp.full_like(dmax_ref, NEG_BIG)
+
+        src = src_ref[0, :]
+        dst = dst_ref[0, :]
+        col_s = jax.lax.broadcasted_iota(jnp.int32, (tile_e, Zs), 1)
+        col_d = jax.lax.broadcasted_iota(jnp.int32, (tile_e, Zd), 1)
+        is_dst = dst[:, None] == col_d
+        s_src = _to16(src[:, None] == col_s)
+        s_dst = _to16(is_dst)
+        e = (
+            _cols_gather(s_src, qs_ref[:], H)
+            + _cols_gather(s_dst, qd_ref[:], H)
+        )  # (tile_e, H)
+        e = jnp.where(e >= 0, e, slope * e)
+
+        @pl.when(phase == 0)
+        def _scan_max():
+            # per-destination, per-head running max; one (tile_e, Zd)
+            # masked reduce per head (H is small)
+            for h in range(H):
+                masked = jnp.where(is_dst, e[:, h:h + 1], NEG_BIG)
+                dmax_ref[:, h:h + 1] = jnp.maximum(
+                    dmax_ref[:, h:h + 1],
+                    jnp.max(masked, axis=0)[:, None],
+                )
+
+        @pl.when((phase == 1) & (tile == 0))
+        def _init1():
+            numer_ref[:] = jnp.zeros_like(numer_ref)
+            denom_ref[:] = jnp.zeros_like(denom_ref)
+            if not exact:
+                dmax_ref[:] = shift_ref[:]
+
+        @pl.when(phase == 1)
+        def _aggregate():
+            v = jnp.dot(
+                s_src, wh_ref[:], preferred_element_type=jnp.float32
+            )  # (tile_e, H*d)
+            dm = dmax_ref[:]  # (Zd, H)
+            dm_hi_f32 = _trunc_bf16_f32(dm)
+            dm_cols = jnp.concatenate(
+                [dm_hi_f32.astype(jnp.bfloat16), _to16(dm - dm_hi_f32)],
+                axis=1,
+            )
+            shift = _cols_gather(s_dst, dm_cols, H)  # (tile_e, H)
+            valid = (dst[:, None] >= 0) & (dst[:, None] < Zd)
+            ex = jnp.exp(jnp.where(valid, e - shift, NEG_BIG))
+            ex16 = _to16(ex)
+            w = jnp.dot(
+                ex16, exp_ref[:], preferred_element_type=jnp.float32
+            )  # (tile_e, H*d) per-head weights at feature width
+            sdT = s_dst.T
+            numer_ref[:] += jnp.dot(
+                sdT, _to16(v * w), preferred_element_type=jnp.float32
+            )
+            denom_ref[:] += jnp.dot(
+                sdT, ex16, preferred_element_type=jnp.float32
+            )
+
+    const = lambda i, j: (0, 0)
+    numer, denom, _ = pl.pallas_call(
+        kernel,
+        grid=(2 if exact else 1, n_tiles),
+        in_specs=[
+            pl.BlockSpec((8, tile_e), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile_e), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Zs, HD), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Zs, 2 * H), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Zd, 2 * H), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Zd, H), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, HD), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((Zd, HD), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Zd, H), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Zd, H), const, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Zd, HD), jnp.float32),
+            jax.ShapeDtypeStruct((Zd, H), jnp.float32),
+            jax.ShapeDtypeStruct((Zd, H), jnp.float32),  # dmax
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(
+        edge_src, edge_dst, _to16(Wh.reshape(Zs, HD)), qs_cols, qd_cols,
+        shift_in, expand,
+    )
+    numer = numer.reshape(Zd, H, d)
+    return numer / jnp.maximum(denom, 1e-12)[:, :, None]
+
+
+def gat_edge_aggregate_multihead(Wh, qs, qd, edge_src, edge_dst,
+                                 num_nodes=None,
+                                 negative_slope: float = 0.2):
+    """Differentiable batched-multihead sparse GAT aggregation: Pallas
+    one-hot-matmul forward (one kernel for ALL heads), XLA-composition
+    VJP backward (same pattern as ``gat_edge_aggregate``)."""
+    return _gat_edge_aggregate_mh_vjp(
+        Wh, qs, qd, edge_src, edge_dst, num_nodes, float(negative_slope)
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _gat_edge_aggregate_mh_vjp(Wh, qs, qd, edge_src, edge_dst,
+                               num_nodes, negative_slope):
+    return gat_edge_aggregate_multihead_pallas(
+        Wh, qs, qd, edge_src, edge_dst, num_nodes=num_nodes,
+        negative_slope=negative_slope,
+    )
+
+
+def _xla_composition_mh(Wh, qs, qd, edge_src, edge_dst, num_nodes,
+                        negative_slope):
+    from ananke_abm_tpu.ops.segment import gat_edge_attention_multihead
+
+    return gat_edge_attention_multihead(
+        Wh, qd, qs, edge_src, edge_dst,
+        Wh.shape[0] if num_nodes is None else num_nodes,
+        use_pallas=False,
+    )
+
+
+def _gat_agg_mh_fwd(Wh, qs, qd, edge_src, edge_dst, num_nodes,
+                    negative_slope):
+    out = gat_edge_aggregate_multihead_pallas(
+        Wh, qs, qd, edge_src, edge_dst, num_nodes=num_nodes,
+        negative_slope=negative_slope,
+    )
+    return out, (Wh, qs, qd, edge_src, edge_dst)
+
+
+def _gat_agg_mh_bwd(num_nodes, negative_slope, res, g):
+    Wh, qs, qd, edge_src, edge_dst = res
+    _, vjp = jax.vjp(
+        lambda Wh, qs, qd: _xla_composition_mh(
+            Wh, qs, qd, edge_src, edge_dst, num_nodes, negative_slope
+        ),
+        Wh, qs, qd,
+    )
+    gWh, gqs, gqd = vjp(g)
+    zero_int = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+    return gWh, gqs, gqd, zero_int(edge_src), zero_int(edge_dst)
+
+
+_gat_edge_aggregate_mh_vjp.defvjp(_gat_agg_mh_fwd, _gat_agg_mh_bwd)
+
+
 def segment_sum_pallas(values, segment_ids, num_segments, *,
                        interpret=None):
     """Pallas segment-sum: (E, D) values scattered into (num_segments, D)

@@ -37,12 +37,13 @@ import jax.numpy as jnp
 from ananke_abm_tpu.ops._platform import on_tpu as _on_tpu
 
 _PALLAS_MAX_Z = 2048  # measured crossover: XLA wins from Z=4096 up
-# Multihead auto-dispatch additionally requires this per-head feature
-# width: the win region was measured at single-head D=64, and the
-# per-head kernel launch repeats the one-hot construction H times over
-# (Z, d) matmuls that waste MXU width when d is small (see
+# Multihead auto-dispatch additionally requires this TOTAL feature
+# width (H * d): the batched kernel runs its heavy matmuls at full
+# width, so its cost profile matches the single-head measurement at
+# equal total D — but far below it the one-hot matmuls underfill the
+# MXU relative to their fixed construction cost (see
 # gat_edge_attention_multihead).
-_PALLAS_MIN_HEAD_D = 32
+_PALLAS_MIN_TOTAL_D = 32
 
 
 def segment_softmax(scores, segment_ids, num_segments):
@@ -144,15 +145,14 @@ def gat_edge_attention_multihead(
     exactly the dense layer with ``adj[i, j] = 1 <=> edge (src=j,
     dst=i)`` (see ``edges_from_adj``).
 
-    Dispatch: the Pallas branch launches one kernel PER HEAD, each
-    rebuilding the one-hot gather/scatter matrices for (Z, d) per-head
-    features — the Z <= 2048 win region was measured at single-head
-    D=64, and at small per-head widths (the model defaults give
-    d = zone_dim/heads = 16) those (.., d) matmuls waste most of each
-    MXU tile while the one-hot construction cost is paid H times. So
-    ``"auto"`` requires ``d >= _PALLAS_MIN_HEAD_D`` (in addition to the
-    Z bound) before picking Pallas; True still forces it. Both paths
-    are differentiable. ``use_pallas="interpret"`` runs the kernel in
+    Dispatch: the Pallas branch runs ONE batched kernel for all heads
+    (``gat_edge_aggregate_multihead`` — shared one-hot gather/scatter
+    matrices, heavy matmuls at full H*d width; see its docstring for
+    why a per-head launch is the wrong shape). Its cost profile matches
+    the single-head kernel's measured Z <= 2048 win region at equal
+    total width, so ``"auto"`` requires ``H * d >= _PALLAS_MIN_TOTAL_D``
+    in addition to the Z bound; True forces the kernel. Both paths are
+    differentiable. ``use_pallas="interpret"`` runs the kernel in
     Pallas interpret mode (forward-only — for testing the kernel
     argument mapping off-TPU).
     """
@@ -161,35 +161,32 @@ def gat_edge_attention_multihead(
         use_pallas = (
             _on_tpu()
             and max(num_nodes, Z) <= _PALLAS_MAX_Z
-            and d >= _PALLAS_MIN_HEAD_D
+            and H * d >= _PALLAS_MIN_TOTAL_D
         )
     if use_pallas:
         from ananke_abm_tpu.ops.pallas.edge_segment import (
-            gat_edge_aggregate,
-            gat_edge_aggregate_pallas,
+            gat_edge_aggregate_multihead,
+            gat_edge_aggregate_multihead_pallas,
         )
 
-        def agg(w, qs, qd):
-            # kernel scores are leaky_relu(qs[src] + qd[dst]) — the
-            # receiving-node logits therefore ride qd
-            if use_pallas == "interpret":
-                return gat_edge_aggregate_pallas(
-                    w, qs, qd, edge_src, edge_dst,
-                    num_nodes=num_nodes, interpret=True,
-                )
-            return gat_edge_aggregate(
-                w, qs, qd, edge_src, edge_dst, num_nodes=num_nodes
+        # kernel scores are leaky_relu(qs[src] + qd[dst]) — the
+        # receiving-node logits therefore ride qd
+        if use_pallas == "interpret":
+            return gat_edge_aggregate_multihead_pallas(
+                Wh, e_send, e_recv, edge_src, edge_dst,
+                num_nodes=num_nodes, interpret=True,
             )
-
-        outs = [
-            agg(Wh[:, h], e_send[:, h], e_recv[:, h]) for h in range(H)
-        ]
-        return jnp.stack(outs, axis=1)
+        return gat_edge_aggregate_multihead(
+            Wh, e_send, e_recv, edge_src, edge_dst, num_nodes=num_nodes
+        )
     scores = jax.nn.leaky_relu(
         e_recv[edge_dst] + e_send[edge_src], negative_slope=0.2
     )  # (E, H)
     alpha = segment_softmax(scores, edge_dst, num_nodes)
-    vals = (Wh[edge_src] * alpha[:, :, None]).reshape(edge_src.shape[0], -1)
+    # static H*d (not -1): reshape(0, -1) is ambiguous at E == 0
+    vals = (Wh[edge_src] * alpha[:, :, None]).reshape(
+        edge_src.shape[0], H * d
+    )
     out = jax.ops.segment_sum(vals, edge_dst, num_segments=num_nodes)
     return out.reshape(num_nodes, H, d)
 

@@ -119,8 +119,8 @@ class TestGAT:
             )
 
     def test_sparse_pallas_dispatch_matches_dense_interpret(self):
-        """The multihead Pallas dispatch (per-head kernel calls + the
-        e_send->qs / e_recv->qd orientation) must reproduce the dense
+        """The multihead Pallas dispatch (the batched all-heads kernel +
+        the e_send->qs / e_recv->qd orientation) must reproduce the dense
         layer — run in interpret mode so the mapping is gated off-TPU."""
         from ananke_abm_tpu.models.gnn_embed.gat import GATLayer
         from ananke_abm_tpu.ops.segment import (

@@ -416,6 +416,143 @@ class TestEdgeSegmentPallas:
         assert np.abs(got - want).max() / denom < 2e-2
 
 
+class TestEdgeSegmentMultihead:
+    """The batched all-heads kernel (gat_edge_aggregate_multihead_pallas)
+    == the per-head XLA composition: one kernel launch shares the
+    one-hot matrices across heads and runs the feature gather/scatter
+    at full H*d width (round-3 review follow-up on the per-head
+    launch)."""
+
+    def _random_mh_graph(self, Z, E, H, d, seed=0, scale=0.3):
+        rng = np.random.default_rng(seed)
+        src = jnp.asarray(rng.integers(0, Z, E), jnp.int32)
+        dst = jnp.asarray(rng.integers(0, Z, E), jnp.int32)
+        Wh = jnp.asarray(rng.normal(size=(Z, H, d)).astype(np.float32))
+        qs = jnp.asarray(
+            rng.normal(size=(Z, H)).astype(np.float32)) * scale
+        qd = jnp.asarray(
+            rng.normal(size=(Z, H)).astype(np.float32)) * scale
+        return src, dst, Wh, qs, qd
+
+    def _xla_want(self, Wh, qs, qd, src, dst, num_nodes):
+        from ananke_abm_tpu.ops.segment import gat_edge_attention_multihead
+
+        # kernel scores are qs[src] + qd[dst]; the composition's
+        # receiving logits ride e_recv -> qd
+        return np.asarray(gat_edge_attention_multihead(
+            Wh, qd, qs, src, dst, num_nodes, use_pallas=False
+        ))
+
+    @pytest.mark.parametrize("Z,E,H,d", [
+        (64, 500, 4, 16),    # model-default head geometry
+        (130, 1500, 2, 8),   # odd Z, tiny d
+        (520, 4096, 4, 32),
+    ])
+    def test_matches_xla_composition(self, Z, E, H, d):
+        from ananke_abm_tpu.ops.pallas.edge_segment import (
+            gat_edge_aggregate_multihead_pallas,
+        )
+
+        src, dst, Wh, qs, qd = self._random_mh_graph(Z, E, H, d, seed=Z)
+        want = self._xla_want(Wh, qs, qd, src, dst, Z)
+        got = np.asarray(gat_edge_aggregate_multihead_pallas(
+            Wh, qs, qd, src, dst, interpret=True
+        ))
+        assert got.shape == want.shape == (Z, H, d)
+        denom = np.maximum(np.abs(want).max(), 1e-6)
+        assert np.abs(got - want).max() / denom < 2e-2
+
+    def test_heads_are_independent(self):
+        """Head h's output must depend only on head h's scores: zeroing
+        one head's qs/qd changes that head's rows only (catches
+        head-column misalignment in the packed gathers / expander)."""
+        from ananke_abm_tpu.ops.pallas.edge_segment import (
+            gat_edge_aggregate_multihead_pallas,
+        )
+
+        Z, E, H, d = 48, 400, 3, 8
+        src, dst, Wh, qs, qd = self._random_mh_graph(Z, E, H, d, seed=5)
+        base = np.asarray(gat_edge_aggregate_multihead_pallas(
+            Wh, qs, qd, src, dst, interpret=True
+        ))
+        qs2 = qs.at[:, 1].set(7.5)  # perturb head 1 scores only
+        out2 = np.asarray(gat_edge_aggregate_multihead_pallas(
+            Wh, qs2, qd, src, dst, interpret=True
+        ))
+        np.testing.assert_allclose(out2[:, 0], base[:, 0], atol=1e-6)
+        np.testing.assert_allclose(out2[:, 2], base[:, 2], atol=1e-6)
+        assert not np.allclose(out2[:, 1], base[:, 1])
+
+    @pytest.mark.parametrize("num_nodes_delta", [-5, 0, 10])
+    def test_num_nodes_contract(self, num_nodes_delta):
+        from ananke_abm_tpu.ops.pallas.edge_segment import (
+            gat_edge_aggregate_multihead_pallas,
+        )
+
+        Z, E, H, d = 30, 200, 2, 8
+        num_nodes = Z + num_nodes_delta
+        src, dst, Wh, qs, qd = self._random_mh_graph(Z, E, H, d, seed=13)
+        want = self._xla_want(Wh, qs, qd, src, dst, num_nodes)
+        got = np.asarray(gat_edge_aggregate_multihead_pallas(
+            Wh, qs, qd, src, dst, num_nodes=num_nodes, interpret=True
+        ))
+        assert got.shape == (num_nodes, H, d) == want.shape
+        denom = np.maximum(np.abs(want).max(), 1e-6)
+        assert np.abs(got - want).max() / denom < 2e-2
+
+    @pytest.mark.parametrize("score_shift", ["exact", "bounded"])
+    def test_padding_edges_cannot_overflow(self, score_shift):
+        """Same regression class as the single-head kernel: padding
+        edges gather shift 0, so a large caller score must not poison
+        the outputs through exp overflow."""
+        from ananke_abm_tpu.ops.pallas.edge_segment import (
+            gat_edge_aggregate_multihead_pallas,
+        )
+
+        Z, E, H, d = 32, 200, 2, 8
+        src, dst, Wh, qs, qd = self._random_mh_graph(Z, E, H, d, seed=3)
+        qs = qs.at[0, 0].set(150.0)
+        want = self._xla_want(Wh, qs, qd, src, dst, Z)
+        got = np.asarray(gat_edge_aggregate_multihead_pallas(
+            Wh, qs, qd, src, dst, score_shift=score_shift, interpret=True
+        ))
+        assert np.isfinite(got).all(), "padding edges poisoned the output"
+        denom = np.maximum(np.abs(want).max(), 1e-6)
+        if score_shift == "exact":
+            assert np.abs(got - want).max() / denom < 2e-2
+        else:
+            rows = np.unique(np.asarray(dst)[np.asarray(src) == 0])
+            assert np.abs(got[rows, 0] - want[rows, 0]).max() / denom < 2e-2
+
+    def test_grad_through_dispatch_matches_xla(self):
+        """jax.grad through gat_edge_aggregate_multihead (custom_vjp) ==
+        grad through the XLA composition."""
+        from ananke_abm_tpu.ops.pallas.edge_segment import (
+            gat_edge_aggregate_multihead,
+        )
+        from ananke_abm_tpu.ops.segment import gat_edge_attention_multihead
+
+        Z, E, H, d = 40, 300, 2, 8
+        src, dst, Wh, qs, qd = self._random_mh_graph(Z, E, H, d, seed=7)
+        rng = np.random.default_rng(8)
+        cot = jnp.asarray(rng.normal(size=(Z, H, d)).astype(np.float32))
+
+        def loss_pallas(Wh, qs, qd):
+            return jnp.sum(gat_edge_aggregate_multihead(
+                Wh, qs, qd, src, dst, num_nodes=Z) * cot)
+
+        def loss_xla(Wh, qs, qd):
+            return jnp.sum(gat_edge_attention_multihead(
+                Wh, qd, qs, src, dst, Z, use_pallas=False) * cot)
+
+        gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(Wh, qs, qd)
+        gx = jax.grad(loss_xla, argnums=(0, 1, 2))(Wh, qs, qd)
+        for a, b in zip(gp, gx):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+            )
+
+
 class TestFusedZoneGAT:
     """ops/pallas/fused_gat.py — the whole ZoneGAT encoder as one kernel
     pair; must match the flax module (values AND param grads) since the

@@ -327,6 +327,44 @@ class TestEdgeKernelProperties:
 
     @given(
         seed=st.integers(0, 10_000),
+        Z=st.integers(2, 70),
+        E=st.integers(0, 400),
+        H=st.sampled_from([1, 2, 4]),
+        d=st.sampled_from([4, 8, 16]),
+        scale=st.sampled_from([0.3, 1.0, 60.0]),
+        extra_dst=st.integers(0, 3),
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_multihead_aggregate_matches_xla(self, seed, Z, E, H, d,
+                                             scale, extra_dst):
+        """The batched all-heads kernel == the XLA multihead composition
+        for arbitrary graphs (same space as the single-head property:
+        padding edges, big score scales, out-of-range dst)."""
+        import jax.numpy as jnp
+
+        from ananke_abm_tpu.ops.pallas.edge_segment import (
+            gat_edge_aggregate_multihead_pallas,
+        )
+        from ananke_abm_tpu.ops.segment import gat_edge_attention_multihead
+
+        rng = np.random.default_rng(seed)
+        src = jnp.asarray(rng.integers(0, Z, E), jnp.int32)
+        dst = jnp.asarray(rng.integers(0, Z + extra_dst, E), jnp.int32)
+        Wh = jnp.asarray(rng.normal(size=(Z, H, d)).astype(np.float32))
+        qs = jnp.asarray(rng.normal(size=(Z, H)).astype(np.float32)) * scale
+        qd = jnp.asarray(rng.normal(size=(Z, H)).astype(np.float32)) * scale
+        want = np.asarray(gat_edge_attention_multihead(
+            Wh, qd, qs, src, dst, Z, use_pallas=False
+        ))
+        got = np.asarray(gat_edge_aggregate_multihead_pallas(
+            Wh, qs, qd, src, dst, num_nodes=Z, interpret=True
+        ))
+        assert np.isfinite(got).all()
+        denom = max(np.abs(want).max(), 1e-6)
+        assert np.abs(got - want).max() / denom < 2e-2
+
+    @given(
+        seed=st.integers(0, 10_000),
         Z=st.integers(1, 60),
         E=st.integers(0, 400),
         D=st.sampled_from([4, 16]),
