@@ -37,14 +37,16 @@ amplifies argument error; a plain bf16 gather costs ~2^-8 relative on
 the attention weights). Feature values (Wh) stay plain bf16 — the
 documented feature precision.
 
-Differentiation: ``gat_edge_aggregate`` wraps the forward kernel in a
-``jax.custom_vjp`` whose backward is the VJP of the reference XLA
-composition (ops/segment.py) — the Pallas kernel itself is forward-only
-(its cross-tile ``out_ref +=`` accumulation is not auto-differentiable),
-so without the wrapper ``jax.grad`` through the TPU dispatch would
-crash. The backward pays the XLA segment-op cost; a hand-written
-reverse kernel is the designated follow-up if sparse-GAT training ever
-becomes a hot path.
+Differentiation: the kernels are forward-only under AD (their
+cross-tile ``out_ref +=`` accumulation is not auto-differentiable), so
+the public entry points wrap them in ``jax.custom_vjp``. The
+single-head ``gat_edge_aggregate``'s backward is the VJP of the
+reference XLA composition (ops/segment.py). The multihead
+``gat_edge_aggregate_multihead`` goes further: on TPU its backward is
+the hand-written ``gat_edge_backward_multihead_pallas`` — one sweep in
+the same shared one-hot form, exploiting the telescoped softmax-VJP
+correction <g_i, out_i> so no second per-destination reduction pass is
+needed (off-TPU it falls back to the XLA-composition VJP).
 
 and the per-node normalization ``numer / denom`` happens once at the
 end. numer/denom accumulate across edge tiles in VMEM via the
@@ -407,7 +409,7 @@ def _cols_gather(onehot16, pair_cols, H):
 def gat_edge_aggregate_multihead_pallas(
     Wh, qs, qd, edge_src, edge_dst, *, num_nodes=None,
     negative_slope: float = 0.2, score_shift: str = "exact",
-    interpret=None,
+    interpret=None, return_residuals: bool = False,
 ):
     """ALL heads of a sparse multi-head GAT aggregation in ONE kernel.
 
@@ -543,7 +545,7 @@ def gat_edge_aggregate_multihead_pallas(
             )
 
     const = lambda i, j: (0, 0)
-    numer, denom, _ = pl.pallas_call(
+    numer, denom, dmax_out = pl.pallas_call(
         kernel,
         grid=(2 if exact else 1, n_tiles),
         in_specs=[
@@ -576,15 +578,194 @@ def gat_edge_aggregate_multihead_pallas(
         shift_in, expand,
     )
     numer = numer.reshape(Zd, H, d)
-    return numer / jnp.maximum(denom, 1e-12)[:, :, None]
+    out = numer / jnp.maximum(denom, 1e-12)[:, :, None]
+    if return_residuals:
+        # dmax holds the actual shift used (true max in exact mode, the
+        # bounded upper bound otherwise) — exactly what the backward
+        # kernel must re-apply to recompute alpha
+        dmax = dmax_out if exact else shift_in
+        return out, denom, dmax
+    return out
+
+
+def gat_edge_backward_multihead_pallas(
+    Wh, qs, qd, edge_src, edge_dst, g, out, denom, shift, *,
+    num_nodes=None, negative_slope: float = 0.2, interpret=None,
+):
+    """Hand-written backward of the multihead edge aggregation: one
+    Pallas sweep over edge tiles computing (dWh, dqs, dqd) from the
+    output cotangent ``g`` (Zd, H, d) and the forward residuals
+    ``out``/``denom``/``shift`` (the actual softmax shift used — true
+    per-destination max in exact mode).
+
+    The softmax VJP normally needs a second per-destination reduction
+    (sum_j alpha_ij dalpha_ij), but here that sum telescopes:
+    sum_j alpha_ij <g_i, Wh_j> = <g_i, sum_j alpha_ij Wh_j>
+    = <g_i, out_i> — a pure elementwise product of two residuals,
+    computed OUTSIDE the kernel. So the backward is a single pass with
+    the same shared one-hot matrices as the forward:
+
+        ge     = S_dst @ g              (tile_e, H*d)  cotangent gather
+        vs     = S_src @ Wh             (tile_e, H*d)  feature gather
+        alpha  = exp(e - shift) / denom (tile_e, H)    recompute
+        dalpha = (ge * vs) @ EXPAND.T   (tile_e, H)    per-head <g, Wh>
+        de     = alpha * (dalpha - S_dst @ corr)       softmax VJP
+        dpre   = de * leaky'(e)                        (sign(e) = sign(x))
+        dWh   += S_src.T @ (ge * (alpha @ EXPAND))     feature scatter
+        dqs   += S_src.T @ dpre; dqd += S_dst.T @ dpre
+
+    FLOP cost ~= the forward's (two full-width gathers + one full-width
+    scatter + two narrow scatters). Grads carry bf16 feature precision
+    (matmul operands are bf16, f32 accumulation), like the forward —
+    concretely, absolute grad error is O(2^-8) of the cotangent x
+    feature scale. Note the softmax-VJP difference (dalpha - corr) is a
+    catastrophic cancellation when attention saturates (one edge takes
+    all the weight): the TRUE score grads then collapse toward zero
+    while the bf16 rounding noise does not, so at extreme score scales
+    the relative error on dqs/dqd is unbounded even though the absolute
+    error stays at ordinary bf16-training magnitude. Padding edges
+    recompute ex with the same valid-clamp as the forward, so alpha = 0
+    and they contribute nothing.
+    """
+    Zs, H, d = Wh.shape
+    HD = H * d
+    Zd = Zs if num_nodes is None else int(num_nodes)
+    if interpret is None:
+        interpret = not _on_tpu()
+    tile_e = _tile_e(max(Zs, Zd))
+    edge_src, edge_dst, _, n_tiles = _pad_edges(
+        edge_src.astype(jnp.int32), edge_dst.astype(jnp.int32), None, Zd,
+        tile_e,
+    )
+    slope = np.float32(negative_slope)
+    NEG_BIG = np.float32(-1e30)
+    qs_cols = _hi_lo16_cols(qs)  # (Zs, 2H)
+    qd_d = qd[:Zd]
+    if qd_d.shape[0] < Zd:
+        qd_d = jnp.pad(qd_d, ((0, Zd - qd_d.shape[0]), (0, 0)))
+    qd_cols = _hi_lo16_cols(qd_d)  # (Zd, 2H)
+    shift_cols = _hi_lo16_cols(shift)  # (Zd, 2H)
+    # per-destination softmax-VJP correction <g_i, out_i> per head —
+    # the telescoped second reduction (see docstring)
+    g2 = g.reshape(Zd, HD)
+    corr = jnp.sum(
+        (g2 * out.reshape(Zd, HD)).reshape(Zd, H, d), axis=-1
+    )  # (Zd, H) f32
+    corr_cols = _hi_lo16_cols(corr)
+    inv_den = 1.0 / jnp.maximum(denom, 1e-12)  # (Zd, H)
+    inv_cols = _hi_lo16_cols(inv_den)
+    expand = _to16(
+        jnp.repeat(jnp.eye(H, dtype=jnp.float32), d, axis=1)
+    )  # (H, HD)
+    expand_t = expand.T  # precomputed: in-kernel transpose is Mosaic-hostile
+
+    def kernel(src_ref, dst_ref, wh_ref, g_ref, qs_ref, qd_ref,
+               shift_ref, corr_ref, inv_ref, exp_ref, exp_t_ref,
+               dwh_ref, dqs_ref, dqd_ref):
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            dwh_ref[:] = jnp.zeros_like(dwh_ref)
+            dqs_ref[:] = jnp.zeros_like(dqs_ref)
+            dqd_ref[:] = jnp.zeros_like(dqd_ref)
+
+        src = src_ref[0, :]
+        dst = dst_ref[0, :]
+        col_s = jax.lax.broadcasted_iota(jnp.int32, (tile_e, Zs), 1)
+        col_d = jax.lax.broadcasted_iota(jnp.int32, (tile_e, Zd), 1)
+        s_src = _to16(src[:, None] == col_s)
+        s_dst = _to16(dst[:, None] == col_d)
+        e = (
+            _cols_gather(s_src, qs_ref[:], H)
+            + _cols_gather(s_dst, qd_ref[:], H)
+        )
+        e = jnp.where(e >= 0, e, slope * e)  # (tile_e, H)
+        sh = _cols_gather(s_dst, shift_ref[:], H)
+        valid = (dst[:, None] >= 0) & (dst[:, None] < Zd)
+        ex = jnp.exp(jnp.where(valid, e - sh, NEG_BIG))
+        alpha = ex * _cols_gather(s_dst, inv_ref[:], H)  # (tile_e, H)
+
+        ge = jnp.dot(s_dst, g_ref[:], preferred_element_type=jnp.float32)
+        vs = jnp.dot(s_src, wh_ref[:], preferred_element_type=jnp.float32)
+        dalpha = jnp.dot(
+            _to16(ge * vs), exp_t_ref[:],
+            preferred_element_type=jnp.float32,
+        )  # (tile_e, H): per-head sum over the d feature columns
+        de = alpha * (dalpha - _cols_gather(s_dst, corr_ref[:], H))
+        # leaky_relu'(x): sign(e) == sign(x) since leaky preserves sign
+        dpre = de * jnp.where(e >= 0, 1.0, slope)
+        aw = jnp.dot(
+            _to16(alpha), exp_ref[:], preferred_element_type=jnp.float32
+        )  # (tile_e, HD) per-head alpha at feature width
+        dpre16 = _to16(dpre)
+        dwh_ref[:] += jnp.dot(
+            s_src.T, _to16(ge * aw), preferred_element_type=jnp.float32
+        )
+        dqs_ref[:] += jnp.dot(
+            s_src.T, dpre16, preferred_element_type=jnp.float32
+        )
+        dqd_ref[:] += jnp.dot(
+            s_dst.T, dpre16, preferred_element_type=jnp.float32
+        )
+
+    const = lambda i: (0, 0)
+    dwh, dqs, dqd = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((8, tile_e), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile_e), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Zs, HD), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Zd, HD), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Zs, 2 * H), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Zd, 2 * H), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Zd, 2 * H), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Zd, 2 * H), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Zd, 2 * H), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, HD), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((HD, H), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((Zs, HD), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Zs, H), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Zd, H), const, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Zs, HD), jnp.float32),
+            jax.ShapeDtypeStruct((Zs, H), jnp.float32),
+            jax.ShapeDtypeStruct((Zd, H), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(
+        edge_src, edge_dst, _to16(Wh.reshape(Zs, HD)), _to16(g2),
+        qs_cols, qd_cols, shift_cols, corr_cols, inv_cols, expand,
+        expand_t,
+    )
+    if qd.shape[0] == Zd:
+        dqd_full = dqd
+    elif qd.shape[0] > Zd:
+        # qd rows beyond Zd never influence the output -> zero grads
+        dqd_full = jnp.zeros_like(qd).at[:Zd].set(dqd)
+    else:
+        # kernel padded qd up to Zd; drop the padding rows' grads
+        dqd_full = dqd[: qd.shape[0]]
+    return dwh.reshape(Zs, H, d), dqs, dqd_full
 
 
 def gat_edge_aggregate_multihead(Wh, qs, qd, edge_src, edge_dst,
                                  num_nodes=None,
                                  negative_slope: float = 0.2):
     """Differentiable batched-multihead sparse GAT aggregation: Pallas
-    one-hot-matmul forward (one kernel for ALL heads), XLA-composition
-    VJP backward (same pattern as ``gat_edge_aggregate``)."""
+    one-hot-matmul forward (one kernel for ALL heads) AND, on TPU, the
+    hand-written Pallas backward (``gat_edge_backward_multihead_pallas``
+    — same shared one-hot form, fed by the forward's denom/shift
+    residuals); off-TPU the backward is the VJP of the XLA composition.
+    Grads carry bf16 feature precision under the TPU path, f32 under
+    XLA."""
     return _gat_edge_aggregate_mh_vjp(
         Wh, qs, qd, edge_src, edge_dst, num_nodes, float(negative_slope)
     )
@@ -612,22 +793,28 @@ def _xla_composition_mh(Wh, qs, qd, edge_src, edge_dst, num_nodes,
 
 def _gat_agg_mh_fwd(Wh, qs, qd, edge_src, edge_dst, num_nodes,
                     negative_slope):
-    out = gat_edge_aggregate_multihead_pallas(
+    out, denom, shift = gat_edge_aggregate_multihead_pallas(
         Wh, qs, qd, edge_src, edge_dst, num_nodes=num_nodes,
-        negative_slope=negative_slope,
+        negative_slope=negative_slope, return_residuals=True,
     )
-    return out, (Wh, qs, qd, edge_src, edge_dst)
+    return out, (Wh, qs, qd, edge_src, edge_dst, out, denom, shift)
 
 
 def _gat_agg_mh_bwd(num_nodes, negative_slope, res, g):
-    Wh, qs, qd, edge_src, edge_dst = res
-    _, vjp = jax.vjp(
-        lambda Wh, qs, qd: _xla_composition_mh(
-            Wh, qs, qd, edge_src, edge_dst, num_nodes, negative_slope
-        ),
-        Wh, qs, qd,
-    )
-    gWh, gqs, gqd = vjp(g)
+    Wh, qs, qd, edge_src, edge_dst, out, denom, shift = res
+    if _on_tpu():
+        gWh, gqs, gqd = gat_edge_backward_multihead_pallas(
+            Wh, qs, qd, edge_src, edge_dst, g, out, denom, shift,
+            num_nodes=num_nodes, negative_slope=negative_slope,
+        )
+    else:
+        _, vjp = jax.vjp(
+            lambda Wh, qs, qd: _xla_composition_mh(
+                Wh, qs, qd, edge_src, edge_dst, num_nodes, negative_slope
+            ),
+            Wh, qs, qd,
+        )
+        gWh, gqs, gqd = vjp(g)
     zero_int = lambda a: np.zeros(a.shape, jax.dtypes.float0)
     return gWh, gqs, gqd, zero_int(edge_src), zero_int(edge_dst)
 

@@ -524,6 +524,85 @@ class TestEdgeSegmentMultihead:
             rows = np.unique(np.asarray(dst)[np.asarray(src) == 0])
             assert np.abs(got[rows, 0] - want[rows, 0]).max() / denom < 2e-2
 
+    @pytest.mark.parametrize("num_nodes_delta,scale", [
+        (0, 0.3), (0, 60.0), (-5, 0.3), (10, 0.3),
+    ])
+    def test_backward_kernel_matches_xla_vjp(self, num_nodes_delta,
+                                             scale):
+        """The hand-written Pallas backward (interpret mode) == the XLA
+        composition's VJP: dWh, dqs, dqd for arbitrary cotangents,
+        including shrunken/grown num_nodes and large score scales
+        (padding edges must recompute alpha = 0, not NaN)."""
+        from ananke_abm_tpu.ops.pallas.edge_segment import (
+            gat_edge_aggregate_multihead_pallas,
+            gat_edge_backward_multihead_pallas,
+        )
+        from ananke_abm_tpu.ops.segment import gat_edge_attention_multihead
+
+        Z, E, H, d = 40, 300, 2, 8
+        num_nodes = Z + num_nodes_delta
+        src, dst, Wh, qs, qd = self._random_mh_graph(
+            Z, E, H, d, seed=17, scale=scale
+        )
+        rng = np.random.default_rng(18)
+        g = jnp.asarray(
+            rng.normal(size=(num_nodes, H, d)).astype(np.float32)
+        )
+
+        out, denom, shift = gat_edge_aggregate_multihead_pallas(
+            Wh, qs, qd, src, dst, num_nodes=num_nodes,
+            return_residuals=True, interpret=True,
+        )
+        dWh, dqs, dqd = gat_edge_backward_multihead_pallas(
+            Wh, qs, qd, src, dst, g, out, denom, shift,
+            num_nodes=num_nodes, interpret=True,
+        )
+        _, vjp = jax.vjp(
+            lambda Wh, qs, qd: gat_edge_attention_multihead(
+                Wh, qd, qs, src, dst, num_nodes, use_pallas=False
+            ),
+            Wh, qs, qd,
+        )
+        wWh, wqs, wqd = vjp(g)
+        # denominator: the cotangent x feature scale, NOT the true-grad
+        # max — at saturating score scales the true grads collapse to
+        # ~0 while bf16 gather rounding leaves O(2^-8)-of-scale noise
+        # (the documented backward precision class); an orientation or
+        # indexing bug would show errors of order the full scale
+        g_scale = float(np.abs(np.asarray(g)).max()
+                        * np.abs(np.asarray(Wh)).max())
+        for got, want, name in [
+            (dWh, wWh, "dWh"), (dqs, wqs, "dqs"), (dqd, wqd, "dqd")
+        ]:
+            got, want = np.asarray(got), np.asarray(want)
+            assert np.isfinite(got).all(), name
+            assert got.shape == want.shape, name
+            den = np.maximum(max(np.abs(want).max(), g_scale), 1e-6)
+            assert np.abs(got - want).max() / den < 2e-2, name
+
+    def test_backward_kernel_zero_edges(self):
+        from ananke_abm_tpu.ops.pallas.edge_segment import (
+            gat_edge_aggregate_multihead_pallas,
+            gat_edge_backward_multihead_pallas,
+        )
+
+        Z, H, d = 12, 2, 4
+        src = jnp.zeros((0,), jnp.int32)
+        dst = jnp.zeros((0,), jnp.int32)
+        rng = np.random.default_rng(0)
+        Wh = jnp.asarray(rng.normal(size=(Z, H, d)).astype(np.float32))
+        qs = jnp.asarray(rng.normal(size=(Z, H)).astype(np.float32))
+        qd = jnp.asarray(rng.normal(size=(Z, H)).astype(np.float32))
+        g = jnp.ones((Z, H, d), jnp.float32)
+        out, denom, shift = gat_edge_aggregate_multihead_pallas(
+            Wh, qs, qd, src, dst, return_residuals=True, interpret=True
+        )
+        dWh, dqs, dqd = gat_edge_backward_multihead_pallas(
+            Wh, qs, qd, src, dst, g, out, denom, shift, interpret=True
+        )
+        for a in (dWh, dqs, dqd):
+            np.testing.assert_allclose(np.asarray(a), 0.0)
+
     def test_grad_through_dispatch_matches_xla(self):
         """jax.grad through gat_edge_aggregate_multihead (custom_vjp) ==
         grad through the XLA composition."""
