@@ -165,7 +165,7 @@ def _pair_gather(onehot16, pair_ref_val):
 def gat_edge_aggregate_pallas(
     Wh, qs, qd, edge_src, edge_dst, *, num_nodes=None,
     negative_slope: float = 0.2, score_shift: str = "exact",
-    interpret=None,
+    interpret=None, return_residuals: bool = False,
 ):
     """Sparse GAT neighborhood aggregation over an edge list
     (forward-only kernel; use ``gat_edge_aggregate`` under jax.grad).
@@ -298,7 +298,7 @@ def gat_edge_aggregate_pallas(
             )
 
     const = lambda i, j: (0, 0)
-    numer, denom, _ = pl.pallas_call(
+    numer, denom, dmax_out = pl.pallas_call(
         kernel,
         grid=(2 if exact else 1, n_tiles),
         in_specs=[
@@ -328,14 +328,22 @@ def gat_edge_aggregate_pallas(
     )(
         edge_src, edge_dst, _to16(Wh), qs_pair, qd_pair, shift_in,
     )
-    return numer / jnp.maximum(denom, 1e-12)
+    out = numer / jnp.maximum(denom, 1e-12)
+    if return_residuals:
+        # the actual shift used: true per-destination max in exact
+        # mode, the bounded upper bound otherwise (see the multihead
+        # variant) — what the backward kernel re-applies
+        return out, denom, (dmax_out if exact else shift_in)
+    return out
 
 
 def gat_edge_aggregate(Wh, qs, qd, edge_src, edge_dst, num_nodes=None,
                        negative_slope: float = 0.2):
     """Differentiable sparse GAT aggregation: Pallas one-hot-matmul
-    forward, XLA-composition VJP backward (the forward kernel's
-    cross-tile accumulation is not auto-differentiable)."""
+    forward; backward is the hand-written Pallas kernel on TPU (routed
+    through the multihead backward with H=1 — identical math) and the
+    XLA-composition VJP off-TPU. bf16-feature grad precision on the
+    TPU path, f32 under XLA."""
     return _gat_edge_aggregate_vjp(
         Wh, qs, qd, edge_src, edge_dst, num_nodes, float(negative_slope)
     )
@@ -365,22 +373,33 @@ def _xla_composition(Wh, qs, qd, edge_src, edge_dst, num_nodes,
 
 def _gat_agg_fwd(Wh, qs, qd, edge_src, edge_dst, num_nodes,
                  negative_slope):
-    out = gat_edge_aggregate_pallas(
+    out, denom, shift = gat_edge_aggregate_pallas(
         Wh, qs, qd, edge_src, edge_dst, num_nodes=num_nodes,
-        negative_slope=negative_slope,
+        negative_slope=negative_slope, return_residuals=True,
     )
-    return out, (Wh, qs, qd, edge_src, edge_dst)
+    return out, (Wh, qs, qd, edge_src, edge_dst, out, denom, shift)
 
 
 def _gat_agg_bwd(num_nodes, negative_slope, res, g):
-    Wh, qs, qd, edge_src, edge_dst = res
-    _, vjp = jax.vjp(
-        lambda Wh, qs, qd: _xla_composition(
-            Wh, qs, qd, edge_src, edge_dst, num_nodes, negative_slope
-        ),
-        Wh, qs, qd,
-    )
-    gWh, gqs, gqd = vjp(g)
+    Wh, qs, qd, edge_src, edge_dst, out, denom, shift = res
+    if _on_tpu():
+        # the multihead backward with H=1 is exactly the single-head
+        # backward (shared one-hot form, telescoped softmax VJP)
+        dWh, dqs, dqd = gat_edge_backward_multihead_pallas(
+            Wh[:, None, :], qs[:, None], qd[:, None],
+            edge_src, edge_dst, g[:, None, :], out[:, None, :],
+            denom, shift, num_nodes=num_nodes,
+            negative_slope=negative_slope,
+        )
+        gWh, gqs, gqd = dWh[:, 0, :], dqs[:, 0], dqd[:, 0]
+    else:
+        _, vjp = jax.vjp(
+            lambda Wh, qs, qd: _xla_composition(
+                Wh, qs, qd, edge_src, edge_dst, num_nodes, negative_slope
+            ),
+            Wh, qs, qd,
+        )
+        gWh, gqs, gqd = vjp(g)
     zero_int = lambda a: np.zeros(a.shape, jax.dtypes.float0)
     return gWh, gqs, gqd, zero_int(edge_src), zero_int(edge_dst)
 

@@ -580,6 +580,50 @@ class TestEdgeSegmentMultihead:
             den = np.maximum(max(np.abs(want).max(), g_scale), 1e-6)
             assert np.abs(got - want).max() / den < 2e-2, name
 
+    def test_single_head_routes_through_h1_backward(self):
+        """The single-head custom_vjp's TPU backward is the multihead
+        kernel at H=1: its grads (from the single-head forward's
+        residuals) must match the single-head XLA composition's VJP."""
+        from ananke_abm_tpu.ops.pallas.edge_segment import (
+            gat_edge_aggregate_pallas,
+            gat_edge_backward_multihead_pallas,
+        )
+        from ananke_abm_tpu.ops.segment import edge_softmax_attention
+
+        Z, E, D = 40, 300, 16
+        rng = np.random.default_rng(23)
+        src = jnp.asarray(rng.integers(0, Z, E), jnp.int32)
+        dst = jnp.asarray(rng.integers(0, Z, E), jnp.int32)
+        Wh = jnp.asarray(rng.normal(size=(Z, D)).astype(np.float32))
+        qs = jnp.asarray(rng.normal(size=(Z,)).astype(np.float32)) * 0.3
+        qd = jnp.asarray(rng.normal(size=(Z,)).astype(np.float32)) * 0.3
+        g = jnp.asarray(rng.normal(size=(Z, D)).astype(np.float32))
+
+        out, denom, shift = gat_edge_aggregate_pallas(
+            Wh, qs, qd, src, dst, return_residuals=True, interpret=True
+        )
+        dWh, dqs, dqd = gat_edge_backward_multihead_pallas(
+            Wh[:, None, :], qs[:, None], qd[:, None], src, dst,
+            g[:, None, :], out[:, None, :], denom, shift,
+            num_nodes=Z, interpret=True,
+        )
+        _, vjp = jax.vjp(
+            lambda Wh, qs, qd: edge_softmax_attention(
+                Wh[src],
+                jax.nn.leaky_relu(qs[src] + qd[dst], negative_slope=0.2),
+                dst, Z,
+            ),
+            Wh, qs, qd,
+        )
+        wWh, wqs, wqd = vjp(g)
+        for got, want, name in [
+            (dWh[:, 0, :], wWh, "dWh"), (dqs[:, 0], wqs, "dqs"),
+            (dqd[:, 0], wqd, "dqd"),
+        ]:
+            got, want = np.asarray(got), np.asarray(want)
+            den = np.maximum(np.abs(want).max(), 1e-6)
+            assert np.abs(got - want).max() / den < 2e-2, name
+
     def test_backward_kernel_zero_edges(self):
         from ananke_abm_tpu.ops.pallas.edge_segment import (
             gat_edge_aggregate_multihead_pallas,
