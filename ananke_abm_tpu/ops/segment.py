@@ -79,8 +79,9 @@ def gat_edge_layer(h, edge_src, edge_dst, W, a_src, a_dst, num_nodes=None,
     ``use_pallas``: "auto" picks the one-hot-matmul Pallas kernel on TPU
     inside the measured win region (Z <= 2048 — see module docstring);
     True forces it; False forces XLA. The Pallas path is differentiable
-    (custom_vjp whose backward is the VJP of this function's own XLA
-    composition), so jax.grad works identically under either dispatch.
+    (custom_vjp; on TPU the backward is the hand-written Pallas kernel,
+    off-TPU the VJP of this function's own XLA composition), so
+    jax.grad works under either dispatch.
     """
     if num_nodes is None:
         num_nodes = h.shape[0]
