@@ -61,27 +61,40 @@ def build_model(config: GATODEConfig, num_zone_features: int, person_feat_dim: i
     )
 
 
-def init_params(model, config, data, batch_size, key):
+def init_params(model, config, data, batch_size, key, edge_index=None):
+    adj = data.get("adj") if edge_index is None else None
     return model.init(
         {"params": key},
         jnp.asarray(data["zone_features"]),
-        jnp.asarray(data["adj"]),
+        jnp.asarray(adj) if adj is not None else None,
         jnp.asarray(data["person_feats"][:batch_size]),
         jnp.asarray(data["home_zone"][:batch_size]),
         jnp.asarray(data["times"]),
         ode_method=config.method,
         substeps=config.substeps,
+        edge_index=edge_index,
     )["params"]
 
 
+def _unpack_static(static):
+    """``static`` is (zone_feats, adj, times) or, for sparse edge-list
+    zone graphs, (zone_feats, adj_or_None, times, edge_index) — the
+    4th element routes the zone encoder through ops.segment (adj may
+    then be None; the dense matrix is never required)."""
+    zone_feats, adj, times = static[:3]
+    edge_index = static[3] if len(static) > 3 else None
+    return zone_feats, adj, times, edge_index
+
+
 def make_step_fns(model, optimizer, config, static):
-    zone_feats, adj, times = static
+    zone_feats, adj, times, edge_index = _unpack_static(static)
 
     def loss_fn(params, pf, hz, targets):
         logits, _ = model.apply(
             {"params": params}, zone_feats, adj, pf, hz, times,
             ode_method=config.method, substeps=config.substeps,
             rtol=config.rtol, atol=config.atol,
+            edge_index=edge_index,
         )
         logp = jax.nn.log_softmax(logits, axis=-1)
         nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
@@ -233,7 +246,14 @@ def train(
     config: GATODEConfig | None = None,
     seed: int = 0,
     num_zones: int | None = None,
+    sparse_zones: bool = False,
 ):
+    """``sparse_zones=True`` trains with the edge-list zone encoder:
+    the adjacency is converted ONCE to a COO edge list host-side and
+    the dense (Z, Z) matrix never reaches the device — the path for
+    zone graphs too large/sparse for dense attention. Uses the general
+    XLA/remat step (the fused Pallas train kernel's zone encoder is
+    dense-only)."""
     config = config or GATODEConfig()
     ensure_dir(outdir)
     data = generate_agent_population(
@@ -245,7 +265,14 @@ def train(
     )
     key = jax.random.PRNGKey(seed)
     bsz = min(config.batch_size, n_agents)
-    params = init_params(model, config, data, bsz, key)
+    edge_index = None
+    if sparse_zones:
+        from ananke_abm_tpu.ops.segment import edges_from_adj
+
+        ei = edges_from_adj(data["adj"])
+        edge_index = (jnp.asarray(ei[0]), jnp.asarray(ei[1]))
+    params = init_params(model, config, data, bsz, key,
+                         edge_index=edge_index)
     optimizer = optax.chain(
         optax.clip_by_global_norm(config.grad_clip),
         optax.adamw(config.lr, weight_decay=config.weight_decay),
@@ -254,13 +281,16 @@ def train(
 
     static = (
         jnp.asarray(data["zone_features"]),
-        jnp.asarray(data["adj"]),
+        None if sparse_zones else jnp.asarray(data["adj"]),
         jnp.asarray(data["times"]),
     )
+    if sparse_zones:
+        static = static + (edge_index,)
     # fused Pallas fwd+VJP step where its contract holds (TPU backend,
-    # fixed-step rk4); XLA+remat step otherwise — the gate must mirror
-    # the configured integrator, never replace it
-    if config.method == "rk4" and jax.default_backend() == "tpu":
+    # fixed-step rk4, dense zone encoder); XLA+remat step otherwise —
+    # the gate must mirror the configured integrator, never replace it
+    if (config.method == "rk4" and jax.default_backend() == "tpu"
+            and not sparse_zones):
         train_step, _ = make_fused_train_step(
             model, optimizer, config, static
         )
@@ -320,7 +350,7 @@ def make_adjoint_step_fns(model, optimizer, config, static):
     """
     from ananke_abm_tpu.ode import odeint_adjoint
 
-    zone_feats, adj, times = static
+    zone_feats, adj, times, edge_index = _unpack_static(static)
 
     def rhs(t, x, args):
         params, h, zone_emb = args
@@ -330,7 +360,8 @@ def make_adjoint_step_fns(model, optimizer, config, static):
 
     def loss_fn(params, pf, hz, targets):
         zone_emb = model.apply(
-            {"params": params}, zone_feats, adj, method=model.encode_zones
+            {"params": params}, zone_feats, adj, edge_index,
+            method=model.encode_zones,
         )
         x0, h = model.apply(
             {"params": params}, pf, hz, zone_emb, method=model.initial_state

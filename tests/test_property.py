@@ -365,6 +365,60 @@ class TestEdgeKernelProperties:
 
     @given(
         seed=st.integers(0, 10_000),
+        Z=st.integers(2, 50),
+        E=st.integers(0, 300),
+        H=st.sampled_from([1, 2]),
+        d=st.sampled_from([4, 8]),
+        extra_dst=st.integers(0, 3),
+    )
+    @settings(max_examples=15, deadline=None)
+    def test_multihead_backward_matches_xla_vjp(self, seed, Z, E, H, d,
+                                                extra_dst):
+        """The hand-written backward kernel == the XLA composition's VJP
+        over arbitrary graphs (padding edges, out-of-range dst, random
+        cotangents), to the documented bf16 absolute-precision class."""
+        import jax
+        import jax.numpy as jnp
+
+        from ananke_abm_tpu.ops.pallas.edge_segment import (
+            gat_edge_aggregate_multihead_pallas,
+            gat_edge_backward_multihead_pallas,
+        )
+        from ananke_abm_tpu.ops.segment import gat_edge_attention_multihead
+
+        rng = np.random.default_rng(seed)
+        src = jnp.asarray(rng.integers(0, Z, E), jnp.int32)
+        dst = jnp.asarray(rng.integers(0, Z + extra_dst, E), jnp.int32)
+        Wh = jnp.asarray(rng.normal(size=(Z, H, d)).astype(np.float32))
+        qs = jnp.asarray(rng.normal(size=(Z, H)).astype(np.float32)) * 0.5
+        qd = jnp.asarray(rng.normal(size=(Z, H)).astype(np.float32)) * 0.5
+        g = jnp.asarray(rng.normal(size=(Z, H, d)).astype(np.float32))
+
+        out, denom, shift = gat_edge_aggregate_multihead_pallas(
+            Wh, qs, qd, src, dst, num_nodes=Z, return_residuals=True,
+            interpret=True,
+        )
+        got = gat_edge_backward_multihead_pallas(
+            Wh, qs, qd, src, dst, g, out, denom, shift,
+            num_nodes=Z, interpret=True,
+        )
+        _, vjp = jax.vjp(
+            lambda Wh, qs, qd: gat_edge_attention_multihead(
+                Wh, qd, qs, src, dst, Z, use_pallas=False
+            ),
+            Wh, qs, qd,
+        )
+        want = vjp(g)
+        g_scale = float(np.abs(np.asarray(g)).max()
+                        * np.abs(np.asarray(Wh)).max()) + 1e-6
+        for a, b in zip(got, want):
+            a, b = np.asarray(a), np.asarray(b)
+            assert np.isfinite(a).all()
+            den = max(np.abs(b).max(), g_scale)
+            assert np.abs(a - b).max() / den < 2e-2
+
+    @given(
+        seed=st.integers(0, 10_000),
         Z=st.integers(1, 60),
         E=st.integers(0, 400),
         D=st.sampled_from([4, 16]),
