@@ -247,17 +247,24 @@ def train(
     seed: int = 0,
     num_zones: int | None = None,
     sparse_zones: bool = False,
+    sparse_world: bool = False,
 ):
     """``sparse_zones=True`` trains with the edge-list zone encoder:
-    the adjacency is converted ONCE to a COO edge list host-side and
-    the dense (Z, Z) matrix never reaches the device — the path for
-    zone graphs too large/sparse for dense attention. Uses the general
-    XLA/remat step (the fused Pallas train kernel's zone encoder is
-    dense-only)."""
+    the zone graph rides a COO edge list and the dense (Z, Z) matrix
+    never reaches the device — the path for zone graphs too large or
+    too sparse for dense attention. Uses the general XLA/remat step
+    (the fused Pallas train kernel's zone encoder is dense-only).
+
+    ``sparse_world=True`` (implies sparse_zones) goes further: the
+    generator itself builds the graph as an edge list
+    (``sparse_zone_world``'s grid-bucketed kNN) so no O(Z^2) array
+    exists at ANY stage — generation, init, or training."""
+    sparse_zones = sparse_zones or sparse_world
     config = config or GATODEConfig()
     ensure_dir(outdir)
     data = generate_agent_population(
-        n_agents, num_times=num_times, seed=seed, num_zones=num_zones
+        n_agents, num_times=num_times, seed=seed, num_zones=num_zones,
+        sparse_world=sparse_world,
     )
 
     model = build_model(
@@ -267,9 +274,12 @@ def train(
     bsz = min(config.batch_size, n_agents)
     edge_index = None
     if sparse_zones:
-        from ananke_abm_tpu.ops.segment import edges_from_adj
+        if "edge_index" in data:
+            ei = data["edge_index"]
+        else:
+            from ananke_abm_tpu.ops.segment import edges_from_adj
 
-        ei = edges_from_adj(data["adj"])
+            ei = edges_from_adj(data["adj"])
         edge_index = (jnp.asarray(ei[0]), jnp.asarray(ei[1]))
     params = init_params(model, config, data, bsz, key,
                          edge_index=edge_index)

@@ -287,6 +287,62 @@ class TestTraining:
         assert np.isfinite(res["final_loss"])
         assert res["final_acc"] > 0.1
 
+    def test_sparse_zone_world_matches_dense_knn(self):
+        """At Z <= 500 the sparse builder draws bitwise-identical coords
+        to synthetic_zone_world (same rng stream, same 30x30 map), so
+        its grid-bucketed kNN edge set must reproduce the dense argsort
+        kNN graph (up to rare candidate-table overflow trims)."""
+        from ananke_abm_tpu.data_generator.agent_trajectories import (
+            sparse_zone_world, synthetic_zone_world,
+        )
+        from ananke_abm_tpu.ops.segment import edges_from_adj
+
+        Z = 400
+        zf_d, adj, _ = synthetic_zone_world(Z, seed=5)
+        zf_s, (src, dst) = sparse_zone_world(Z, seed=5)
+        np.testing.assert_array_equal(zf_s, zf_d)
+        want = set(zip(*[x.tolist() for x in edges_from_adj(adj)]))
+        got = set(zip(src.tolist(), dst.tolist()))
+        recall = len(got & want) / len(want)
+        assert recall > 0.99, f"kNN recall {recall:.4f}"
+        assert len(got - want) / len(want) < 0.01
+
+    def test_sparse_zone_world_structure_large(self):
+        from ananke_abm_tpu.data_generator.agent_trajectories import (
+            sparse_zone_world,
+        )
+
+        Z, k = 3000, 6
+        zf, (src, dst) = sparse_zone_world(Z, seed=2, k=k)
+        assert zf.shape == (Z, 7)
+        assert src.dtype == np.int32 and dst.dtype == np.int32
+        assert src.min() >= 0 and src.max() < Z
+        assert dst.min() >= 0 and dst.max() < Z
+        pairs = set(zip(src.tolist(), dst.tolist()))
+        # symmetric + self loops
+        assert all((j, i) in pairs for i, j in pairs)
+        assert all((i, i) in pairs for i in range(Z))
+        deg = np.bincount(dst, minlength=Z)
+        assert deg.min() >= k // 2 and deg.mean() <= 2 * k + 2
+
+    def test_train_sparse_world_end_to_end(self, tmp_path):
+        """sparse_world=True: no (Z, Z) array exists at any stage and
+        training still learns."""
+        from ananke_abm_tpu.data_generator.agent_trajectories import (
+            generate_agent_population,
+        )
+
+        d = generate_agent_population(
+            64, num_times=6, num_zones=50, seed=4, sparse_world=True
+        )
+        assert d["adj"] is None and d["dist"] is None
+        assert "edge_index" in d
+        res = train(
+            str(tmp_path), n_agents=128, num_times=8, num_zones=40,
+            config=tiny_cfg(epochs=4), seed=0, sparse_world=True,
+        )
+        assert np.isfinite(res["final_loss"])
+
     def test_loss_decreases(self, tmp_path):
         res = train(
             str(tmp_path), n_agents=256, num_times=16,
