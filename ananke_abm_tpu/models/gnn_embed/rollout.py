@@ -41,7 +41,7 @@ def _pallas_eligible(config, expected_n=None) -> bool:
 def make_decoded_rollout(model, config, zone_feats, adj, times,
                          use_pallas: str | bool = "auto",
                          expected_n: int | None = None,
-                         mesh=None):
+                         mesh=None, edge_index=None):
     """Returns jitted ``rollout(params, person_feats, home_zone_ids) ->
     (N, T) int32 zone ids`` with decode fused into the integration scan.
 
@@ -52,7 +52,14 @@ def make_decoded_rollout(model, config, zone_feats, adj, times,
     ``mesh``: an (agents, zones) `jax.sharding.Mesh`; agent arrays shard
     over the ``agents`` axis (Pallas path via shard_map, XLA path via
     GSPMD in/out shardings), params replicated.
+
+    ``edge_index``: serve with the sparse edge-list zone encoder (adj
+    may then be None — the dense (Z, Z) matrix is never needed). Forces
+    the XLA rollout body: the fused serving kernels embed the dense
+    zone-encode.
     """
+    if edge_index is not None:
+        use_pallas = False
     if use_pallas == "auto":
         use_pallas = _pallas_eligible(config, expected_n)
     if use_pallas:
@@ -70,7 +77,8 @@ def make_decoded_rollout(model, config, zone_feats, adj, times,
 
     def rollout_body(params, person_feats, home_zone_ids):
         zone_emb = model.apply(
-            {"params": params}, zone_feats, adj, method=model.encode_zones
+            {"params": params}, zone_feats, adj, edge_index,
+            method=model.encode_zones,
         )
         x0, h = model.apply(
             {"params": params}, person_feats, home_zone_ids, zone_emb,

@@ -325,6 +325,36 @@ class TestTraining:
         deg = np.bincount(dst, minlength=Z)
         assert deg.min() >= k // 2 and deg.mean() <= 2 * k + 2
 
+    def test_sparse_rollout_matches_dense(self):
+        """make_decoded_rollout(edge_index=..., adj=None) serves the
+        same ids as the dense rollout."""
+        from ananke_abm_tpu.models.gnn_embed.rollout import (
+            make_decoded_rollout,
+        )
+        from ananke_abm_tpu.models.gnn_embed.train import (
+            build_model, init_params,
+        )
+        from ananke_abm_tpu.ops.segment import edges_from_adj
+
+        cfg = tiny_cfg()
+        d = generate_agent_population(48, num_times=6, num_zones=12, seed=6)
+        model = build_model(cfg, 7, 8)
+        params = init_params(model, cfg, d, 48, jax.random.PRNGKey(0))
+        zf, adj = jnp.asarray(d["zone_features"]), jnp.asarray(d["adj"])
+        times = jnp.asarray(d["times"])
+        ei_np = edges_from_adj(np.asarray(d["adj"]))
+        ei = (jnp.asarray(ei_np[0]), jnp.asarray(ei_np[1]))
+        pf, hz = jnp.asarray(d["person_feats"]), jnp.asarray(d["home_zone"])
+
+        dense = make_decoded_rollout(model, cfg, zf, adj, times,
+                                     use_pallas=False)
+        sparse = make_decoded_rollout(model, cfg, zf, None, times,
+                                      edge_index=ei)
+        np.testing.assert_array_equal(
+            np.asarray(sparse(params, pf, hz)),
+            np.asarray(dense(params, pf, hz)),
+        )
+
     def test_train_sparse_world_end_to_end(self, tmp_path):
         """sparse_world=True: no (Z, Z) array exists at any stage and
         training still learns."""
