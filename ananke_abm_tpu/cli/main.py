@@ -1,7 +1,10 @@
 """``ananke`` CLI (parity with the reference src/ananke_abm/cli/__init__.py:
 13-26 and run_models/*): traj-embed, gval-traj, visualize-combined-traj,
 info. In the reference snapshot traj-embed/gval-traj point at a missing
-module (SURVEY.md §2.8); here they are fully functional."""
+module (SURVEY.md §2.8); here they are fully functional. Beyond parity:
+gatode-train / gatode-serve expose the flagship GAT-ODE family
+(BASELINE.json names gnn_embed as a required capability; the reference
+never shipped it)."""
 from __future__ import annotations
 
 import click
@@ -127,6 +130,62 @@ def make_purposes_cmd(activities_csv, out_csv, overrides, override_csv,
         day_horizon_minutes=day_horizon_minutes,
     )
     click.echo(f"Wrote {len(catalog)} purposes to {out_csv}")
+
+
+@main.command("gatode-train")
+@click.option("--outdir", type=click.Path(), default="runs/gatode",
+              show_default=True)
+@click.option("--n-agents", type=int, default=8192, show_default=True)
+@click.option("--num-times", type=int, default=48, show_default=True)
+@click.option("--num-zones", type=int, default=None,
+              help="Zone count (default: the 8-zone mock world).")
+@click.option("--epochs", type=int, default=10, show_default=True)
+@click.option("--lr", type=float, default=1e-3, show_default=True)
+@click.option("--batch", "batch_size", type=int, default=4096,
+              show_default=True)
+@click.option("--num-blocks", type=int, default=2, show_default=True)
+@click.option("--method", type=click.Choice(["rk4", "dopri5"]),
+              default="rk4", show_default=True)
+@click.option("--seed", type=int, default=0)
+@click.option("--sparse-world", is_flag=True, default=False,
+              help="Edge-list zone graph end to end (no (Z, Z) array).")
+def gatode_train(outdir, n_agents, num_times, num_zones, epochs, lr,
+                 batch_size, num_blocks, method, seed, sparse_world):
+    """Train the flagship GAT-ODE model on a synthetic population."""
+    from ananke_abm_tpu.models.gnn_embed.train import GATODEConfig, train
+
+    config = GATODEConfig(
+        epochs=epochs, lr=lr, batch_size=batch_size,
+        num_blocks=num_blocks, method=method,
+    )
+    res = train(
+        outdir, n_agents=n_agents, num_times=num_times, config=config,
+        seed=seed, num_zones=num_zones, sparse_world=sparse_world,
+    )
+    click.echo(
+        f"Final loss {res['final_loss']:.4f}, acc {res['final_acc']:.3f} "
+        f"in {res['seconds']:.1f} s; ckpt {res['ckpt']}"
+    )
+
+
+@main.command("gatode-serve")
+@click.option("--ckpt", type=click.Path(exists=True), required=True)
+@click.option("--out-npz", type=click.Path(), required=True)
+@click.option("--n-agents", type=int, default=4096, show_default=True)
+@click.option("--num-times", type=int, default=None,
+              help="Output grid size (default: the ckpt's).")
+@click.option("--seed", type=int, default=1, show_default=True,
+              help="Agent-population seed (the zone world comes from the ckpt).")
+def gatode_serve(ckpt, out_npz, n_agents, num_times, seed):
+    """Roll out a trained GAT-ODE over a fresh agent population."""
+    from ananke_abm_tpu.models.gnn_embed.train import serve
+
+    res = serve(ckpt, out_npz, n_agents=n_agents, num_times=num_times,
+                seed=seed)
+    click.echo(
+        f"Served {res['n_agents']} agents x {res['num_times']} times in "
+        f"{res['seconds']:.2f} s -> {res['out']}"
+    )
 
 
 @main.command("info")

@@ -25,6 +25,7 @@ def generate_agent_population(
     seed: int = 0,
     num_zones: int | None = None,
     sparse_world: bool = False,
+    world_seed: int | None = None,
 ):
     """Returns dict with times (T,), zone_ids (N, T) int32, person_feats
     (N, 8) f32, home_zone (N,), zone_features (Z, 7), adj (Z, Z),
@@ -34,21 +35,27 @@ def generate_agent_population(
     (``sparse_zone_world``) and never materializes any (Z, Z) array:
     the dict then has ``edge_index`` (src, dst int32 pairs) with
     ``adj``/``dist`` set to None — the input shape for the edge-list
-    GAT path at zone counts where O(Z^2) is unaffordable."""
+    GAT path at zone counts where O(Z^2) is unaffordable.
+
+    ``world_seed`` (default: ``seed``) seeds the ZONE WORLD separately
+    from the agent draws — serving regenerates a training run's world
+    (same world_seed) for a fresh agent population (different seed)."""
     rng = np.random.default_rng(seed)
+    if world_seed is None:
+        world_seed = seed
 
     edge_index = None
     if sparse_world:
         if num_zones is None:
             num_zones = len(ZONES)
-        zf, edge_index = sparse_zone_world(num_zones, seed)
+        zf, edge_index = sparse_zone_world(num_zones, world_seed)
         adj = dist = None
     elif num_zones is None or num_zones == len(ZONES):
         zf = zone_feature_matrix()
         adj = adjacency_matrix()
         dist = distance_matrix()
     else:
-        zf, adj, dist = synthetic_zone_world(num_zones, seed)
+        zf, adj, dist = synthetic_zone_world(num_zones, world_seed)
     Z = zf.shape[0]
 
     pop_w = zf[:, 0] + 1e-3  # log-population column

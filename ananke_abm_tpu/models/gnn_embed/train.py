@@ -337,6 +337,10 @@ def train(
             "num_zones": int(data["zone_features"].shape[0]),
             "num_times": num_times,
             "history": hist,
+            # world reconstruction keys for serve(): the zone world is
+            # regenerated deterministically from these
+            "world_seed": seed,
+            "sparse_world": bool(sparse_world),
         },
         ckpt,
     )
@@ -345,6 +349,70 @@ def train(
         "final_acc": hist[-1]["acc"],
         "seconds": elapsed,
         "ckpt": ckpt,
+    }
+
+
+def serve(
+    ckpt_path: str,
+    out_npz: str,
+    n_agents: int = 4096,
+    num_times: int | None = None,
+    seed: int = 1,
+    use_pallas: str | bool = "auto",
+):
+    """Serve a trained GAT-ODE checkpoint: regenerate its zone world
+    (deterministic from the ckpt's world keys), draw a FRESH agent
+    population of ``n_agents`` (``seed`` governs the agents only), run
+    the fused integrate-then-decode rollout, and write
+    ``out_npz{zone_ids (N, T) int32, times (T,)}``.
+
+    Sparse-world checkpoints serve through the edge-list encoder
+    (no (Z, Z) array); dense checkpoints use the Pallas serving kernels
+    where eligible (``use_pallas`` as in ``make_decoded_rollout``).
+    """
+    from ananke_abm_tpu.models.gnn_embed.rollout import make_decoded_rollout
+    from ananke_abm_tpu.utils import load_checkpoint
+
+    ck = load_checkpoint(ckpt_path)
+    config = GATODEConfig(**ck["config"])
+    sparse = bool(ck.get("sparse_world", False))
+    data = generate_agent_population(
+        n_agents,
+        num_times=int(num_times or ck["num_times"]),
+        seed=seed,
+        num_zones=int(ck["num_zones"]),
+        sparse_world=sparse,
+        world_seed=int(ck.get("world_seed", 0)),
+    )
+    model = build_model(
+        config, data["zone_features"].shape[-1],
+        data["person_feats"].shape[-1],
+    )
+    edge_index = None
+    adj = None
+    if sparse:
+        ei = data["edge_index"]
+        edge_index = (jnp.asarray(ei[0]), jnp.asarray(ei[1]))
+    else:
+        adj = jnp.asarray(data["adj"])
+    rollout = make_decoded_rollout(
+        model, config, jnp.asarray(data["zone_features"]), adj,
+        jnp.asarray(data["times"]), use_pallas=use_pallas,
+        expected_n=n_agents, edge_index=edge_index,
+    )
+    t0 = time.time()
+    ids = np.asarray(rollout(
+        ck["params"], jnp.asarray(data["person_feats"]),
+        jnp.asarray(data["home_zone"]),
+    ))
+    elapsed = time.time() - t0
+    ensure_dir(os.path.dirname(os.path.abspath(out_npz)))
+    np.savez(out_npz, zone_ids=ids, times=data["times"])
+    return {
+        "n_agents": n_agents,
+        "num_times": ids.shape[1],
+        "seconds": elapsed,
+        "out": out_npz,
     }
 
 

@@ -181,8 +181,58 @@ class TestAnankeCLI:
         res = runner.invoke(ananke_main, ["--help"])
         assert res.exit_code == 0
         for cmd in ("traj-embed", "gval-traj", "visualize-combined-traj",
-                    "info", "make-purposes"):
+                    "info", "make-purposes", "gatode-train",
+                    "gatode-serve"):
             assert cmd in res.output
+
+    def test_gatode_train_serve(self, tmp_path):
+        """gatode-train -> gatode-serve: the flagship family end to end
+        from the CLI; the serve step regenerates the ckpt's zone world
+        and writes the ids npz."""
+        import numpy as np
+
+        runner = CliRunner()
+        outdir = str(tmp_path / "gatode")
+        res = runner.invoke(ananke_main, [
+            "gatode-train", "--outdir", outdir, "--n-agents", "96",
+            "--num-times", "6", "--num-zones", "10", "--epochs", "2",
+            "--batch", "96", "--num-blocks", "1", "--seed", "3",
+        ])
+        assert res.exit_code == 0, res.output
+        ckpt = str(tmp_path / "gatode" / "gatode_best.ckpt")
+        out_npz = str(tmp_path / "served.npz")
+        res = runner.invoke(ananke_main, [
+            "gatode-serve", "--ckpt", ckpt, "--out-npz", out_npz,
+            "--n-agents", "64", "--seed", "9",
+        ])
+        assert res.exit_code == 0, res.output
+        z = np.load(out_npz)
+        assert z["zone_ids"].shape == (64, 6)
+        assert z["zone_ids"].dtype == np.int32
+        assert int(z["zone_ids"].max()) < 10
+
+    def test_gatode_train_serve_sparse_world(self, tmp_path):
+        import numpy as np
+
+        runner = CliRunner()
+        outdir = str(tmp_path / "gatode_sp")
+        res = runner.invoke(ananke_main, [
+            "gatode-train", "--outdir", outdir, "--n-agents", "96",
+            "--num-times", "6", "--num-zones", "40", "--epochs", "2",
+            "--batch", "96", "--num-blocks", "1", "--seed", "3",
+            "--sparse-world",
+        ])
+        assert res.exit_code == 0, res.output
+        out_npz = str(tmp_path / "served_sp.npz")
+        res = runner.invoke(ananke_main, [
+            "gatode-serve", "--ckpt",
+            str(tmp_path / "gatode_sp" / "gatode_best.ckpt"),
+            "--out-npz", out_npz, "--n-agents", "48",
+        ])
+        assert res.exit_code == 0, res.output
+        z = np.load(out_npz)
+        assert z["zone_ids"].shape == (48, 6)
+        assert int(z["zone_ids"].max()) < 40
 
     def test_info(self):
         res = CliRunner().invoke(ananke_main, ["info"])
