@@ -20,6 +20,11 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_CACHE = os.path.join(REPO, "BASELINE_SELF.json")
+# Last successful LIVE measurement. The axon tunnel goes down for
+# multi-hour stretches (CLAUDE.md); if it is down when the driver runs
+# this script, we emit the cached line (labeled measured_live: false)
+# instead of producing no record at all.
+LAST_GOOD_CACHE = os.path.join(REPO, "BENCH_LAST_GOOD.json")
 
 # Workload: BASELINE config 5 scale — 1M-agent synthetic population,
 # fixed-step RK4 day rollout, integrate-and-decode, single chip. Serving
@@ -367,33 +372,91 @@ def wait_for_tpu(budget_s: float | None = None) -> bool:
         time.sleep(30)
 
 
+def _load_last_good() -> dict | None:
+    """Cached result of the last successful live run, or None. Only
+    trusted when its workload matches the current constants (a stale
+    cache from a different num_blocks/shape must not masquerade as a
+    measurement of this code)."""
+    try:
+        with open(LAST_GOOD_CACHE) as f:
+            cached = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return None
+    wl = cached.get("workload", {})
+    want = {"n_agents": N_AGENTS, "num_times": NUM_TIMES,
+            "substeps": SUBSTEPS, "num_zones": NUM_ZONES,
+            "num_blocks": NUM_BLOCKS, "train_n": TRAIN_N,
+            "train_zones": TRAIN_ZONES, "train_times": TRAIN_TIMES}
+    if wl != want:
+        return None
+    return cached
+
+
+def _save_last_good(result: dict) -> None:
+    payload = {
+        "result": result,
+        "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "workload": {"n_agents": N_AGENTS, "num_times": NUM_TIMES,
+                     "substeps": SUBSTEPS, "num_zones": NUM_ZONES,
+                     "num_blocks": NUM_BLOCKS, "train_n": TRAIN_N,
+                     "train_zones": TRAIN_ZONES, "train_times": TRAIN_TIMES},
+    }
+    tmp = LAST_GOOD_CACHE + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=2)
+    os.replace(tmp, LAST_GOOD_CACHE)
+
+
+def _emit_cached(cached: dict, reason: str) -> None:
+    line = dict(cached["result"])
+    line["measured_live"] = False
+    line["cached_measured_at"] = cached.get("measured_at")
+    line["cache_reason"] = reason
+    print(json.dumps(line))
+
+
 def main():
-    wait_for_tpu()
-    tpu = measure_tpu()
-    baseline = get_baseline()
-    train_stats = measure_train_step()
+    tpu_up = wait_for_tpu()
+    cached = _load_last_good()
+    if not tpu_up and cached is not None:
+        print("bench: TPU backend never answered within the wait budget; "
+              "emitting the last live measurement.", file=sys.stderr)
+        _emit_cached(cached, "tpu backend unavailable at bench time")
+        return
+    try:
+        tpu = measure_tpu()
+        baseline = get_baseline()
+        train_stats = measure_train_step()
+    except Exception as e:  # backend died mid-measure (tunnel outage)
+        msg = str(e)
+        transient = any(s in msg for s in (
+            "UNAVAILABLE", "DEADLINE", "failed to initialize",
+            "Unable to initialize backend", "Connection reset",
+        ))
+        if transient and cached is not None:
+            print(f"bench: backend failed mid-measure ({msg[:200]}); "
+                  "emitting the last live measurement.", file=sys.stderr)
+            _emit_cached(cached, "tpu backend failed mid-measure")
+            return
+        raise
 
     flops_per_agent = rollout_flops_per_agent(
         da=32, dz=64, hidden=128, ctx=32, num_zones=NUM_ZONES,
         num_times=NUM_TIMES, substeps=SUBSTEPS, num_blocks=NUM_BLOCKS,
     )
     tflops = tpu * flops_per_agent / 1e12
-    print(
-        json.dumps(
-            {
-                "metric": "agent-trajectories/sec/chip (1M-agent GAT-ODE day rollout, RK4 x96 steps, 64 zones, interval-fused bf16 Pallas kernel w/ in-kernel decode)",
-                "value": round(tpu, 1),
-                "unit": "agents/s",
-                "vs_baseline": round(tpu / baseline, 2),
-                "rollout_tflops_per_s": round(tflops, 1),
-                "mfu_vs_v5e_bf16_peak": round(
-                    tflops / V5E_BF16_PEAK_TFLOPS, 4
-                ),
-                "rollout_matmul_flops_per_agent": int(flops_per_agent),
-                **train_stats,
-            }
-        )
-    )
+    result = {
+        "metric": "agent-trajectories/sec/chip (1M-agent GAT-ODE day rollout, RK4 x96 steps, 64 zones, interval-fused bf16 Pallas kernel w/ in-kernel decode)",
+        "value": round(tpu, 1),
+        "unit": "agents/s",
+        "vs_baseline": round(tpu / baseline, 2),
+        "rollout_tflops_per_s": round(tflops, 1),
+        "mfu_vs_v5e_bf16_peak": round(tflops / V5E_BF16_PEAK_TFLOPS, 4),
+        "rollout_matmul_flops_per_agent": int(flops_per_agent),
+        **train_stats,
+    }
+    _save_last_good(result)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
