@@ -176,12 +176,15 @@ def gatode_train(outdir, n_agents, num_times, num_zones, epochs, lr,
               help="Output grid size (default: the ckpt's).")
 @click.option("--seed", type=int, default=1, show_default=True,
               help="Agent-population seed (the zone world comes from the ckpt).")
-def gatode_serve(ckpt, out_npz, n_agents, num_times, seed):
+@click.option("--world-seed", type=int, default=None,
+              help="Override the ckpt's zone-world seed (required for "
+                   "checkpoints that predate the world keys).")
+def gatode_serve(ckpt, out_npz, n_agents, num_times, seed, world_seed):
     """Roll out a trained GAT-ODE over a fresh agent population."""
     from ananke_abm_tpu.models.gnn_embed.train import serve
 
     res = serve(ckpt, out_npz, n_agents=n_agents, num_times=num_times,
-                seed=seed)
+                seed=seed, world_seed=world_seed)
     click.echo(
         f"Served {res['n_agents']} agents x {res['num_times']} times in "
         f"{res['seconds']:.2f} s -> {res['out']}"

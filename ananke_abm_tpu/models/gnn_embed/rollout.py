@@ -74,8 +74,15 @@ def make_decoded_rollout(model, config, zone_feats, adj, times,
         )
 
     substeps = config.substeps
+    # graph arrays ride as a jit ARGUMENT: closure-captured device arrays
+    # are baked into the program as constants, and the sparse edge-list
+    # path exists precisely for Z ~ 1e5-1e6 where that blows up the
+    # remote compile (CLAUDE.md no-closure rule). Same arrays each call
+    # -> jit cache hit, no retrace.
+    graph = (zone_feats, adj, edge_index, times)
 
-    def rollout_body(params, person_feats, home_zone_ids):
+    def rollout_body(params, person_feats, home_zone_ids, graph):
+        zone_feats, adj, edge_index, times = graph
         zone_emb = model.apply(
             {"params": params}, zone_feats, adj, edge_index,
             method=model.encode_zones,
@@ -114,12 +121,19 @@ def make_decoded_rollout(model, config, zone_feats, adj, times,
         return jnp.swapaxes(ids, 0, 1)
 
     if mesh is None:
-        return jax.jit(rollout_body)
+        jitted = jax.jit(rollout_body)
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from jax.sharding import NamedSharding, PartitionSpec as P
+        from ananke_abm_tpu.parallel.mesh import AGENT_AXIS
 
-    from ananke_abm_tpu.parallel.mesh import AGENT_AXIS
+        rep = NamedSharding(mesh, P())
+        ag = NamedSharding(mesh, P(AGENT_AXIS))
+        jitted = jax.jit(
+            rollout_body, in_shardings=(rep, ag, ag, rep), out_shardings=ag
+        )
 
-    rep = NamedSharding(mesh, P())
-    ag = NamedSharding(mesh, P(AGENT_AXIS))
-    return jax.jit(rollout_body, in_shardings=(rep, ag, ag), out_shardings=ag)
+    def rollout(params, person_feats, home_zone_ids):
+        return jitted(params, person_feats, home_zone_ids, graph)
+
+    return rollout

@@ -87,9 +87,16 @@ def _unpack_static(static):
 
 
 def make_step_fns(model, optimizer, config, static):
-    zone_feats, adj, times, edge_index = _unpack_static(static)
+    # The zone graph is threaded through the jitted fns as an explicit
+    # argument, NOT closure-captured: captured device arrays are baked
+    # into the compiled program as constants, and on the sparse path
+    # (edge lists at Z ~ 1e5-1e6) that reproduces the documented
+    # remote-compile blowup (CLAUDE.md no-closure rule). Passing the
+    # same arrays every call hits the jit cache — no retrace.
+    graph = _unpack_static(static)
 
-    def loss_fn(params, pf, hz, targets):
+    def loss_fn_g(params, pf, hz, targets, graph):
+        zone_feats, adj, times, edge_index = graph
         logits, _ = model.apply(
             {"params": params}, zone_feats, adj, pf, hz, times,
             ode_method=config.method, substeps=config.substeps,
@@ -102,15 +109,23 @@ def make_step_fns(model, optimizer, config, static):
         return jnp.mean(nll), acc
 
     @jax.jit
-    def train_step(params, opt_state, pf, hz, targets):
-        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, pf, hz, targets
+    def train_step_g(params, opt_state, pf, hz, targets, graph):
+        (loss, acc), grads = jax.value_and_grad(loss_fn_g, has_aux=True)(
+            params, pf, hz, targets, graph
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, acc
 
-    return train_step, jax.jit(loss_fn)
+    loss_jit = jax.jit(loss_fn_g)
+
+    def train_step(params, opt_state, pf, hz, targets):
+        return train_step_g(params, opt_state, pf, hz, targets, graph)
+
+    def loss_fn(params, pf, hz, targets):
+        return loss_jit(params, pf, hz, targets, graph)
+
+    return train_step, loss_fn
 
 
 def build_fused_loss_fn(model, config, zone_feats, adj, times,
@@ -359,6 +374,7 @@ def serve(
     num_times: int | None = None,
     seed: int = 1,
     use_pallas: str | bool = "auto",
+    world_seed: int | None = None,
 ):
     """Serve a trained GAT-ODE checkpoint: regenerate its zone world
     (deterministic from the ckpt's world keys), draw a FRESH agent
@@ -369,6 +385,12 @@ def serve(
     Sparse-world checkpoints serve through the edge-list encoder
     (no (Z, Z) array); dense checkpoints use the Pallas serving kernels
     where eligible (``use_pallas`` as in ``make_decoded_rollout``).
+
+    ``world_seed`` overrides the checkpoint's stored world seed.
+    Checkpoints written before the world keys existed don't record one;
+    serving them requires passing it explicitly — silently guessing
+    would rebuild a DIFFERENT zone world than the model was trained on
+    and decode meaningless ids.
     """
     from ananke_abm_tpu.models.gnn_embed.rollout import make_decoded_rollout
     from ananke_abm_tpu.utils import load_checkpoint
@@ -376,13 +398,21 @@ def serve(
     ck = load_checkpoint(ckpt_path)
     config = GATODEConfig(**ck["config"])
     sparse = bool(ck.get("sparse_world", False))
+    if world_seed is None:
+        if "world_seed" not in ck:
+            raise ValueError(
+                f"checkpoint {ckpt_path} predates the world-reconstruction "
+                "keys (no 'world_seed'); pass world_seed= (the seed the "
+                "model was trained with) to serve it"
+            )
+        world_seed = int(ck["world_seed"])
     data = generate_agent_population(
         n_agents,
         num_times=int(num_times or ck["num_times"]),
         seed=seed,
         num_zones=int(ck["num_zones"]),
         sparse_world=sparse,
-        world_seed=int(ck.get("world_seed", 0)),
+        world_seed=int(world_seed),
     )
     model = build_model(
         config, data["zone_features"].shape[-1],
@@ -428,7 +458,9 @@ def make_adjoint_step_fns(model, optimizer, config, static):
     """
     from ananke_abm_tpu.ode import odeint_adjoint
 
-    zone_feats, adj, times, edge_index = _unpack_static(static)
+    # graph threaded as a jit argument, not closure-captured — see
+    # make_step_fns
+    graph = _unpack_static(static)
 
     def rhs(t, x, args):
         params, h, zone_emb = args
@@ -436,7 +468,8 @@ def make_adjoint_step_fns(model, optimizer, config, static):
             {"params": params}, t, x, h, zone_emb, method=model.rhs
         )
 
-    def loss_fn(params, pf, hz, targets):
+    def loss_fn_g(params, pf, hz, targets, graph):
+        zone_feats, adj, times, edge_index = graph
         zone_emb = model.apply(
             {"params": params}, zone_feats, adj, edge_index,
             method=model.encode_zones,
@@ -458,12 +491,20 @@ def make_adjoint_step_fns(model, optimizer, config, static):
         return jnp.mean(nll), acc
 
     @jax.jit
-    def train_step(params, opt_state, pf, hz, targets):
-        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, pf, hz, targets
+    def train_step_g(params, opt_state, pf, hz, targets, graph):
+        (loss, acc), grads = jax.value_and_grad(loss_fn_g, has_aux=True)(
+            params, pf, hz, targets, graph
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, acc
 
-    return train_step, jax.jit(loss_fn)
+    loss_jit = jax.jit(loss_fn_g)
+
+    def train_step(params, opt_state, pf, hz, targets):
+        return train_step_g(params, opt_state, pf, hz, targets, graph)
+
+    def loss_fn(params, pf, hz, targets):
+        return loss_jit(params, pf, hz, targets, graph)
+
+    return train_step, loss_fn

@@ -373,6 +373,37 @@ class TestTraining:
         )
         assert np.isfinite(res["final_loss"])
 
+    def test_serve_refuses_pre_world_key_ckpt(self, tmp_path):
+        """A checkpoint without 'world_seed' (pre-world-key writer) must
+        NOT serve with a silently guessed world — the regenerated zones
+        would differ from the trained ones. Explicit world_seed= serves
+        it; it must reproduce the stored-key rollout exactly."""
+        import pytest
+
+        from ananke_abm_tpu.models.gnn_embed.train import serve
+        from ananke_abm_tpu.utils import load_checkpoint, save_checkpoint
+
+        res = train(
+            str(tmp_path), n_agents=48, num_times=6, num_zones=10,
+            config=tiny_cfg(epochs=1), seed=3,
+        )
+        out1 = str(tmp_path / "with_key.npz")
+        serve(res["ckpt"], out1, n_agents=16, seed=9)
+
+        ck = load_checkpoint(res["ckpt"])
+        del ck["world_seed"]
+        old_ckpt = str(tmp_path / "pre_world_key.ckpt")
+        save_checkpoint(ck, old_ckpt)
+
+        with pytest.raises(ValueError, match="world_seed"):
+            serve(old_ckpt, str(tmp_path / "never.npz"), n_agents=16, seed=9)
+
+        out2 = str(tmp_path / "explicit_key.npz")
+        serve(old_ckpt, out2, n_agents=16, seed=9, world_seed=3)
+        np.testing.assert_array_equal(
+            np.load(out1)["zone_ids"], np.load(out2)["zone_ids"]
+        )
+
     def test_loss_decreases(self, tmp_path):
         res = train(
             str(tmp_path), n_agents=256, num_times=16,
