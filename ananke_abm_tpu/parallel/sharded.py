@@ -33,12 +33,25 @@ def _constraint(mesh, x, *axes):
 def make_sharded_train_step(model, optimizer, config, mesh, static):
     """Returns a jitted step(params, opt_state, pf, hz, targets) whose agent
     inputs shard over the agent axis and whose (N, Z) intermediates tile
-    over the full mesh."""
-    zone_feats, adj, times = static
+    over the full mesh.
 
-    def loss_fn(params, pf, hz, targets):
+    ``static`` is (zone_feats, adj, times) or the 4-element sparse form
+    (zone_feats, adj_or_None, times, edge_index) — the edge-list zone
+    encoder composes with the agent-sharded step (graph replicated,
+    batch rows sharded), so large sparse zone worlds train data-parallel
+    too. The graph rides as an explicit jit argument, never a closure
+    capture (CLAUDE.md no-closure rule — at sparse scale captured edge
+    lists become program constants and blow up the remote compile).
+    """
+    from ananke_abm_tpu.models.gnn_embed.train import _unpack_static
+
+    graph = _unpack_static(static)
+
+    def loss_fn(params, pf, hz, targets, graph):
+        zone_feats, adj, times, edge_index = graph
         zone_emb = model.apply(
-            {"params": params}, zone_feats, adj, method=model.encode_zones
+            {"params": params}, zone_feats, adj, edge_index,
+            method=model.encode_zones,
         )
         zone_emb = _constraint(mesh, zone_emb, ZONE_AXIS)
 
@@ -75,16 +88,19 @@ def make_sharded_train_step(model, optimizer, config, mesh, static):
 
     @functools.partial(
         jax.jit,
-        in_shardings=(rep, rep, agent_sh, agent_sh, agent_sh),
+        in_shardings=(rep, rep, agent_sh, agent_sh, agent_sh, rep),
         out_shardings=(rep, rep, rep, rep),
     )
-    def train_step(params, opt_state, pf, hz, targets):
+    def train_step_g(params, opt_state, pf, hz, targets, graph):
         (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, pf, hz, targets
+            params, pf, hz, targets, graph
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, acc
+
+    def train_step(params, opt_state, pf, hz, targets):
+        return train_step_g(params, opt_state, pf, hz, targets, graph)
 
     return train_step
 
@@ -141,22 +157,33 @@ def make_sharded_fused_train_step(model, optimizer, config, mesh, static):
 
 
 def make_sharded_rollout(model, config, mesh, static):
-    """Forward-only integrate-then-decode, agent-sharded (inference path)."""
-    zone_feats, adj, times = static
+    """Forward-only integrate-then-decode, agent-sharded (inference path).
+
+    Accepts the 3- or 4-element (sparse edge-list) ``static`` like
+    ``make_sharded_train_step``; the graph rides as a replicated jit
+    argument."""
+    from ananke_abm_tpu.models.gnn_embed.train import _unpack_static
+
+    graph = _unpack_static(static)
     rep = NamedSharding(mesh, P())
     agent_sh = NamedSharding(mesh, P(AGENT_AXIS))
 
     @functools.partial(
         jax.jit,
-        in_shardings=(rep, agent_sh, agent_sh),
+        in_shardings=(rep, agent_sh, agent_sh, rep),
         out_shardings=agent_sh,
     )
-    def rollout(params, pf, hz):
+    def rollout_g(params, pf, hz, graph):
+        zone_feats, adj, times, edge_index = graph
         logits, _ = model.apply(
             {"params": params}, zone_feats, adj, pf, hz, times,
             ode_method=config.method, substeps=config.substeps,
             rtol=config.rtol, atol=config.atol,
+            edge_index=edge_index,
         )
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    def rollout(params, pf, hz):
+        return rollout_g(params, pf, hz, graph)
 
     return rollout

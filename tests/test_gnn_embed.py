@@ -481,6 +481,56 @@ class TestSharded:
         )
         assert y.shape == (64, 8)
 
+    def test_sharded_step_sparse_static(self, eight_devices):
+        """The sharded step/rollout accept the 4-element sparse static
+        (edge list, adj=None) and match the dense sharded step — the
+        multi-chip data-parallel path for large sparse zone worlds."""
+        from ananke_abm_tpu.ops.segment import edges_from_adj
+        from ananke_abm_tpu.parallel.mesh import make_mesh
+        from ananke_abm_tpu.parallel.sharded import (
+            make_sharded_rollout,
+            make_sharded_train_step,
+        )
+
+        mesh = make_mesh(8, zone_parallel=2)
+        cfg = tiny_cfg()
+        d = generate_agent_population(64, num_times=8, num_zones=16, seed=4)
+        model = build_model(cfg, 7, 8)
+        params = init_params(model, cfg, d, 64, jax.random.PRNGKey(0))
+        opt = optax.sgd(1e-2)  # linear in the grad — bounds grad diffs
+        st = opt.init(params)
+
+        zf = jnp.asarray(d["zone_features"])
+        adj = jnp.asarray(d["adj"])
+        times = jnp.asarray(d["times"])
+        ei_np = edges_from_adj(np.asarray(d["adj"]))
+        ei = (jnp.asarray(ei_np[0]), jnp.asarray(ei_np[1]))
+        dense_static = (zf, adj, times)
+        sparse_static = (zf, None, times, ei)
+        pf, hz = jnp.asarray(d["person_feats"]), jnp.asarray(d["home_zone"])
+        tg = jnp.asarray(d["zone_ids"])
+
+        step_d = make_sharded_train_step(model, opt, cfg, mesh, dense_static)
+        step_s = make_sharded_train_step(model, opt, cfg, mesh, sparse_static)
+        pd_, _, ld, _ = step_d(params, st, pf, hz, tg)
+        ps_, _, ls, _ = step_s(params, st, pf, hz, tg)
+        np.testing.assert_allclose(float(ls), float(ld), rtol=1e-6)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(ps_), jax.tree_util.tree_leaves(pd_)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+            )
+
+        y_d = make_sharded_rollout(model, cfg, mesh, dense_static)(
+            pd_, pf, hz
+        )
+        y_s = make_sharded_rollout(model, cfg, mesh, sparse_static)(
+            ps_, pf, hz
+        )
+        assert y_s.shape == (64, 8)
+        np.testing.assert_array_equal(np.asarray(y_s), np.asarray(y_d))
+
 
 class TestDataParallelVAE:
     def test_vae_train_sharded_matches_loss_scale(self, eight_devices, tmp_path):
