@@ -149,8 +149,12 @@ def make_purposes_cmd(activities_csv, out_csv, overrides, override_csv,
 @click.option("--seed", type=int, default=0)
 @click.option("--sparse-world", is_flag=True, default=False,
               help="Edge-list zone graph end to end (no (Z, Z) array).")
+@click.option("--data-parallel", is_flag=True, default=False,
+              help="Shard each batch over all visible devices "
+                   "(agent-axis mesh; no-op on one device).")
 def gatode_train(outdir, n_agents, num_times, num_zones, epochs, lr,
-                 batch_size, num_blocks, method, seed, sparse_world):
+                 batch_size, num_blocks, method, seed, sparse_world,
+                 data_parallel):
     """Train the flagship GAT-ODE model on a synthetic population."""
     from ananke_abm_tpu.models.gnn_embed.train import GATODEConfig, train
 
@@ -161,6 +165,7 @@ def gatode_train(outdir, n_agents, num_times, num_zones, epochs, lr,
     res = train(
         outdir, n_agents=n_agents, num_times=num_times, config=config,
         seed=seed, num_zones=num_zones, sparse_world=sparse_world,
+        data_parallel=data_parallel,
     )
     click.echo(
         f"Final loss {res['final_loss']:.4f}, acc {res['final_acc']:.3f} "

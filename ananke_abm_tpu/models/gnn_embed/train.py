@@ -263,6 +263,7 @@ def train(
     num_zones: int | None = None,
     sparse_zones: bool = False,
     sparse_world: bool = False,
+    data_parallel: bool = False,
 ):
     """``sparse_zones=True`` trains with the edge-list zone encoder:
     the zone graph rides a COO edge list and the dense (Z, Z) matrix
@@ -273,7 +274,13 @@ def train(
     ``sparse_world=True`` (implies sparse_zones) goes further: the
     generator itself builds the graph as an edge list
     (``sparse_zone_world``'s grid-bucketed kNN) so no O(Z^2) array
-    exists at ANY stage — generation, init, or training."""
+    exists at ANY stage — generation, init, or training.
+
+    ``data_parallel=True`` shards each batch over ALL visible devices
+    (agent-axis mesh, ``parallel/sharded.py``; params replicated,
+    gradient psum inserted by GSPMD) — composes with the sparse paths.
+    Falls back to the single-device step when only one device is
+    visible. Batches are trimmed to a multiple of the device count."""
     sparse_zones = sparse_zones or sparse_world
     config = config or GATODEConfig()
     ensure_dir(outdir)
@@ -311,10 +318,26 @@ def train(
     )
     if sparse_zones:
         static = static + (edge_index,)
+    n_dev = jax.device_count()
+    data_parallel = data_parallel and n_dev > 1
     # fused Pallas fwd+VJP step where its contract holds (TPU backend,
     # fixed-step rk4, dense zone encoder); XLA+remat step otherwise —
     # the gate must mirror the configured integrator, never replace it
-    if (config.method == "rk4" and jax.default_backend() == "tpu"
+    if data_parallel:
+        from ananke_abm_tpu.parallel.mesh import make_mesh
+        from ananke_abm_tpu.parallel.sharded import make_sharded_train_step
+
+        mesh = make_mesh(n_dev, zone_parallel=1)
+        train_step = make_sharded_train_step(
+            model, optimizer, config, mesh, static
+        )
+        if bsz < n_dev:
+            raise ValueError(
+                f"data_parallel over {n_dev} devices needs a batch of at "
+                f"least {n_dev} agents; got batch_size={bsz}"
+            )
+        bsz -= bsz % n_dev  # the agent mesh axis must divide the batch
+    elif (config.method == "rk4" and jax.default_backend() == "tpu"
             and not sparse_zones):
         train_step, _ = make_fused_train_step(
             model, optimizer, config, static

@@ -404,6 +404,25 @@ class TestTraining:
             np.load(out1)["zone_ids"], np.load(out2)["zone_ids"]
         )
 
+    def test_train_data_parallel(self, eight_devices, tmp_path):
+        """train(data_parallel=True) shards batches over the 8-device
+        mesh; same data order as the single-device run, so the loss
+        history must agree (GSPMD same-program-different-layout)."""
+        kw = dict(n_agents=64, num_times=6, num_zones=12,
+                  config=tiny_cfg(epochs=2, batch_size=32), seed=5)
+        res_dp = train(str(tmp_path / "dp"), data_parallel=True, **kw)
+        res_1d = train(str(tmp_path / "one"), **kw)
+        np.testing.assert_allclose(
+            res_dp["final_loss"], res_1d["final_loss"], rtol=1e-4
+        )
+        # composes with the sparse edge-list path
+        res_sp = train(
+            str(tmp_path / "dpsp"), data_parallel=True, sparse_world=True,
+            n_agents=64, num_times=6, num_zones=40,
+            config=tiny_cfg(epochs=2, batch_size=32), seed=5,
+        )
+        assert np.isfinite(res_sp["final_loss"])
+
     def test_loss_decreases(self, tmp_path):
         res = train(
             str(tmp_path), n_agents=256, num_times=16,
