@@ -86,14 +86,11 @@ def _unpack_static(static):
     return zone_feats, adj, times, edge_index
 
 
-def make_step_fns(model, optimizer, config, static):
-    # The zone graph is threaded through the jitted fns as an explicit
-    # argument, NOT closure-captured: captured device arrays are baked
-    # into the compiled program as constants, and on the sparse path
-    # (edge lists at Z ~ 1e5-1e6) that reproduces the documented
-    # remote-compile blowup (CLAUDE.md no-closure rule). Passing the
-    # same arrays every call hits the jit cache — no retrace.
-    graph = _unpack_static(static)
+def _build_loss_fn_g(model, config):
+    """Graph-threaded loss body shared by the per-step and whole-epoch
+    trainers: ``loss_fn_g(params, pf, hz, targets, graph)`` where graph
+    is the `_unpack_static` 4-tuple passed as an explicit jit argument
+    (never closure-captured — CLAUDE.md no-closure rule)."""
 
     def loss_fn_g(params, pf, hz, targets, graph):
         zone_feats, adj, times, edge_index = graph
@@ -107,6 +104,19 @@ def make_step_fns(model, optimizer, config, static):
         nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
         acc = jnp.mean(jnp.argmax(logits, -1) == targets)
         return jnp.mean(nll), acc
+
+    return loss_fn_g
+
+
+def make_step_fns(model, optimizer, config, static):
+    # The zone graph is threaded through the jitted fns as an explicit
+    # argument, NOT closure-captured: captured device arrays are baked
+    # into the compiled program as constants, and on the sparse path
+    # (edge lists at Z ~ 1e5-1e6) that reproduces the documented
+    # remote-compile blowup (CLAUDE.md no-closure rule). Passing the
+    # same arrays every call hits the jit cache — no retrace.
+    graph = _unpack_static(static)
+    loss_fn_g = _build_loss_fn_g(model, config)
 
     @jax.jit
     def train_step_g(params, opt_state, pf, hz, targets, graph):
@@ -126,6 +136,49 @@ def make_step_fns(model, optimizer, config, static):
         return loss_jit(params, pf, hz, targets, graph)
 
     return train_step, loss_fn
+
+
+def make_epoch_fn(optimizer, loss_fn_g, graph=()):
+    """One jit = one EPOCH: ``lax.scan`` over permuted batch-index rows
+    with the full data arrays device-resident.
+
+    A per-batch Python loop pays the dispatch round-trip (~31 ms over
+    the remote TPU tunnel) plus a host sync (``float(loss)``) on EVERY
+    batch; scanning the whole epoch amortizes both to once per epoch —
+    the same fused-epochs design as ``pipeline/train.py``. Update order
+    matches the per-step loop exactly (same batches, same ops).
+
+    ``loss_fn_g(params, pf, hz, targets, graph) -> (loss, acc)``;
+    ``graph`` threads static device arrays as explicit jit arguments
+    (pass ``()`` when the loss closes over small dense tables, e.g. the
+    fused Pallas path whose VMEM gate bounds Z <= 1024).
+
+    Returns ``epoch(params, opt_state, pf, hz, tg, batches)`` with
+    ``batches`` an (n_batches, bsz) int array of agent rows; yields
+    ``(params, opt_state, losses, accs)`` with per-batch (n_batches,)
+    loss/acc arrays.
+    """
+
+    @jax.jit
+    def epoch_g(params, opt_state, pf, hz, tg, batches, graph):
+        def body(carry, rows):
+            params, opt_state = carry
+            (loss, acc), grads = jax.value_and_grad(
+                loss_fn_g, has_aux=True
+            )(params, pf[rows], hz[rows], tg[rows], graph)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), (loss, acc)
+
+        (params, opt_state), (losses, accs) = jax.lax.scan(
+            body, (params, opt_state), batches
+        )
+        return params, opt_state, losses, accs
+
+    def epoch(params, opt_state, pf, hz, tg, batches):
+        return epoch_g(params, opt_state, pf, hz, tg, batches, graph)
+
+    return epoch
 
 
 def build_fused_loss_fn(model, config, zone_feats, adj, times,
@@ -320,9 +373,13 @@ def train(
         static = static + (edge_index,)
     n_dev = jax.device_count()
     data_parallel = data_parallel and n_dev > 1
-    # fused Pallas fwd+VJP step where its contract holds (TPU backend,
-    # fixed-step rk4, dense zone encoder); XLA+remat step otherwise —
-    # the gate must mirror the configured integrator, never replace it
+    # fused Pallas fwd+VJP loss where its contract holds (TPU backend,
+    # fixed-step rk4, dense zone encoder); XLA+remat loss otherwise —
+    # the gate must mirror the configured integrator, never replace it.
+    # Single-device paths run one jitted lax.scan per EPOCH
+    # (make_epoch_fn — per-batch dispatch and host syncs amortized);
+    # the data-parallel path keeps the per-batch GSPMD step.
+    train_step = epoch_fn = None
     if data_parallel:
         from ananke_abm_tpu.parallel.mesh import make_mesh
         from ananke_abm_tpu.parallel.sharded import make_sharded_train_step
@@ -339,11 +396,19 @@ def train(
         bsz -= bsz % n_dev  # the agent mesh axis must divide the batch
     elif (config.method == "rk4" and jax.default_backend() == "tpu"
             and not sparse_zones):
-        train_step, _ = make_fused_train_step(
-            model, optimizer, config, static
+        fused_loss = build_fused_loss_fn(
+            model, config, static[0], static[1], static[2]
+        )
+        epoch_fn = make_epoch_fn(
+            optimizer,
+            lambda p, pf, hz, tg, _g: fused_loss(p, pf, hz, tg),
+            graph=(),
         )
     else:
-        train_step, _ = make_step_fns(model, optimizer, config, static)
+        epoch_fn = make_epoch_fn(
+            optimizer, _build_loss_fn_g(model, config),
+            graph=_unpack_static(static),
+        )
 
     pf = jnp.asarray(data["person_feats"])
     hz = jnp.asarray(data["home_zone"])
@@ -354,14 +419,24 @@ def train(
     hist = []
     for epoch in range(1, config.epochs + 1):
         perm = np.random.default_rng(seed + epoch).permutation(n_agents)
-        ep_loss, ep_acc = 0.0, 0.0
-        for b in range(n_batches):
-            rows = jnp.asarray(perm[b * bsz : (b + 1) * bsz])
-            params, opt_state, loss, acc = train_step(
-                params, opt_state, pf[rows], hz[rows], tg[rows]
+        if epoch_fn is not None:
+            batches = jnp.asarray(
+                perm[: n_batches * bsz].reshape(n_batches, bsz)
             )
-            ep_loss += float(loss)
-            ep_acc += float(acc)
+            params, opt_state, losses, accs = epoch_fn(
+                params, opt_state, pf, hz, tg, batches
+            )
+            ep_loss = float(jnp.mean(losses)) * n_batches
+            ep_acc = float(jnp.mean(accs)) * n_batches
+        else:
+            ep_loss, ep_acc = 0.0, 0.0
+            for b in range(n_batches):
+                rows = jnp.asarray(perm[b * bsz : (b + 1) * bsz])
+                params, opt_state, loss, acc = train_step(
+                    params, opt_state, pf[rows], hz[rows], tg[rows]
+                )
+                ep_loss += float(loss)
+                ep_acc += float(acc)
         hist.append(
             {"epoch": epoch, "loss": ep_loss / n_batches, "acc": ep_acc / n_batches}
         )

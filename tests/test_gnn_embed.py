@@ -404,6 +404,55 @@ class TestTraining:
             np.load(out1)["zone_ids"], np.load(out2)["zone_ids"]
         )
 
+    def test_epoch_scan_matches_per_step_loop(self):
+        """make_epoch_fn (one jit per epoch, lax.scan over batches) must
+        reproduce the per-step make_step_fns loop exactly — same
+        batches, same update order, same ops."""
+        import optax
+
+        from ananke_abm_tpu.models.gnn_embed.train import (
+            _build_loss_fn_g, _unpack_static, build_model, init_params,
+            make_epoch_fn, make_step_fns,
+        )
+
+        cfg = tiny_cfg()
+        d = generate_agent_population(64, num_times=6, num_zones=10, seed=2)
+        model = build_model(cfg, 7, 8)
+        params = init_params(model, cfg, d, 32, jax.random.PRNGKey(0))
+        opt = optax.adamw(1e-3)
+        static = (
+            jnp.asarray(d["zone_features"]), jnp.asarray(d["adj"]),
+            jnp.asarray(d["times"]),
+        )
+        pf, hz = jnp.asarray(d["person_feats"]), jnp.asarray(d["home_zone"])
+        tg = jnp.asarray(d["zone_ids"])
+        batches = jnp.asarray(
+            np.random.default_rng(0).permutation(64).reshape(2, 32)
+        )
+
+        epoch_fn = make_epoch_fn(
+            opt, _build_loss_fn_g(model, cfg), graph=_unpack_static(static)
+        )
+        p_e, _, losses, accs = epoch_fn(
+            params, opt.init(params), pf, hz, tg, batches
+        )
+
+        step, _ = make_step_fns(model, opt, cfg, static)
+        p_s, st = params, opt.init(params)
+        ref_losses = []
+        for rows in np.asarray(batches):
+            p_s, st, loss, acc = step(p_s, st, pf[rows], hz[rows], tg[rows])
+            ref_losses.append(float(loss))
+        np.testing.assert_allclose(
+            np.asarray(losses), np.asarray(ref_losses), rtol=1e-6
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(p_e), jax.tree_util.tree_leaves(p_s)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+            )
+
     def test_train_data_parallel(self, eight_devices, tmp_path):
         """train(data_parallel=True) shards batches over the 8-device
         mesh; same data order as the single-device run, so the loss

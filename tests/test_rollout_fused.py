@@ -92,6 +92,26 @@ def test_xla_rollout_under_mesh_matches_single_device(eight_devices):
     )
 
 
+def test_sparse_rollout_under_mesh_matches_single_device(eight_devices):
+    """Sparse edge-list serving composes with the agent mesh: the graph
+    rides as a replicated jit argument (adj=None, no (Z, Z) array)."""
+    from ananke_abm_tpu.ops.segment import edges_from_adj
+    from ananke_abm_tpu.parallel.mesh import make_mesh
+
+    cfg, model, params, (zf, adj, times, pf, hz) = _tiny_setup()
+    mesh = make_mesh(8, zone_parallel=2)
+    ei_np = edges_from_adj(np.asarray(adj))
+    ei = (jnp.asarray(ei_np[0]), jnp.asarray(ei_np[1]))
+
+    single = make_decoded_rollout(model, cfg, zf, adj, times, use_pallas=False)
+    sharded = make_decoded_rollout(
+        model, cfg, zf, None, times, mesh=mesh, edge_index=ei
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sharded(params, pf, hz)), np.asarray(single(params, pf, hz))
+    )
+
+
 def test_pallas_rollout_sees_updated_params():
     """Params are jit arguments, not baked constants: updating them must
     change the output with no re-factory (regression for the id()-keyed
