@@ -196,6 +196,37 @@ class TestIntegratedStep:
         with pytest.raises(ValueError):
             make_fused_train_step(None, opt, bad, (None, None, None))
 
+    def test_fused_loss_under_epoch_scan(self, setup):
+        """The fused hand-written-VJP loss scanned by make_epoch_fn (the
+        path train() takes on TPU) must reproduce the per-step fused
+        step sequence exactly — same custom_vjp ops in a lax.scan."""
+        from ananke_abm_tpu.models.gnn_embed.train import make_epoch_fn
+
+        params, opt, (pf, hz, tg), _, (step_f, loss_f) = setup
+        batches = jnp.stack(
+            [jnp.arange(48), jnp.arange(48, 96)]
+        ).astype(jnp.int32)
+
+        epoch_fn = make_epoch_fn(
+            opt, lambda p, a, b, c, _g: loss_f(p, a, b, c), graph=()
+        )
+        p_e, _, losses, _ = epoch_fn(
+            params, opt.init(params), pf, hz, tg, batches
+        )
+
+        p_s, st = params, opt.init(params)
+        ref = []
+        for rows in np.asarray(batches):
+            p_s, st, loss, _ = step_f(p_s, st, pf[rows], hz[rows], tg[rows])
+            ref.append(float(loss))
+        np.testing.assert_allclose(
+            np.asarray(losses), np.asarray(ref), rtol=1e-6
+        )
+        for a, b in zip(jax.tree.leaves(p_e), jax.tree.leaves(p_s)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+            )
+
 
 class TestDecodeCE:
     M, Da2, Dz2, Z2 = 50, 8, 16, 12
