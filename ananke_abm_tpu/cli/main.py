@@ -152,9 +152,15 @@ def make_purposes_cmd(activities_csv, out_csv, overrides, override_csv,
 @click.option("--data-parallel", is_flag=True, default=False,
               help="Shard each batch over all visible devices "
                    "(agent-axis mesh; no-op on one device).")
+@click.option("--ckpt-every", type=int, default=0, show_default=True,
+              help="Write gatode_last.ckpt (params+opt_state) every k "
+                   "epochs (0 = final save only).")
+@click.option("--resume", is_flag=True, default=False,
+              help="Continue from outdir's gatode_last.ckpt; reproduces "
+                   "the uninterrupted run exactly.")
 def gatode_train(outdir, n_agents, num_times, num_zones, epochs, lr,
                  batch_size, num_blocks, method, seed, sparse_world,
-                 data_parallel):
+                 data_parallel, ckpt_every, resume):
     """Train the flagship GAT-ODE model on a synthetic population."""
     from ananke_abm_tpu.models.gnn_embed.train import GATODEConfig, train
 
@@ -165,7 +171,7 @@ def gatode_train(outdir, n_agents, num_times, num_zones, epochs, lr,
     res = train(
         outdir, n_agents=n_agents, num_times=num_times, config=config,
         seed=seed, num_zones=num_zones, sparse_world=sparse_world,
-        data_parallel=data_parallel,
+        data_parallel=data_parallel, ckpt_every=ckpt_every, resume=resume,
     )
     click.echo(
         f"Final loss {res['final_loss']:.4f}, acc {res['final_acc']:.3f} "

@@ -317,6 +317,8 @@ def train(
     sparse_zones: bool = False,
     sparse_world: bool = False,
     data_parallel: bool = False,
+    ckpt_every: int = 0,
+    resume: bool = False,
 ):
     """``sparse_zones=True`` trains with the edge-list zone encoder:
     the zone graph rides a COO edge list and the dense (Z, Z) matrix
@@ -333,7 +335,14 @@ def train(
     (agent-axis mesh, ``parallel/sharded.py``; params replicated,
     gradient psum inserted by GSPMD) — composes with the sparse paths.
     Falls back to the single-device step when only one device is
-    visible. Batches are trimmed to a multiple of the device count."""
+    visible. Batches are trimmed to a multiple of the device count.
+
+    ``ckpt_every=k`` writes ``gatode_last.ckpt`` (params + opt_state +
+    epoch) every k epochs; ``resume=True`` continues a run from it —
+    the epoch permutations are seeded per epoch, so a resumed run
+    reproduces the uninterrupted one exactly. Checkpoint fetches over
+    the remote tunnel dominate training wall clock (CLAUDE.md), so the
+    default keeps everything on device until the final save."""
     sparse_zones = sparse_zones or sparse_world
     config = config or GATODEConfig()
     ensure_dir(outdir)
@@ -415,9 +424,34 @@ def train(
     tg = jnp.asarray(data["zone_ids"])
     n_batches = max(1, n_agents // bsz)
 
-    t0 = time.time()
+    last_ckpt = os.path.join(outdir, "gatode_last.ckpt")
+    start_epoch = 1
     hist = []
-    for epoch in range(1, config.epochs + 1):
+    if resume:
+        from ananke_abm_tpu.utils import load_checkpoint
+
+        if not os.path.exists(last_ckpt):
+            raise FileNotFoundError(
+                f"resume=True but no {last_ckpt}; run with ckpt_every "
+                "to produce one"
+            )
+        ck = load_checkpoint(last_ckpt)
+        if ck.get("world_seed") != seed or ck.get("n_agents") != n_agents:
+            raise ValueError(
+                "resume checkpoint was written for a different run: "
+                f"seed {ck.get('world_seed')} vs {seed}, n_agents "
+                f"{ck.get('n_agents')} vs {n_agents}"
+            )
+        params = jax.tree_util.tree_map(jnp.asarray, ck["params"])
+        opt_state = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x) if hasattr(x, "shape") else x,
+            ck["opt_state"],
+        )
+        hist = list(ck["history"])
+        start_epoch = int(ck["epoch"]) + 1
+
+    t0 = time.time()
+    for epoch in range(start_epoch, config.epochs + 1):
         perm = np.random.default_rng(seed + epoch).permutation(n_agents)
         if epoch_fn is not None:
             batches = jnp.asarray(
@@ -440,6 +474,19 @@ def train(
         hist.append(
             {"epoch": epoch, "loss": ep_loss / n_batches, "acc": ep_acc / n_batches}
         )
+        if ckpt_every and epoch % ckpt_every == 0:
+            save_checkpoint(
+                {
+                    "params": params,
+                    "opt_state": opt_state,
+                    "epoch": epoch,
+                    "history": hist,
+                    "config": dataclasses.asdict(config),
+                    "world_seed": seed,
+                    "n_agents": n_agents,
+                },
+                last_ckpt,
+            )
     elapsed = time.time() - t0
 
     ckpt = os.path.join(outdir, "gatode_best.ckpt")

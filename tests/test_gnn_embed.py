@@ -404,6 +404,44 @@ class TestTraining:
             np.load(out1)["zone_ids"], np.load(out2)["zone_ids"]
         )
 
+    def test_resume_reproduces_uninterrupted_run(self, tmp_path):
+        """train(resume=True) from gatode_last.ckpt continues with the
+        same per-epoch permutation stream and identical params/opt
+        state, so the resumed history must equal the straight run's."""
+        kw = dict(n_agents=64, num_times=6, num_zones=10, seed=5)
+        straight = train(
+            str(tmp_path / "a"), config=tiny_cfg(epochs=4, batch_size=32),
+            **kw,
+        )
+        train(
+            str(tmp_path / "b"), config=tiny_cfg(epochs=2, batch_size=32),
+            ckpt_every=2, **kw,
+        )
+        resumed = train(
+            str(tmp_path / "b"), config=tiny_cfg(epochs=4, batch_size=32),
+            resume=True, **kw,
+        )
+        from ananke_abm_tpu.utils import load_checkpoint
+
+        h_a = load_checkpoint(straight["ckpt"])["history"]
+        h_b = load_checkpoint(resumed["ckpt"])["history"]
+        assert len(h_a) == len(h_b) == 4
+        for ra, rb in zip(h_a, h_b):
+            np.testing.assert_allclose(ra["loss"], rb["loss"], rtol=1e-5)
+        np.testing.assert_allclose(
+            straight["final_loss"], resumed["final_loss"], rtol=1e-5
+        )
+        # wrong-run checkpoints are refused
+        import pytest
+
+        with pytest.raises(ValueError, match="different run"):
+            train(
+                str(tmp_path / "b"),
+                config=tiny_cfg(epochs=4, batch_size=32),
+                resume=True, n_agents=64, num_times=6, num_zones=10,
+                seed=6,
+            )
+
     def test_epoch_scan_matches_per_step_loop(self):
         """make_epoch_fn (one jit per epoch, lax.scan over batches) must
         reproduce the per-step make_step_fns loop exactly — same
