@@ -17,6 +17,7 @@ import numpy as np
 import optax
 
 from ananke_abm_tpu.data_generator.agent_trajectories import (
+    ZONES,
     generate_agent_population,
 )
 from ananke_abm_tpu.models.gnn_embed.model import GATODE
@@ -149,9 +150,11 @@ def make_epoch_fn(optimizer, loss_fn_g, graph=()):
     matches the per-step loop exactly (same batches, same ops).
 
     ``loss_fn_g(params, pf, hz, targets, graph) -> (loss, acc)``;
-    ``graph`` threads static device arrays as explicit jit arguments
-    (pass ``()`` when the loss closes over small dense tables, e.g. the
-    fused Pallas path whose VMEM gate bounds Z <= 1024).
+    ``graph`` threads static device arrays as explicit jit arguments.
+    Passing ``()`` is only safe when the loss closes over SMALL tables
+    (closure-captured arrays become program constants — CLAUDE.md);
+    the caller must bound them, as train()'s fused gate does with its
+    Z <= 2048 check.
 
     Returns ``epoch(params, opt_state, pf, hz, tg, batches)`` with
     ``batches`` an (n_batches, bsz) int array of agent rows; yields
@@ -192,6 +195,12 @@ def build_fused_loss_fn(model, config, zone_feats, adj, times,
     attn_temp == 1.0 — the fused kernels hard-code that attention, so
     silently accepting anything else would train a different model than
     configured. Any number of residual drift blocks is supported.
+
+    ``zone_feats``/``adj``/``times`` are closure-captured and therefore
+    embedded as constants in the jitted program; callers must keep the
+    dense graph small (train() gates this path at Z <= 2048) — at large
+    Z the serialized constants blow up the remote compile (CLAUDE.md
+    no-closure rule).
 
     ``global_rows``: if given, loss/acc are local sums divided by this
     global row count (the shard_map caller psums them); otherwise plain
@@ -383,28 +392,45 @@ def train(
     n_dev = jax.device_count()
     data_parallel = data_parallel and n_dev > 1
     # fused Pallas fwd+VJP loss where its contract holds (TPU backend,
-    # fixed-step rk4, dense zone encoder); XLA+remat loss otherwise —
-    # the gate must mirror the configured integrator, never replace it.
+    # fixed-step rk4, dense zone encoder, Z small enough that the dense
+    # graph build_fused_loss_fn embeds as program constants stays tiny —
+    # see its docstring); XLA+remat loss otherwise — the gate must
+    # mirror the configured integrator, never replace it.
     # Single-device paths run one jitted lax.scan per EPOCH
     # (make_epoch_fn — per-batch dispatch and host syncs amortized);
-    # the data-parallel path keeps the per-batch GSPMD step.
+    # the data-parallel path keeps the per-batch GSPMD/shard_map step
+    # (the epoch scan's row gathers would turn into per-step cross-chip
+    # collectives under agent sharding).
+    fused_ok = (
+        config.method == "rk4"
+        and jax.default_backend() == "tpu"
+        and not sparse_zones
+        and static[0].shape[0] <= 2048
+    )
     train_step = epoch_fn = None
     if data_parallel:
         from ananke_abm_tpu.parallel.mesh import make_mesh
-        from ananke_abm_tpu.parallel.sharded import make_sharded_train_step
+        from ananke_abm_tpu.parallel.sharded import (
+            make_sharded_fused_train_step,
+            make_sharded_train_step,
+        )
 
         mesh = make_mesh(n_dev, zone_parallel=1)
-        train_step = make_sharded_train_step(
-            model, optimizer, config, mesh, static
-        )
+        if fused_ok:
+            train_step = make_sharded_fused_train_step(
+                model, optimizer, config, mesh, static
+            )
+        else:
+            train_step = make_sharded_train_step(
+                model, optimizer, config, mesh, static
+            )
         if bsz < n_dev:
             raise ValueError(
                 f"data_parallel over {n_dev} devices needs a batch of at "
                 f"least {n_dev} agents; got batch_size={bsz}"
             )
         bsz -= bsz % n_dev  # the agent mesh axis must divide the batch
-    elif (config.method == "rk4" and jax.default_backend() == "tpu"
-            and not sparse_zones):
+    elif fused_ok:
         fused_loss = build_fused_loss_fn(
             model, config, static[0], static[1], static[2]
         )
@@ -436,11 +462,30 @@ def train(
                 "to produce one"
             )
         ck = load_checkpoint(last_ckpt)
-        if ck.get("world_seed") != seed or ck.get("n_agents") != n_agents:
+        # everything but the epoch target must match, or the continued
+        # run silently diverges from the uninterrupted one (different
+        # batching/optimizer) or crashes on shape mismatch (different
+        # world). `epochs` is the one legitimate delta: resume exists
+        # precisely to extend a run.
+        want = {
+            "world_seed": seed, "n_agents": n_agents,
+            "num_times": num_times,
+            "num_zones": int(data["zone_features"].shape[0]),
+            "sparse_world": bool(sparse_world),
+        }
+        got = {k: ck.get(k) for k in want}
+        cfg_now = {k: v for k, v in dataclasses.asdict(config).items()
+                   if k != "epochs"}
+        cfg_ck = {k: v for k, v in (ck.get("config") or {}).items()
+                  if k != "epochs"}
+        if got != want or cfg_ck != cfg_now:
+            diffs = [f"{k}: ckpt {got[k]!r} vs {want[k]!r}"
+                     for k in want if got[k] != want[k]]
+            diffs += [f"config.{k}: ckpt {cfg_ck.get(k)!r} vs {v!r}"
+                      for k, v in cfg_now.items() if cfg_ck.get(k) != v]
             raise ValueError(
                 "resume checkpoint was written for a different run: "
-                f"seed {ck.get('world_seed')} vs {seed}, n_agents "
-                f"{ck.get('n_agents')} vs {n_agents}"
+                + "; ".join(diffs)
             )
         params = jax.tree_util.tree_map(jnp.asarray, ck["params"])
         opt_state = jax.tree_util.tree_map(
@@ -460,19 +505,19 @@ def train(
             params, opt_state, losses, accs = epoch_fn(
                 params, opt_state, pf, hz, tg, batches
             )
-            ep_loss = float(jnp.mean(losses)) * n_batches
-            ep_acc = float(jnp.mean(accs)) * n_batches
         else:
-            ep_loss, ep_acc = 0.0, 0.0
+            ls, as_ = [], []
             for b in range(n_batches):
                 rows = jnp.asarray(perm[b * bsz : (b + 1) * bsz])
                 params, opt_state, loss, acc = train_step(
                     params, opt_state, pf[rows], hz[rows], tg[rows]
                 )
-                ep_loss += float(loss)
-                ep_acc += float(acc)
+                ls.append(loss)  # device scalars; one host sync below
+                as_.append(acc)
+            losses, accs = jnp.stack(ls), jnp.stack(as_)
         hist.append(
-            {"epoch": epoch, "loss": ep_loss / n_batches, "acc": ep_acc / n_batches}
+            {"epoch": epoch, "loss": float(jnp.mean(losses)),
+             "acc": float(jnp.mean(accs))}
         )
         if ckpt_every and epoch % ckpt_every == 0:
             save_checkpoint(
@@ -484,6 +529,9 @@ def train(
                     "config": dataclasses.asdict(config),
                     "world_seed": seed,
                     "n_agents": n_agents,
+                    "num_times": num_times,
+                    "num_zones": int(data["zone_features"].shape[0]),
+                    "sparse_world": bool(sparse_world),
                 },
                 last_ckpt,
             )
@@ -544,13 +592,21 @@ def serve(
     config = GATODEConfig(**ck["config"])
     sparse = bool(ck.get("sparse_world", False))
     if world_seed is None:
-        if "world_seed" not in ck:
+        if "world_seed" in ck:
+            world_seed = int(ck["world_seed"])
+        elif not sparse and int(ck["num_zones"]) == len(ZONES):
+            # the default mock world is fixed — seed-independent
+            # (agent_trajectories routes num_zones in (None, 8) to the
+            # hand-built 8-zone city), so pre-world-key checkpoints
+            # trained on it serve correctly with any value here
+            world_seed = 0
+        else:
             raise ValueError(
                 f"checkpoint {ckpt_path} predates the world-reconstruction "
-                "keys (no 'world_seed'); pass world_seed= (the seed the "
-                "model was trained with) to serve it"
+                "keys (no 'world_seed') and its zone world is seeded; pass "
+                "world_seed= (the seed the model was trained with) to "
+                "serve it"
             )
-        world_seed = int(ck["world_seed"])
     data = generate_agent_population(
         n_agents,
         num_times=int(num_times or ck["num_times"]),

@@ -404,6 +404,19 @@ class TestTraining:
             np.load(out1)["zone_ids"], np.load(out2)["zone_ids"]
         )
 
+        # ... but a pre-world-key ckpt on the DEFAULT mock world serves
+        # without one: that world is fixed, the seed is irrelevant
+        res8 = train(
+            str(tmp_path / "mock"), n_agents=48, num_times=6,
+            config=tiny_cfg(epochs=1), seed=3,
+        )
+        ck8 = load_checkpoint(res8["ckpt"])
+        del ck8["world_seed"]
+        old8 = str(tmp_path / "mock_pre_key.ckpt")
+        save_checkpoint(ck8, old8)
+        serve(old8, str(tmp_path / "mock.npz"), n_agents=16, seed=9)
+        assert np.load(str(tmp_path / "mock.npz"))["zone_ids"].shape == (16, 6)
+
     def test_resume_reproduces_uninterrupted_run(self, tmp_path):
         """train(resume=True) from gatode_last.ckpt continues with the
         same per-epoch permutation stream and identical params/opt
