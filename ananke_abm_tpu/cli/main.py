@@ -190,12 +190,18 @@ def gatode_train(outdir, n_agents, num_times, num_zones, epochs, lr,
 @click.option("--world-seed", type=int, default=None,
               help="Override the ckpt's zone-world seed (required for "
                    "checkpoints that predate the world keys).")
-def gatode_serve(ckpt, out_npz, n_agents, num_times, seed, world_seed):
+@click.option("--use-pallas", type=click.Choice(["auto", "on", "off"]),
+              default="auto", show_default=True,
+              help="Fused serving kernels: auto = measured dispatch rule "
+                   "(TPU, MXU-aligned dims or N >= 131072).")
+def gatode_serve(ckpt, out_npz, n_agents, num_times, seed, world_seed,
+                 use_pallas):
     """Roll out a trained GAT-ODE over a fresh agent population."""
     from ananke_abm_tpu.models.gnn_embed.train import serve
 
+    up = {"auto": "auto", "on": True, "off": False}[use_pallas]
     res = serve(ckpt, out_npz, n_agents=n_agents, num_times=num_times,
-                seed=seed, world_seed=world_seed)
+                seed=seed, world_seed=world_seed, use_pallas=up)
     click.echo(
         f"Served {res['n_agents']} agents x {res['num_times']} times in "
         f"{res['seconds']:.2f} s -> {res['out']}"
