@@ -647,7 +647,8 @@ def serve(
     }
 
 
-def make_adjoint_step_fns(model, optimizer, config, static):
+def make_adjoint_step_fns(model, optimizer, config, static,
+                          use_fused="auto"):
     """Training step whose integration uses adaptive DOPRI5 with
     continuous-adjoint gradients (BASELINE config 3: "adaptive dopri5 +
     adjoint gradients through the GAT dynamics").
@@ -656,18 +657,49 @@ def make_adjoint_step_fns(model, optimizer, config, static):
     ``args`` (NOT closure-captured — see CLAUDE.md), so the custom_vjp
     propagates cotangents into the drift/attention weights; zone embeddings
     and contexts ride along in args and receive gradients the same way.
+
+    ``use_fused``: "auto" runs the drift RHS (and the adjoint backward's
+    joint eval+VJP) through the fused Pallas kernels in
+    ops/pallas/fused_rhs.py on TPU when their contract holds
+    (attn_temp == 1.0, num_blocks >= 1, Z small enough for the VMEM-
+    replicated zone table); True forces them (interpret mode off-TPU);
+    False keeps the plain XLA RHS. The kernels share the serving/
+    fixed-step stage math, bf16 matmul precision class — the same class
+    as XLA's default f32 matmul lowering on TPU, so the adaptive error
+    control sees comparable stage noise either way (gradient cosine vs
+    the XLA path tested > 0.999).
     """
     from ananke_abm_tpu.ode import odeint_adjoint
 
     # graph threaded as a jit argument, not closure-captured — see
     # make_step_fns
     graph = _unpack_static(static)
-
-    def rhs(t, x, args):
-        params, h, zone_emb = args
-        return model.apply(
-            {"params": params}, t, x, h, zone_emb, method=model.rhs
+    if use_fused == "auto":
+        use_fused = (
+            jax.default_backend() == "tpu"
+            and getattr(model, "attn_temp", 1.0) == 1.0
+            and getattr(config, "num_blocks", 0) >= 1
+            and graph[0].shape[0] <= 2048
         )
+    if use_fused:
+        if getattr(model, "attn_temp", 1.0) != 1.0:
+            raise ValueError(
+                "fused adjoint RHS requires attn_temp == 1.0 (the "
+                "kernels hard-code that attention); pass use_fused=False"
+            )
+        from ananke_abm_tpu.ops.pallas.fused_rhs import (
+            make_fused_adjoint_rhs,
+        )
+
+        rhs, rhs_vjp = make_fused_adjoint_rhs()
+    else:
+        rhs_vjp = None
+
+        def rhs(t, x, args):
+            params, h, zone_emb = args
+            return model.apply(
+                {"params": params}, t, x, h, zone_emb, method=model.rhs
+            )
 
     def loss_fn_g(params, pf, hz, targets, graph):
         zone_feats, adj, times, edge_index = graph
@@ -680,7 +712,7 @@ def make_adjoint_step_fns(model, optimizer, config, static):
         )
         xs = odeint_adjoint(
             rhs, x0, times, (params, h, zone_emb),
-            rtol=config.rtol, atol=config.atol,
+            rtol=config.rtol, atol=config.atol, rhs_vjp=rhs_vjp,
         )
         xs = jnp.swapaxes(xs, 0, 1)
         logits = model.apply(

@@ -13,6 +13,19 @@ backwards between saved output times, re-anchoring ``y`` at each saved state
 (torchdiffeq-style checkpointed adjoint) for accuracy. O(1) activation
 memory in the step count — forward and backward sweeps stay HBM-resident
 across the full day horizon.
+
+Two performance hooks (exact semantics preserved — every step still passes
+the same error test):
+
+- ``rhs_vjp``: an optional fused evaluator ``(t, y, args, a_y) ->
+  (f, v_y, v_args)`` replacing the generic ``jax.vjp`` in the augmented
+  RHS. The GAT-ODE trainer supplies a single Pallas kernel that computes
+  the eval and its VJP sharing intermediates in VMEM
+  (ops/pallas/fused_rhs.py) — the generic route pays a forward plus a
+  separate backward with HBM-resident residuals per augmented eval.
+- step-size warm restart: each backward interval seeds its controller
+  with the previous interval's proposed step (``h_next``) instead of
+  re-running HINIT's cold ramp per interval.
 """
 from __future__ import annotations
 
@@ -25,20 +38,20 @@ from ananke_abm_tpu.ode.dopri5 import dopri5_solve
 from ananke_abm_tpu.ode.tree import tree_add, tree_map, tree_zeros_like
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
-def _odeint_adjoint(rhs, rtol, atol, max_steps, y0, ts, args):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _odeint_adjoint(rhs, rhs_vjp, rtol, atol, max_steps, y0, ts, args):
     ys, _ = dopri5_solve(
         rhs, y0, ts, args, rtol=rtol, atol=atol, max_steps=max_steps
     )
     return ys
 
 
-def _fwd(rhs, rtol, atol, max_steps, y0, ts, args):
-    ys = _odeint_adjoint(rhs, rtol, atol, max_steps, y0, ts, args)
+def _fwd(rhs, rhs_vjp, rtol, atol, max_steps, y0, ts, args):
+    ys = _odeint_adjoint(rhs, rhs_vjp, rtol, atol, max_steps, y0, ts, args)
     return ys, (ys, ts, args)
 
 
-def _bwd(rhs, rtol, atol, max_steps, residuals, g):
+def _bwd(rhs, rhs_vjp, rtol, atol, max_steps, residuals, g):
     ys, ts, args = residuals
     num_out = ts.shape[0]
 
@@ -46,12 +59,17 @@ def _bwd(rhs, rtol, atol, max_steps, residuals, g):
         y, a_y, _ = aug
         inner_args, t_anchor = aug_args
         t = t_anchor - s  # backward time
-        f, vjp_fn = jax.vjp(lambda yy, aa: rhs(t, yy, aa), y, inner_args)
-        v_y, v_args = vjp_fn(a_y)
+        if rhs_vjp is None:
+            f, vjp_fn = jax.vjp(
+                lambda yy, aa: rhs(t, yy, aa), y, inner_args
+            )
+            v_y, v_args = vjp_fn(a_y)
+        else:
+            f, v_y, v_args = rhs_vjp(t, y, inner_args, a_y)
         return (tree_map(jnp.negative, f), v_y, v_args)
 
     def interval(carry, i):
-        a_y, a_args = carry
+        a_y, a_args, h_warm = carry
         g_i = tree_map(lambda gl: gl[i], g)
         y_i = tree_map(lambda yl: yl[i], ys)
         a_y = tree_add(a_y, g_i)
@@ -59,7 +77,7 @@ def _bwd(rhs, rtol, atol, max_steps, residuals, g):
         delta = t_i - ts[i - 1]
         aug0 = (y_i, a_y, a_args)
         aug_ts = jnp.stack([jnp.zeros_like(delta), delta])
-        aug_ys, _ = dopri5_solve(
+        aug_ys, stats = dopri5_solve(
             aug_rhs,
             aug0,
             aug_ts,
@@ -67,14 +85,23 @@ def _bwd(rhs, rtol, atol, max_steps, residuals, g):
             rtol=rtol,
             atol=atol,
             max_steps=max_steps,
+            # warm restart: <= 0 falls back to HINIT (first interval);
+            # later intervals reuse the controller's last proposal —
+            # the accept/reject error test is unchanged, only the cold
+            # ramp is skipped
+            first_step=h_warm,
         )
         _, a_y, a_args = tree_map(lambda l: l[-1], aug_ys)
-        return (a_y, a_args), None
+        return (a_y, a_args, stats["h_next"]), None
 
     y_like = tree_map(lambda gl: gl[0], g)
-    init = (tree_zeros_like(y_like), tree_zeros_like(args))
+    init = (
+        tree_zeros_like(y_like),
+        tree_zeros_like(args),
+        jnp.asarray(-1.0, dtype=ts.dtype),
+    )
     idx = jnp.arange(num_out - 1, 0, -1)
-    (a_y, a_args), _ = jax.lax.scan(interval, init, idx)
+    (a_y, a_args, _), _ = jax.lax.scan(interval, init, idx)
 
     g0 = tree_map(lambda gl: gl[0], g)
     grad_y0 = tree_add(a_y, g0)
@@ -94,10 +121,18 @@ def odeint_adjoint(
     rtol: float = 1e-5,
     atol: float = 1e-5,
     max_steps: int = 16384,
+    rhs_vjp=None,
 ):
     """Adaptive DOPRI5 solve with continuous-adjoint gradients.
 
     Same interface/returns as :func:`dopri5_solve` (without stats). Gradients
     flow to ``y0`` and ``args``; output-time gradients are zero.
+
+    ``rhs_vjp(t, y, args, a_y) -> (f, v_y, v_args)``: optional fused
+    joint evaluator used by the backward pass instead of ``jax.vjp(rhs)``
+    — supply it when the RHS has a hand-written VJP kernel (it must
+    return cotangents with exactly the structure of ``y`` and ``args``).
     """
-    return _odeint_adjoint(rhs, rtol, atol, max_steps, y0, jnp.asarray(ts), args)
+    return _odeint_adjoint(
+        rhs, rhs_vjp, rtol, atol, max_steps, y0, jnp.asarray(ts), args
+    )

@@ -188,8 +188,19 @@ def dopri5_solve(
     f0 = rhs(t0, y0, args)
     if first_step is None:
         h_init = _initial_step(rhs, t0, y0, f0, args, rtol, atol)
-    else:
+    elif isinstance(first_step, (int, float)):
         h_init = jnp.asarray(first_step, dtype=ts.dtype)
+    else:
+        # traced/array first_step: values <= 0 mean "auto" — lax.cond
+        # runs HINIT's two probe evals only when actually needed. This
+        # is the warm-restart hook (ode/adjoint.py threads the previous
+        # interval's proposed step through its backward scan).
+        fs = jnp.asarray(first_step, dtype=ts.dtype)
+        h_init = jax.lax.cond(
+            fs > 0,
+            lambda: fs,
+            lambda: _initial_step(rhs, t0, y0, f0, args, rtol, atol),
+        )
     h_init = jnp.minimum(h_init, t_end - t0)
 
     ys = tree_stack_buffer(y0, num_out)
@@ -278,5 +289,9 @@ def dopri5_solve(
         "n_steps": n_steps,
         "n_accepted": n_acc,
         "ok": ok,
+        # the step-size controller's next proposal — a warm-start
+        # first_step for an adjacent solve of the same system (the
+        # adjoint backward threads it across intervals)
+        "h_next": h,
     }
     return ys, stats

@@ -92,6 +92,14 @@ def _to16(a):
     return a.astype(jnp.bfloat16)
 
 
+def _nt_dot(a, b):
+    """(N, I), (N, O) -> (I, O): contract the agent axis (weight grads)."""
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _stage_math(xb, hpre, tfp_row, ze, scale, wq, w1xc, blocks, w3, b3):
     """One drift-RHS evaluation returning (k, intermediates-for-VJP).
 
@@ -156,6 +164,94 @@ def _stage_math(xb, hpre, tfp_row, ze, scale, wq, w1xc, blocks, w3, b3):
         + b3.astype(jnp.float32)
     )
     return k, (_to16(q), _to16(attn), tuple(block_inter), feats)
+
+
+def _stage_vjp_math(gk, inter, acc, tw, scale, Da):
+    """Hand-written VJP of ONE :func:`_stage_math` evaluation.
+
+    THE single copy of the stage backward — the training day kernel
+    (fused_train.py) chains it four times per RK4 substep inside its
+    reverse sweep, and the adjoint RHS kernel (fused_rhs.py) applies it
+    once per augmented-system eval. Keeping one definition is what makes
+    the tested gradient agreement transfer between the two paths.
+
+    gk: (TILE, Da) f32 cotangent of the stage output ``k``.
+    inter: the intermediates tuple returned by ``_stage_math``.
+    acc: running f32 accumulators
+    ``(gzeA, gwqA, gw1A, ghpA, blkA, gw3A, gb3A)`` (blkA: per-block
+    ``(gwr1, gbr1, gwr2, gbr2)``).
+    tw: hoisted kernel-resident weights
+    ``(ze16, zeT, wqT, w1xcT, blkT, w3T)`` with ``blkT`` a per-block
+    tuple of ``(Wr1T, Wr2T)`` — callers hoist the transposes once per
+    tile instead of once per stage eval.
+
+    Returns ``(gx, gtf, acc')`` — the cotangent wrt the stage input x,
+    the (1, H) cotangent of the additive time-row pre-activation, and
+    the updated accumulators.
+    """
+    (ze16, zeT, wqT, w1xcT, blkT, w3T) = tw
+    n_blocks = len(blkT)
+    (q16, attn16, block_inter, feats) = inter
+    (gzeA, gwqA, gw1A, ghpA, blkA, gw3A, gb3A) = acc
+    gk16 = _to16(gk)
+    # k = z_out @ W3 + b3  (z_out = last block's output)
+    z_out16 = block_inter[-1][2]
+    gw3A += _nt_dot(z_out16, gk16)
+    gb3A += jnp.sum(gk, axis=0, keepdims=True)
+    gz = jnp.dot(gk16, w3T, preferred_element_type=jnp.float32)
+    # residual blocks, reversed: z_out = tanh(z_in + rt @ Wr2 + b)
+    blkA_new = list(blkA)
+    for b in range(n_blocks - 1, -1, -1):
+        z_in16, rt16, zo16 = block_inter[b]
+        (gwr1A, gbr1A, gwr2A, gbr2A) = blkA[b]
+        wr1T, wr2T = blkT[b]
+        zo = zo16.astype(jnp.float32)
+        gpre = gz * (1.0 - zo * zo)
+        gp16 = _to16(gpre)
+        gwr2A += _nt_dot(rt16, gp16)
+        gbr2A += jnp.sum(gpre, axis=0, keepdims=True)
+        grt = jnp.dot(gp16, wr2T,
+                      preferred_element_type=jnp.float32)
+        rt = rt16.astype(jnp.float32)
+        gpre2 = grt * (1.0 - rt * rt)
+        gp216 = _to16(gpre2)
+        gwr1A += _nt_dot(z_in16, gp216)
+        gbr1A += jnp.sum(gpre2, axis=0, keepdims=True)
+        gz = gpre + jnp.dot(gp216, wr1T,
+                            preferred_element_type=jnp.float32)
+        blkA_new[b] = (gwr1A, gbr1A, gwr2A, gbr2A)
+    # z1 = tanh(feats @ W1xc + hpre + tfp_row); z1 == first block's input
+    z1 = block_inter[0][0].astype(jnp.float32)
+    gpre1 = gz * (1.0 - z1 * z1)
+    gp116 = _to16(gpre1)
+    gw1A += _nt_dot(feats, gp116)
+    ghpA += gpre1
+    gtf = jnp.sum(gpre1, axis=0, keepdims=True)  # (1, H)
+    gfeats = jnp.dot(gp116, w1xcT,
+                     preferred_element_type=jnp.float32)
+    gxb = gfeats[:, :Da]
+    gctx = gfeats[:, Da:]
+    gctx16 = _to16(gctx)
+    # ctx = attn @ ze
+    gzeA += _nt_dot(attn16, gctx16)
+    gattn = jnp.dot(gctx16, zeT,
+                    preferred_element_type=jnp.float32)
+    # softmax vjp (the max-free form has the same jacobian)
+    attn = attn16.astype(jnp.float32)
+    ds = attn * (
+        gattn - jnp.sum(attn * gattn, axis=-1, keepdims=True)
+    ) * scale
+    ds16 = _to16(ds)
+    # scores = (q @ ze.T) * scale
+    gq = jnp.dot(ds16, ze16, preferred_element_type=jnp.float32)
+    gzeA += _nt_dot(ds16, q16)
+    # q = xb @ Wq
+    gq16 = _to16(gq)
+    gwqA += _nt_dot(feats[:, :Da], gq16)
+    gx = gxb + jnp.dot(gq16, wqT,
+                       preferred_element_type=jnp.float32)
+    acc = (gzeA, gwqA, gw1A, ghpA, tuple(blkA_new), gw3A, gb3A)
+    return gx, gtf, acc
 
 
 def _time_feature_table(stage_t, W1t_bf16, b1_bf16):

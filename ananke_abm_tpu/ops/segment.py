@@ -38,12 +38,23 @@ from ananke_abm_tpu.ops._platform import on_tpu as _on_tpu
 
 _PALLAS_MAX_Z = 2048  # measured crossover: XLA wins from Z=4096 up
 # Multihead auto-dispatch additionally requires this TOTAL feature
-# width (H * d): the batched kernel runs its heavy matmuls at full
-# width, so its cost profile matches the single-head measurement at
-# equal total D — but far below it the one-hot matmuls underfill the
-# MXU relative to their fixed construction cost (see
-# gat_edge_attention_multihead).
-_PALLAS_MIN_TOTAL_D = 32
+# width (H * d). Round-4 measurement of the BATCHED all-heads kernel
+# itself (docs/evidence_round4/edge_mh_bench.json, v5e, 30-rep
+# scalar-pull sync) at the flagship default geometry and around the
+# dispatch boundary:
+#
+#   Z=500  deg8  H4 d16 (default)  fwd 1.03x   fwd+bwd 1.15x
+#   Z=500  deg16 H4 d16            fwd 1.18x   fwd+bwd 1.52x
+#   Z=512  deg16 H4 d8  (HD=32)    fwd 1.13x   fwd+bwd 1.68x
+#   Z=512  deg16 H2 d8  (HD=16)    fwd 1.01x   fwd+bwd 1.50x
+#   Z=2048 deg16 H4 d16            fwd 0.99x   fwd+bwd 1.88x
+#   Z=4096 deg16 H4 d16            fwd 0.70x   fwd+bwd 1.13x
+#
+# (grad cosine vs the XLA composition: 1.0 at every geometry.) The
+# hand-written Pallas backward wins everywhere in-region, so the width
+# floor only needs to exclude geometries where even the forward loses;
+# measured parity holds down to HD=16.
+_PALLAS_MIN_TOTAL_D = 16
 
 
 def segment_softmax(scores, segment_ids, num_segments):
@@ -149,13 +160,14 @@ def gat_edge_attention_multihead(
     Dispatch: the Pallas branch runs ONE batched kernel for all heads
     (``gat_edge_aggregate_multihead`` — shared one-hot gather/scatter
     matrices, heavy matmuls at full H*d width; see its docstring for
-    why a per-head launch is the wrong shape). Its cost profile matches
-    the single-head kernel's measured Z <= 2048 win region at equal
-    total width, so ``"auto"`` requires ``H * d >= _PALLAS_MIN_TOTAL_D``
-    in addition to the Z bound; True forces the kernel. Both paths are
-    differentiable. ``use_pallas="interpret"`` runs the kernel in
-    Pallas interpret mode (forward-only — for testing the kernel
-    argument mapping off-TPU).
+    why a per-head launch is the wrong shape). The batched kernel's own
+    round-4 measurements (see the ``_PALLAS_MIN_TOTAL_D`` table above)
+    put its win region at Z <= ``_PALLAS_MAX_Z`` with forward parity and
+    1.15-1.88x on fwd+bwd, holding down to total width H*d = 16, so
+    ``"auto"`` requires ``H * d >= _PALLAS_MIN_TOTAL_D`` in addition to
+    the Z bound; True forces the kernel. Both paths are differentiable.
+    ``use_pallas="interpret"`` runs the kernel in Pallas interpret mode
+    (forward-only — for testing the kernel argument mapping off-TPU).
     """
     Z, H, d = Wh.shape
     if use_pallas == "auto":

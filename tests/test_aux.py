@@ -55,6 +55,7 @@ class TestProfiling:
 
 
 class TestResume:
+    @pytest.mark.slow
     def test_vae_train_resume(self, tmp_path):
         """Checkpoint carries opt_state/epoch; resume continues training."""
         from ananke_abm_tpu.data_generator.population import (

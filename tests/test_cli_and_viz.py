@@ -35,6 +35,7 @@ class TestRgenScheduleCLI:
         ):
             assert cmd in res.output
 
+    @pytest.mark.slow
     def test_full_cli_workflow(self, workdir):
         runner = CliRunner()
         acts = str(workdir / "acts.csv")
@@ -185,6 +186,7 @@ class TestAnankeCLI:
                     "gatode-serve"):
             assert cmd in res.output
 
+    @pytest.mark.slow
     def test_gatode_train_serve(self, tmp_path):
         """gatode-train -> gatode-serve: the flagship family end to end
         from the CLI; the serve step regenerates the ckpt's zone world
@@ -211,6 +213,7 @@ class TestAnankeCLI:
         assert z["zone_ids"].dtype == np.int32
         assert int(z["zone_ids"].max()) < 10
 
+    @pytest.mark.slow
     def test_gatode_train_serve_sparse_world(self, tmp_path):
         import numpy as np
 

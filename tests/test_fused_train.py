@@ -83,6 +83,7 @@ def test_forward_matches_f32_reference(problem):
     assert rel < 1e-2, rel  # bf16 matmuls vs f32 reference
 
 
+@pytest.mark.slow
 def test_gradients_match_f32_reference(problem):
     args, times, tgt = problem
 
@@ -166,6 +167,7 @@ class TestIntegratedStep:
         # accuracy counts flip on near-tie logits under bf16 rounding
         assert abs(float(ar) - float(af)) < 5e-3
 
+    @pytest.mark.slow
     def test_grads_match_xla_step(self, setup):
         params, _, (pf, hz, tg), (_, loss_ref), (_, loss_f) = setup
         gr = jax.grad(lambda p: loss_ref(p, pf, hz, tg)[0])(params)
@@ -175,6 +177,7 @@ class TestIntegratedStep:
         cos = float(fr @ ff / (jnp.linalg.norm(fr) * jnp.linalg.norm(ff)))
         assert cos > 0.999, cos
 
+    @pytest.mark.slow
     def test_two_steps_track_xla_trajectory(self, setup):
         params, opt, (pf, hz, tg), (step_ref, _), (step_f, _) = setup
         s0 = opt.init(params)
@@ -196,6 +199,7 @@ class TestIntegratedStep:
         with pytest.raises(ValueError):
             make_fused_train_step(None, opt, bad, (None, None, None))
 
+    @pytest.mark.slow
     def test_fused_loss_under_epoch_scan(self, setup):
         """The fused hand-written-VJP loss scanned by make_epoch_fn (the
         path train() takes on TPU) must reproduce the per-step fused
@@ -279,6 +283,7 @@ class TestDecodeCE:
 
 
 class TestShardedFusedStep:
+    @pytest.mark.slow
     def test_sharded_matches_single_device(self, eight_devices):
         """shard_map'd fused train step == single-device fused step."""
         import optax
@@ -340,6 +345,7 @@ class TestShardedFusedStep:
 
 
 class TestZoneGATDispatch:
+    @pytest.mark.slow
     def test_flax_fallback_matches_fused_gat_path(self, monkeypatch):
         """build_fused_loss_fn with fits_vmem gating off (big-Z fallback)
         must agree with the fused-GAT dispatch — same loss, same grads."""

@@ -151,6 +151,7 @@ class TestEndToEnd:
         prepare_from_csv(csv, out, grid_min=30, val_frac=0.2, seed=5)
         return str(root), out
 
+    @pytest.mark.slow
     def test_fit_sample_eval(self, prepared):
         root, grid = prepared
         from ananke_abm_tpu.models.gen_schedule.pipeline.train import train
@@ -226,6 +227,7 @@ class TestEndToEnd:
         ):
             assert k in report
 
+    @pytest.mark.slow
     def test_rnn_encoder_trains(self, prepared):
         root, grid = prepared
         from ananke_abm_tpu.models.gen_schedule.pipeline.train import train
@@ -291,6 +293,7 @@ class TestEpochFusion:
         cfg["train"].update(train_over)
         return cfg
 
+    @pytest.mark.slow
     def test_fused_matches_per_epoch(self, tmp_path):
         import pandas as pd
 
@@ -332,6 +335,7 @@ class TestEpochFusion:
         ):
             np.testing.assert_allclose(p1, p2, rtol=2e-3, atol=1e-5)
 
+    @pytest.mark.slow
     def test_fused_early_stop_parity(self, tmp_path):
         """lr=0 => only the first epoch improves (inf -> L); with
         min_epochs=2, patience=2 both paths must stop at epoch 3."""
@@ -356,6 +360,7 @@ class TestEpochFusion:
 
 
 class TestAutoPDS:
+    @pytest.mark.slow
     def test_phase2_auto_pds_end_to_end(self, tmp_path):
         """compute-pds -> fit auto_pds (with ToD/presence losses) -> sample."""
         import json

@@ -77,6 +77,7 @@ class TestGAT:
         (33, 0.15, 4, 2),   # odd Z, multi-layer
         (64, 0.05, 2, 2),   # sparse
     ])
+    @pytest.mark.slow
     def test_sparse_edge_path_matches_dense(self, Z, density, heads, layers):
         """The edge-list attention path (ops.segment kernels) must equal
         the dense adjacency-masked path — same params, values AND grads."""
@@ -188,6 +189,7 @@ class TestGAT:
             rtol=2e-4, atol=2e-4,
         )
 
+    @pytest.mark.slow
     def test_sparse_path_accepts_adj_none(self):
         """The sparse path must not require the dense matrix: edge_index
         with adj=None reproduces the dense result through ZoneGAT AND
@@ -277,6 +279,7 @@ class TestTraining:
                 np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
             )
 
+    @pytest.mark.slow
     def test_train_sparse_zones(self, tmp_path):
         """train(sparse_zones=True) runs end-to-end on the edge-list
         encoder (dense adj never shipped in static) and learns."""
@@ -373,6 +376,7 @@ class TestTraining:
         )
         assert np.isfinite(res["final_loss"])
 
+    @pytest.mark.slow
     def test_serve_refuses_pre_world_key_ckpt(self, tmp_path):
         """A checkpoint without 'world_seed' (pre-world-key writer) must
         NOT serve with a silently guessed world — the regenerated zones
@@ -417,6 +421,7 @@ class TestTraining:
         serve(old8, str(tmp_path / "mock.npz"), n_agents=16, seed=9)
         assert np.load(str(tmp_path / "mock.npz"))["zone_ids"].shape == (16, 6)
 
+    @pytest.mark.slow
     def test_resume_reproduces_uninterrupted_run(self, tmp_path):
         """train(resume=True) from gatode_last.ckpt continues with the
         same per-epoch permutation stream and identical params/opt
@@ -455,6 +460,7 @@ class TestTraining:
                 seed=6,
             )
 
+    @pytest.mark.slow
     def test_epoch_scan_matches_per_step_loop(self):
         """make_epoch_fn (one jit per epoch, lax.scan over batches) must
         reproduce the per-step make_step_fns loop exactly — same
@@ -504,6 +510,7 @@ class TestTraining:
                 np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
             )
 
+    @pytest.mark.slow
     def test_train_data_parallel(self, eight_devices, tmp_path):
         """train(data_parallel=True) shards batches over the 8-device
         mesh; same data order as the single-device run, so the loss
@@ -552,6 +559,7 @@ class TestTraining:
 
 
 class TestSharded:
+    @pytest.mark.slow
     def test_sharded_step_8_devices(self, eight_devices):
         from ananke_abm_tpu.parallel.mesh import make_mesh
         from ananke_abm_tpu.parallel.sharded import (
@@ -600,6 +608,7 @@ class TestSharded:
         )
         assert y.shape == (64, 8)
 
+    @pytest.mark.slow
     def test_sharded_step_sparse_static(self, eight_devices):
         """The sharded step/rollout accept the 4-element sparse static
         (edge list, adj=None) and match the dense sharded step — the
@@ -652,6 +661,7 @@ class TestSharded:
 
 
 class TestDataParallelVAE:
+    @pytest.mark.slow
     def test_vae_train_sharded_matches_loss_scale(self, eight_devices, tmp_path):
         """gen_schedule training with the batch sharded over 8 devices
         runs and produces finite decreasing loss."""
@@ -689,6 +699,7 @@ class TestDataParallelVAE:
 
 
 class TestAdjointTraining:
+    @pytest.mark.slow
     def test_adjoint_gradients_match_rk4(self):
         """DOPRI5+adjoint training gradients agree with checkpointed-RK4
         backprop through the full GAT-ODE (BASELINE config 3)."""
@@ -731,6 +742,7 @@ class TestAdjointTraining:
         rel = jnp.linalg.norm(flat_a - flat_r) / jnp.linalg.norm(flat_r)
         assert float(rel) < 0.02, f"relative gradient error {float(rel)}"
 
+    @pytest.mark.slow
     def test_adjoint_training_reduces_loss(self):
         from ananke_abm_tpu.models.gnn_embed.train import (
             make_adjoint_step_fns,

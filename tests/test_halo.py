@@ -17,6 +17,7 @@ from ananke_abm_tpu.parallel.mesh import make_mesh
 
 
 @pytest.mark.parametrize("zone_parallel,num_zones", [(2, 16), (4, 16), (8, 24)])
+@pytest.mark.slow
 def test_ring_encode_matches_dense(eight_devices, zone_parallel, num_zones):
     cfg = GATODEConfig(
         zone_dim=16, agent_dim=8, context_dim=8, hidden_dim=16,

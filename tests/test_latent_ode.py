@@ -142,6 +142,7 @@ class TestModel:
         assert np.all(np.isfinite(np.asarray(g)))
         assert float(jnp.abs(g).max()) > 0
 
+    @pytest.mark.slow
     def test_forward_shapes(self):
         from ananke_abm_tpu.models.latent_ode.train import (
             build_model_and_batch,
@@ -169,6 +170,7 @@ class TestModel:
 
 
 class TestEndToEnd:
+    @pytest.mark.slow
     def test_train_infer_evaluate(self, tmp_path):
         from ananke_abm_tpu.models.latent_ode.train import train
         from ananke_abm_tpu.models.latent_ode.inference import (

@@ -50,6 +50,7 @@ class TestSampleUnderMesh:
         train(cfg, outdir, seed=1)
         return str(root), os.path.join(outdir, "checkpoints", "best_val.ckpt")
 
+    @pytest.mark.slow
     def test_sharded_sample_matches_single_device(self, vae_ckpt, mesh):
         from ananke_abm_tpu.models.gen_schedule.pipeline.sample import sample
 
@@ -93,6 +94,7 @@ class TestCRFTrainUnderMesh:
             json.dump({"home_idx": 0}, f)
         return str(root), tr, va, meta
 
+    @pytest.mark.slow
     def test_sharded_crf_train_matches_single_device(self, crf_data, mesh):
         from ananke_abm_tpu.models.gen_schedule.crf.train import train_crf
 
@@ -118,6 +120,7 @@ class TestCRFTrainUnderMesh:
 
 
 class TestLatentODEUnderMesh:
+    @pytest.mark.slow
     def test_sharded_engine_matches_single_device(self, tmp_path, mesh):
         from ananke_abm_tpu.models.latent_ode.inference import (
             BatchedInferenceEngine,
@@ -138,6 +141,7 @@ class TestLatentODEUnderMesh:
 
 
 class TestTrajSynTrainUnderMesh:
+    @pytest.mark.slow
     def test_sharded_traj_embed_matches_single_device(
         self, tmp_path, mesh
     ):

@@ -113,6 +113,7 @@ class TestUnionGrid:
 
 
 class TestEndToEnd:
+    @pytest.mark.slow
     def test_train_infer_evaluate(self, tmp_path):
         from ananke_abm_tpu.models.mode_sep.train import train
         from ananke_abm_tpu.models.mode_sep.inference import run_inference
@@ -149,6 +150,7 @@ class TestEndToEnd:
         ):
             assert k in metrics
 
+    @pytest.mark.slow
     def test_sde_path_runs(self, tmp_path):
         from ananke_abm_tpu.models.mode_sep.train import train
 
@@ -162,6 +164,7 @@ class TestEndToEnd:
 
 
 class TestGradientRobustness:
+    @pytest.mark.slow
     def test_drift_grads_finite_at_rest(self, loaded):
         """The drift output layer is zero-initialized, so v == 0 exactly
         on step one; every loss term (incl. |v| penalties) must still

@@ -50,6 +50,7 @@ class TestNative:
         # column sums = rows per start position = N
         np.testing.assert_array_equal(hist.sum(axis=0), Y.shape[0])
 
+    @pytest.mark.slow
     def test_vista_scale_speed(self):
         """1M-row-equivalent sanity: 100k x 288 counts in bounded time.
 

@@ -119,6 +119,7 @@ class TestDopri5:
 
 
 class TestAdjoint:
+    @pytest.mark.slow
     def test_gradient_agreement_with_backprop(self):
         """Adjoint dopri5 grads vs checkpointed-backprop RK4 grads."""
 

@@ -13,8 +13,11 @@ from ananke_abm_tpu.models.gnn_embed.train import (
     init_params,
 )
 from ananke_abm_tpu.ops.pallas.fused_rhs import (
-    drift_params_from_gatode,
-    fused_drift_rhs,
+    drift_rhs_and_vjp,
+    drift_rhs_fused,
+    make_fused_adjoint_rhs,
+    split_drift_params,
+    time_row,
 )
 from ananke_abm_tpu.ops.segment import (
     edge_softmax_attention,
@@ -24,76 +27,164 @@ from ananke_abm_tpu.ops.segment import (
 )
 
 
-class TestFusedRHS:
-    def test_matches_model_rhs(self):
-        cfg = GATODEConfig(
-            zone_dim=16, agent_dim=8, context_dim=8, hidden_dim=16,
-            gat_heads=2, gat_layers=1, num_blocks=1, substeps=1,
-        )
-        d = generate_agent_population(100, num_times=6, num_zones=12, seed=0)
-        model = build_model(cfg, 7, 8)
-        key = jax.random.PRNGKey(0)
-        params = init_params(model, cfg, d, 100, key)
+def _rhs_setup(n_agents=100, num_zones=12, num_blocks=2, seed=0):
+    cfg = GATODEConfig(
+        zone_dim=16, agent_dim=8, context_dim=8, hidden_dim=16,
+        gat_heads=2, gat_layers=1, num_blocks=num_blocks, substeps=1,
+    )
+    d = generate_agent_population(
+        n_agents, num_times=6, num_zones=num_zones, seed=seed
+    )
+    model = build_model(cfg, 7, 8)
+    params = init_params(model, cfg, d, n_agents, jax.random.PRNGKey(0))
+    zone_emb = model.apply(
+        {"params": params}, jnp.asarray(d["zone_features"]),
+        jnp.asarray(d["adj"]), method=model.encode_zones,
+    )
+    x0, h = model.apply(
+        {"params": params}, jnp.asarray(d["person_feats"]),
+        jnp.asarray(d["home_zone"]), zone_emb,
+        method=model.initial_state,
+    )
+    return cfg, model, params, zone_emb, x0, h
 
-        zone_emb = model.apply(
-            {"params": params}, jnp.asarray(d["zone_features"]),
-            jnp.asarray(d["adj"]), method=model.encode_zones,
-        )
-        x0, h = model.apply(
-            {"params": params}, jnp.asarray(d["person_feats"]),
-            jnp.asarray(d["home_zone"]), zone_emb,
-            method=model.initial_state,
+
+def _cos(a_tree, b_tree):
+    fa = jnp.concatenate(
+        [x.ravel() for x in jax.tree_util.tree_leaves(a_tree)]
+    )
+    fb = jnp.concatenate(
+        [x.ravel() for x in jax.tree_util.tree_leaves(b_tree)]
+    )
+    return float(
+        jnp.vdot(fa, fb) / (jnp.linalg.norm(fa) * jnp.linalg.norm(fb))
+    )
+
+
+class TestFusedRHS:
+    @pytest.mark.parametrize("num_blocks", [1, 2])
+    @pytest.mark.slow
+    def test_matches_model_rhs(self, num_blocks):
+        cfg, model, params, zone_emb, x0, h = _rhs_setup(
+            num_blocks=num_blocks
         )
         t = jnp.asarray(3.7)
         want = model.apply(
             {"params": params}, t, x0, h, zone_emb, method=model.rhs
         )
-
-        tfeat = jnp.stack(
-            [jnp.sin(t * 2 * jnp.pi / 24), jnp.cos(t * 2 * jnp.pi / 24)]
+        (Wq, W1xc, W1h, W1t, b1, blocks, W3, b3) = split_drift_params(
+            params)
+        got = drift_rhs_fused(
+            x0, h, zone_emb, time_row(t, W1t, b1),
+            Wq, W1xc, W1h, blocks, W3, b3, interpret=True,
         )
-        got = fused_drift_rhs(
-            x0, h, zone_emb, tfeat,
-            *drift_params_from_gatode(params),
-            interpret=True,
-        )
-        np.testing.assert_allclose(
-            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
-        )
+        # bf16 matmul kernel vs the f32 XLA path: bound the error
+        # relative to the output scale (per-element relative bounds are
+        # meaningless on near-zero drift components)
+        a, b = np.asarray(got), np.asarray(want)
+        assert np.abs(a - b).max() / np.abs(b).max() < 2e-2
+        assert _cos(got, want) > 0.9995
 
     def test_non_tile_multiple_agents(self):
-        """N not a multiple of the tile size pads and truncates correctly."""
-        cfg = GATODEConfig(
-            zone_dim=16, agent_dim=8, context_dim=8, hidden_dim=16,
-            gat_heads=2, gat_layers=1, num_blocks=1, substeps=1,
-        )
-        d = generate_agent_population(700, num_times=4, num_zones=8, seed=1)
-        model = build_model(cfg, 7, 8)
-        params = init_params(model, cfg, d, 700, jax.random.PRNGKey(0))
-        zone_emb = model.apply(
-            {"params": params}, jnp.asarray(d["zone_features"]),
-            jnp.asarray(d["adj"]), method=model.encode_zones,
-        )
-        x0, h = model.apply(
-            {"params": params}, jnp.asarray(d["person_feats"]),
-            jnp.asarray(d["home_zone"]), zone_emb,
-            method=model.initial_state,
+        """N not a multiple of the tile size pads and truncates correctly
+        (TILE_N=1024, N=1100 spans two tiles)."""
+        cfg, model, params, zone_emb, x0, h = _rhs_setup(
+            n_agents=1100, num_zones=8, num_blocks=1, seed=1
         )
         t = jnp.asarray(12.0)
         want = model.apply(
             {"params": params}, t, x0, h, zone_emb, method=model.rhs
         )
-        tfeat = jnp.stack(
-            [jnp.sin(t * 2 * jnp.pi / 24), jnp.cos(t * 2 * jnp.pi / 24)]
+        (Wq, W1xc, W1h, W1t, b1, blocks, W3, b3) = split_drift_params(
+            params)
+        got = drift_rhs_fused(
+            x0, h, zone_emb, time_row(t, W1t, b1),
+            Wq, W1xc, W1h, blocks, W3, b3, interpret=True,
         )
-        got = fused_drift_rhs(
-            x0, h, zone_emb, tfeat,
-            *drift_params_from_gatode(params), interpret=True,
+        assert got.shape == (1100, 8)
+        a, b = np.asarray(got), np.asarray(want)
+        assert np.abs(a - b).max() / np.abs(b).max() < 2e-2
+        assert _cos(got, want) > 0.9995
+
+    @pytest.mark.parametrize("num_blocks", [1, 2])
+    def test_joint_vjp_matches_xla(self, num_blocks):
+        """drift_rhs_and_vjp == (model.rhs, jax.vjp(model.rhs)) — values
+        and every cotangent (x, h, zone_emb, and the full params tree via
+        make_fused_adjoint_rhs's scatter)."""
+        cfg, model, params, zone_emb, x0, h = _rhs_setup(
+            n_agents=150, num_blocks=num_blocks, seed=3
         )
-        assert got.shape == (700, 8)
-        np.testing.assert_allclose(
-            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
+        t = jnp.asarray(7.3)
+        a = jax.random.normal(jax.random.PRNGKey(9), x0.shape)
+
+        def xla_rhs(x, args):
+            p, hh, ze = args
+            return model.apply(
+                {"params": p}, t, x, hh, ze, method=model.rhs
+            )
+
+        f_want, vjp_fn = jax.vjp(xla_rhs, x0, (params, h, zone_emb))
+        gx_want, (gp_want, gh_want, gze_want) = vjp_fn(a)
+
+        _, rhs_vjp = make_fused_adjoint_rhs(params, interpret=True)
+        f_got, gx_got, (gp_got, gh_got, gze_got) = rhs_vjp(
+            t, x0, (params, h, zone_emb), a
         )
+
+        fa, fb = np.asarray(f_got), np.asarray(f_want)
+        assert np.abs(fa - fb).max() / np.abs(fb).max() < 2e-2
+        assert _cos(f_got, f_want) > 0.9995
+        assert _cos(gx_got, gx_want) > 0.999
+        assert _cos(gh_got, gh_want) > 0.999
+        assert _cos(gze_got, gze_want) > 0.999
+        assert _cos(gp_got, gp_want) > 0.999
+        # params the drift never touches must get exactly zero
+        for k in ("zone_gat", "context_encoder", "init_proj",
+                  "decode_proj"):
+            leaves = jax.tree_util.tree_leaves(gp_got[k])
+            assert all(float(jnp.abs(l).max()) == 0.0 for l in leaves)
+
+    def test_fused_adjoint_loss_matches_xla_path(self):
+        """make_adjoint_step_fns(use_fused=True) == use_fused=False:
+        loss values close, gradients cosine-aligned."""
+        import optax
+
+        from ananke_abm_tpu.models.gnn_embed.train import (
+            make_adjoint_step_fns,
+        )
+
+        cfg = GATODEConfig(
+            zone_dim=16, agent_dim=8, context_dim=8, hidden_dim=16,
+            gat_heads=2, gat_layers=1, num_blocks=1, substeps=1,
+            rtol=1e-5, atol=1e-7,
+        )
+        d = generate_agent_population(48, num_times=5, num_zones=10,
+                                      seed=11)
+        model = build_model(cfg, 7, 8)
+        params = init_params(model, cfg, d, 48, jax.random.PRNGKey(0))
+        optimizer = optax.adamw(1e-3)
+        static = (
+            jnp.asarray(d["zone_features"]),
+            jnp.asarray(d["adj"]),
+            jnp.asarray(d["times"]),
+        )
+        pf = jnp.asarray(d["person_feats"])
+        hz = jnp.asarray(d["home_zone"])
+        tg = jnp.asarray(d["zone_ids"])
+
+        _, loss_xla = make_adjoint_step_fns(
+            model, optimizer, cfg, static, use_fused=False
+        )
+        _, loss_fused = make_adjoint_step_fns(
+            model, optimizer, cfg, static, use_fused=True
+        )
+        l0, _ = loss_xla(params, pf, hz, tg)
+        l1, _ = loss_fused(params, pf, hz, tg)
+        np.testing.assert_allclose(float(l1), float(l0), rtol=2e-3)
+
+        g0 = jax.grad(lambda p: loss_xla(p, pf, hz, tg)[0])(params)
+        g1 = jax.grad(lambda p: loss_fused(p, pf, hz, tg)[0])(params)
+        assert _cos(g1, g0) > 0.999
 
 
 class TestSegmentOps:
@@ -145,6 +236,7 @@ class TestSegmentOps:
 
 class TestFusedStep:
     @pytest.mark.parametrize("num_blocks", [1, 2])
+    @pytest.mark.slow
     def test_full_rk4_step_matches_f32(self, num_blocks):
         """bf16 fused-step kernel == f32 RK4 step within bf16 tolerance."""
         from ananke_abm_tpu.ode.rk4 import _rk4_step
@@ -705,6 +797,7 @@ class TestFusedZoneGAT:
         )
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
+    @pytest.mark.slow
     def test_grads_match_flax(self):
         from ananke_abm_tpu.ops.pallas.fused_gat import zone_gat_fused
 

@@ -4,6 +4,7 @@ inputs, not just the curated fixtures.
 """
 import numpy as np
 import pandas as pd
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from ananke_abm_tpu.dataio.rasterize import (
@@ -213,6 +214,7 @@ class TestRunLengthSegmentation:
         ).filter(lambda rows: len({len(r) for r in rows}) == 1)
     )
     @settings(max_examples=60, deadline=None)
+    @pytest.mark.slow
     def test_matches_naive(self, rows):
         from ananke_abm_tpu.models.gen_schedule.compare.utils import (
             segments_run_length,
@@ -262,6 +264,7 @@ class TestSemiCRFPathScoreProperty:
         st.integers(1, 5),
     )
     @settings(max_examples=40, deadline=None)
+    @pytest.mark.slow
     def test_matches_naive(self, seed, B, T, P, D):
         import jax.numpy as jnp
 
@@ -300,6 +303,7 @@ class TestEdgeKernelProperties:
         extra_dst=st.integers(0, 3),  # ids >= Z must be dropped
     )
     @settings(max_examples=25, deadline=None)
+    @pytest.mark.slow
     def test_gat_edge_aggregate_matches_xla(self, seed, Z, E, D, scale,
                                             extra_dst):
         import jax
@@ -335,6 +339,7 @@ class TestEdgeKernelProperties:
         extra_dst=st.integers(0, 3),
     )
     @settings(max_examples=25, deadline=None)
+    @pytest.mark.slow
     def test_multihead_aggregate_matches_xla(self, seed, Z, E, H, d,
                                              scale, extra_dst):
         """The batched all-heads kernel == the XLA multihead composition
@@ -372,6 +377,7 @@ class TestEdgeKernelProperties:
         extra_dst=st.integers(0, 3),
     )
     @settings(max_examples=15, deadline=None)
+    @pytest.mark.slow
     def test_multihead_backward_matches_xla_vjp(self, seed, Z, E, H, d,
                                                 extra_dst):
         """The hand-written backward kernel == the XLA composition's VJP
@@ -459,6 +465,7 @@ class TestFusedRolloutShapeSpace:
         num_blocks=st.integers(1, 3),
     )
     @settings(max_examples=8, deadline=None)
+    @pytest.mark.slow
     def test_kernels_agree_across_shapes(self, seed, n_agents, num_zones,
                                          num_times, substeps, num_blocks):
         import jax

@@ -96,6 +96,7 @@ class TestBufferGrid:
 
 class TestEndToEnd:
     @pytest.mark.parametrize("crf_mode", ["linear", "semi"])
+    @pytest.mark.slow
     def test_train_generate_validate(self, activities_csv, tmp_path, crf_mode):
         from ananke_abm_tpu.models.traj_syn.pipeline.train_full import (
             train_traj_embed,
@@ -142,6 +143,7 @@ class TestEndToEnd:
             stats = summary["generated_stats"]
             assert stats["max_segment_minutes"] <= 300
 
+    @pytest.mark.slow
     def test_vae_only_synthesize_analyze(self, activities_csv, tmp_path):
         from ananke_abm_tpu.models.traj_syn.pipeline.vae_only import (
             analyze_vae,
