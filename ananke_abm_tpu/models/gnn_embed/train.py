@@ -658,16 +658,19 @@ def make_adjoint_step_fns(model, optimizer, config, static,
     propagates cotangents into the drift/attention weights; zone embeddings
     and contexts ride along in args and receive gradients the same way.
 
-    ``use_fused``: "auto" runs the drift RHS (and the adjoint backward's
-    joint eval+VJP) through the fused Pallas kernels in
-    ops/pallas/fused_rhs.py on TPU when their contract holds
-    (attn_temp == 1.0, num_blocks >= 1, Z small enough for the VMEM-
-    replicated zone table); True forces them (interpret mode off-TPU);
-    False keeps the plain XLA RHS. The kernels share the serving/
-    fixed-step stage math, bf16 matmul precision class — the same class
-    as XLA's default f32 matmul lowering on TPU, so the adaptive error
-    control sees comparable stage noise either way (gradient cosine vs
-    the XLA path tested > 0.999).
+    ``use_fused``: "auto" runs the adjoint BACKWARD's augmented RHS (one
+    eval + its full VJP) through the fused Pallas joint kernel
+    (ops/pallas/fused_rhs.py::drift_rhs_and_vjp) on TPU when its
+    contract holds (attn_temp == 1.0, num_blocks >= 1, Z small enough
+    for the VMEM-replicated zone table); True forces it (interpret mode
+    off-TPU); False keeps generic ``jax.vjp``. The FORWARD solve always
+    uses the XLA RHS: measured at config-3 dims (98k agents, Z=64 —
+    docs/evidence_round4/config3_fused.json) the single-eval fused
+    forward kernel LOSES to XLA's fusion (2279 vs 1600 ms per solve;
+    per-eval launch overhead and K=32/64 MXU underfill dominate at these
+    dims), while the joint backward kernel wins (2168 -> 1786 ms). The
+    kernel shares the serving/fixed-step stage math, bf16 matmul
+    precision class; gradient cosine vs the XLA path 0.9999997 at 98k.
     """
     from ananke_abm_tpu.ode import odeint_adjoint
 
@@ -691,15 +694,15 @@ def make_adjoint_step_fns(model, optimizer, config, static,
             make_fused_adjoint_rhs,
         )
 
-        rhs, rhs_vjp = make_fused_adjoint_rhs()
+        _, rhs_vjp = make_fused_adjoint_rhs()
     else:
         rhs_vjp = None
 
-        def rhs(t, x, args):
-            params, h, zone_emb = args
-            return model.apply(
-                {"params": params}, t, x, h, zone_emb, method=model.rhs
-            )
+    def rhs(t, x, args):
+        params, h, zone_emb = args
+        return model.apply(
+            {"params": params}, t, x, h, zone_emb, method=model.rhs
+        )
 
     def loss_fn_g(params, pf, hz, targets, graph):
         zone_feats, adj, times, edge_index = graph

@@ -14,7 +14,7 @@ backwards between saved output times, re-anchoring ``y`` at each saved state
 memory in the step count — forward and backward sweeps stay HBM-resident
 across the full day horizon.
 
-Two performance hooks (exact semantics preserved — every step still passes
+Performance hook (exact semantics preserved — every step still passes
 the same error test):
 
 - ``rhs_vjp``: an optional fused evaluator ``(t, y, args, a_y) ->
@@ -23,9 +23,15 @@ the same error test):
   the eval and its VJP sharing intermediates in VMEM
   (ops/pallas/fused_rhs.py) — the generic route pays a forward plus a
   separate backward with HBM-resident residuals per augmented eval.
-- step-size warm restart: each backward interval seeds its controller
-  with the previous interval's proposed step (``h_next``) instead of
-  re-running HINIT's cold ramp per interval.
+  Measured at config-3 scale (98k agents): backward 2168 -> 1786 ms.
+
+A step-size warm restart across backward intervals (seeding each
+interval's controller with the previous one's ``h_next`` proposal) was
+measured and REJECTED: 669 aug steps vs cold HINIT's 643 at config-3
+scale — the end-of-interval proposal is clamp-biased small and the aug
+system's natural step at an interval's start genuinely differs
+(docs/evidence_round4). dopri5_solve keeps the traced-``first_step``
+support for callers with better priors.
 """
 from __future__ import annotations
 
@@ -69,7 +75,7 @@ def _bwd(rhs, rhs_vjp, rtol, atol, max_steps, residuals, g):
         return (tree_map(jnp.negative, f), v_y, v_args)
 
     def interval(carry, i):
-        a_y, a_args, h_warm = carry
+        a_y, a_args = carry
         g_i = tree_map(lambda gl: gl[i], g)
         y_i = tree_map(lambda yl: yl[i], ys)
         a_y = tree_add(a_y, g_i)
@@ -77,7 +83,7 @@ def _bwd(rhs, rhs_vjp, rtol, atol, max_steps, residuals, g):
         delta = t_i - ts[i - 1]
         aug0 = (y_i, a_y, a_args)
         aug_ts = jnp.stack([jnp.zeros_like(delta), delta])
-        aug_ys, stats = dopri5_solve(
+        aug_ys, _ = dopri5_solve(
             aug_rhs,
             aug0,
             aug_ts,
@@ -85,23 +91,14 @@ def _bwd(rhs, rhs_vjp, rtol, atol, max_steps, residuals, g):
             rtol=rtol,
             atol=atol,
             max_steps=max_steps,
-            # warm restart: <= 0 falls back to HINIT (first interval);
-            # later intervals reuse the controller's last proposal —
-            # the accept/reject error test is unchanged, only the cold
-            # ramp is skipped
-            first_step=h_warm,
         )
         _, a_y, a_args = tree_map(lambda l: l[-1], aug_ys)
-        return (a_y, a_args, stats["h_next"]), None
+        return (a_y, a_args), None
 
     y_like = tree_map(lambda gl: gl[0], g)
-    init = (
-        tree_zeros_like(y_like),
-        tree_zeros_like(args),
-        jnp.asarray(-1.0, dtype=ts.dtype),
-    )
+    init = (tree_zeros_like(y_like), tree_zeros_like(args))
     idx = jnp.arange(num_out - 1, 0, -1)
-    (a_y, a_args, _), _ = jax.lax.scan(interval, init, idx)
+    (a_y, a_args), _ = jax.lax.scan(interval, init, idx)
 
     g0 = tree_map(lambda gl: gl[0], g)
     grad_y0 = tree_add(a_y, g0)

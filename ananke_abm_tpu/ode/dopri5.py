@@ -164,6 +164,7 @@ def dopri5_solve(
     atol: float = 1e-5,
     max_steps: int = 16384,
     first_step=None,
+    step_impl=None,
 ):
     """Integrate with adaptive DOPRI5, returning dense output at ``ts``.
 
@@ -175,6 +176,15 @@ def dopri5_solve(
         rtol, atol: tolerances for the scaled RMS error norm.
         max_steps: hard cap on attempted steps (fixed-shape bound).
         first_step: optional initial step size; automatic if None.
+        step_impl: optional replacement for the generic tableau step —
+            ``step_impl(t0, h, y, f, args) -> (y1, f1, err, interp)``
+            with the same contract as the internal ``_step`` (``f`` is
+            the FSAL eval at ``(t0, y)``; ``interp`` an ``_Interp``).
+            The fused Pallas dopri5-step kernels plug in here: the
+            controller (accept/reject, dense output, poisoning, stats)
+            stays THIS one tested copy; only the 6-stage evaluation is
+            swapped. ``rhs`` is still used for the initial eval and
+            HINIT.
 
     Returns:
         (ys, stats) where ys has leaves of shape ``(T,) + leaf.shape`` and

@@ -121,14 +121,27 @@ def probe_lowering(num_zones, in_feats, feat, heads, num_layers):
     return ok
 
 
-def flatten_gat_params(gp, num_layers):
-    """ZoneGAT flax param subtree -> flat tuple (kernel inputs)."""
+def flatten_gat_params(gp, num_layers, heads=None):
+    """ZoneGAT flax param subtree -> flat tuple (kernel inputs).
+
+    The per-head attention weight rows are sliced into separate (1, d)
+    arrays HERE, outside the kernel: the bwd kernel re-traces the math
+    under ``jax.vjp`` inside the kernel body, and the AD transpose of an
+    in-kernel row index ``a_src[hd]`` is a sublane ``tpu.concatenate``
+    with misaligned lane offsets that Mosaic cannot lower ("result/input
+    offset mismatch on non-concat dimension" — the round-4 HTTP 500).
+    Slicing outside moves that concat into plain XLA where it is trivial.
+    """
     flat = [gp["Dense_0"]["kernel"], gp["Dense_0"]["bias"]]
+    if heads is None:
+        heads = gp["GATLayer_0"]["a_src"].shape[0]
     for i in range(num_layers):
         g = gp[f"GATLayer_{i}"]
         ln = gp[f"LayerNorm_{i}"]
-        flat += [g["Dense_0"]["kernel"], g["a_src"], g["a_dst"],
-                 ln["scale"], ln["bias"]]
+        flat += [g["Dense_0"]["kernel"]]
+        flat += [g["a_src"][hd:hd + 1] for hd in range(heads)]
+        flat += [g["a_dst"][hd:hd + 1] for hd in range(heads)]
+        flat += [ln["scale"], ln["bias"]]
     return tuple(flat)
 
 
@@ -139,14 +152,19 @@ def _gat_math(zf, adjm, heads, num_layers, flat):
     h = jnp.dot(zf, win, preferred_element_type=jnp.float32) + bin_[None, :]
     feat = win.shape[1]
     d = feat // heads
+    per_layer = 3 + 2 * heads
     for i in range(num_layers):
-        W, a_src, a_dst, sc, bi = flat[2 + 5 * i: 7 + 5 * i]
+        lf = flat[2 + per_layer * i: 2 + per_layer * (i + 1)]
+        W = lf[0]
+        a_src = lf[1: 1 + heads]          # per-head (1, d) rows
+        a_dst = lf[1 + heads: 1 + 2 * heads]
+        sc, bi = lf[1 + 2 * heads], lf[2 + 2 * heads]
         Wh = jnp.dot(h, W, preferred_element_type=jnp.float32)
         outs = []
         for hd in range(heads):
             whd = Wh[:, hd * d:(hd + 1) * d]  # (Z, d)
-            es = jnp.sum(whd * a_src[hd][None, :], axis=1, keepdims=True)
-            ed = jnp.sum(whd * a_dst[hd][None, :], axis=1, keepdims=True)
+            es = jnp.sum(whd * a_src[hd], axis=1, keepdims=True)
+            ed = jnp.sum(whd * a_dst[hd], axis=1, keepdims=True)
             s = es + ed.T  # (Z, Z): s[i, j] = e_src[i] + e_dst[j]
             s = jnp.where(s >= 0, s, 0.2 * s)
             s = jnp.where(adjm > 0, s, NEG)
