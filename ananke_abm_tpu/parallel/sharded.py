@@ -30,7 +30,8 @@ def _constraint(mesh, x, *axes):
     )
 
 
-def make_sharded_train_step(model, optimizer, config, mesh, static):
+def make_sharded_train_step(model, optimizer, config, mesh, static,
+                            zone_ring: bool = False):
     """Returns a jitted step(params, opt_state, pf, hz, targets) whose agent
     inputs shard over the agent axis and whose (N, Z) intermediates tile
     over the full mesh.
@@ -42,17 +43,58 @@ def make_sharded_train_step(model, optimizer, config, mesh, static):
     too. The graph rides as an explicit jit argument, never a closure
     capture (CLAUDE.md no-closure rule — at sparse scale captured edge
     lists become program constants and blow up the remote compile).
+
+    ``zone_ring=True`` replaces the GSPMD-annotated zone encoder with
+    the hand-written ring halo exchange (``parallel/halo.py``): the
+    zone-graph attention's key blocks rotate around the zone mesh axis
+    via ``lax.ppermute`` with online-softmax accumulation, O(Z/mp)
+    peak zone-table memory per device — the pod-scale zone-parallel
+    training path (BASELINE config 5). Dense adjacency only; gradients
+    flow through the ``shard_map`` (ppermute transposes to the inverse
+    ring), and the step is numerically the ``zone_ring=False`` step
+    (tested on the 8-device mesh).
     """
+    import functools as _ft
+
     from ananke_abm_tpu.models.gnn_embed.train import _unpack_static
 
     graph = _unpack_static(static)
+    ring_enc = None
+    if zone_ring:
+        from ananke_abm_tpu.parallel.halo import _zone_gat_local
+
+        if graph[1] is None:
+            raise ValueError(
+                "zone_ring=True needs the dense adjacency (the ring "
+                "streams (Z, Z) mask columns); got adj=None"
+            )
+        Z = static[0].shape[0]
+        n_sh = mesh.shape[ZONE_AXIS]
+        if Z % n_sh:
+            raise ValueError(
+                f"Z={Z} not divisible by zone axis size {n_sh}"
+            )
+        ring_enc = jax.shard_map(
+            _ft.partial(
+                _zone_gat_local,
+                axis_name=ZONE_AXIS, n_shards=n_sh, col_block=Z // n_sh,
+                heads=config.gat_heads, num_layers=config.gat_layers,
+            ),
+            mesh=mesh,
+            in_specs=(P(), P(ZONE_AXIS), P(ZONE_AXIS)),
+            out_specs=P(ZONE_AXIS),
+            check_vma=False,
+        )
 
     def loss_fn(params, pf, hz, targets, graph):
         zone_feats, adj, times, edge_index = graph
-        zone_emb = model.apply(
-            {"params": params}, zone_feats, adj, edge_index,
-            method=model.encode_zones,
-        )
+        if ring_enc is not None:
+            zone_emb = ring_enc(params["zone_gat"], zone_feats, adj)
+        else:
+            zone_emb = model.apply(
+                {"params": params}, zone_feats, adj, edge_index,
+                method=model.encode_zones,
+            )
         zone_emb = _constraint(mesh, zone_emb, ZONE_AXIS)
 
         x0, h = model.apply(
