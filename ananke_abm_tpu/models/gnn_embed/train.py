@@ -139,7 +139,7 @@ def make_step_fns(model, optimizer, config, static):
     return train_step, loss_fn
 
 
-def make_epoch_fn(optimizer, loss_fn_g, graph=()):
+def make_epoch_fn(optimizer, loss_fn_g, graph=(), accum=1):
     """One jit = one EPOCH: ``lax.scan`` over permuted batch-index rows
     with the full data arrays device-resident.
 
@@ -160,27 +160,74 @@ def make_epoch_fn(optimizer, loss_fn_g, graph=()):
     ``batches`` an (n_batches, bsz) int array of agent rows; yields
     ``(params, opt_state, losses, accs)`` with per-batch (n_batches,)
     loss/acc arrays.
+
+    ``accum=k`` turns every k consecutive microbatches into ONE
+    optimizer update on their mean gradient — the effective batch is
+    ``k * bsz`` agents while HBM holds only one microbatch of
+    activations at a time, which is how a full 1M-agent population
+    trains as a single gradient on one chip (BASELINE config 5's
+    training half). ``n_batches`` must be a multiple of ``accum``.
+    The returned loss/acc arrays stay per-MICRObatch (n_batches,).
     """
 
     @jax.jit
     def epoch_g(params, opt_state, pf, hz, tg, batches, graph):
-        def body(carry, rows):
-            params, opt_state = carry
+        def micrograd(params, rows):
             (loss, acc), grads = jax.value_and_grad(
                 loss_fn_g, has_aux=True
             )(params, pf[rows], hz[rows], tg[rows], graph)
+            return loss, acc, grads
+
+        def body(carry, rows):
+            params, opt_state = carry
+            if accum == 1:
+                loss, acc, grads = micrograd(params, rows)
+            else:
+                # rows: (accum, bsz) — mean the microbatch grads, one
+                # update. Inner scan keeps one microbatch of
+                # activations live; the grad accumulator is params-
+                # sized, so HBM is unchanged from accum=1.
+                def inner(g_acc, sub_rows):
+                    loss, acc, grads = micrograd(params, sub_rows)
+                    g_acc = jax.tree_util.tree_map(
+                        jnp.add, g_acc, grads
+                    )
+                    return g_acc, (loss, acc)
+
+                zeros = jax.tree_util.tree_map(
+                    jnp.zeros_like, params
+                )
+                g_sum, (loss, acc) = jax.lax.scan(inner, zeros, rows)
+                grads = jax.tree_util.tree_map(
+                    lambda g: g / accum, g_sum
+                )
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), (loss, acc)
 
+        if accum > 1:
+            n_b, bsz = batches.shape
+            if n_b % accum:
+                raise ValueError(
+                    f"accum={accum} must divide n_batches={n_b}"
+                )
+            batches = batches.reshape(n_b // accum, accum, bsz)
         (params, opt_state), (losses, accs) = jax.lax.scan(
             body, (params, opt_state), batches
         )
+        if accum > 1:
+            losses = losses.reshape(-1)
+            accs = accs.reshape(-1)
         return params, opt_state, losses, accs
 
     def epoch(params, opt_state, pf, hz, tg, batches):
         return epoch_g(params, opt_state, pf, hz, tg, batches, graph)
 
+    # expose the jitted inner fn + bound graph for AOT inspection
+    # (lower().compile().memory_analysis() — the only HBM accounting
+    # the remote backend offers; device.memory_stats() returns None)
+    epoch.jitted = epoch_g
+    epoch.graph = graph
     return epoch
 
 
@@ -328,6 +375,7 @@ def train(
     data_parallel: bool = False,
     ckpt_every: int = 0,
     resume: bool = False,
+    accum_steps: int = 1,
 ):
     """``sparse_zones=True`` trains with the edge-list zone encoder:
     the zone graph rides a COO edge list and the dense (Z, Z) matrix
@@ -351,7 +399,13 @@ def train(
     the epoch permutations are seeded per epoch, so a resumed run
     reproduces the uninterrupted one exactly. Checkpoint fetches over
     the remote tunnel dominate training wall clock (CLAUDE.md), so the
-    default keeps everything on device until the final save."""
+    default keeps everything on device until the final save.
+
+    ``accum_steps=k`` accumulates gradients over k consecutive
+    microbatches per optimizer update (effective batch ``k *
+    batch_size`` with unchanged HBM — see ``make_epoch_fn``); it must
+    divide the epoch's batch count and is single-device-only (the
+    data-parallel step already scales its batch across chips)."""
     sparse_zones = sparse_zones or sparse_world
     config = config or GATODEConfig()
     ensure_dir(outdir)
@@ -408,6 +462,12 @@ def train(
         and static[0].shape[0] <= 2048
     )
     train_step = epoch_fn = None
+    if accum_steps > 1 and data_parallel:
+        raise ValueError(
+            "accum_steps > 1 is a single-device feature; the "
+            "data-parallel step scales its effective batch across "
+            "chips instead"
+        )
     if data_parallel:
         from ananke_abm_tpu.parallel.mesh import make_mesh
         from ananke_abm_tpu.parallel.sharded import (
@@ -438,17 +498,24 @@ def train(
             optimizer,
             lambda p, pf, hz, tg, _g: fused_loss(p, pf, hz, tg),
             graph=(),
+            accum=accum_steps,
         )
     else:
         epoch_fn = make_epoch_fn(
             optimizer, _build_loss_fn_g(model, config),
             graph=_unpack_static(static),
+            accum=accum_steps,
         )
 
     pf = jnp.asarray(data["person_feats"])
     hz = jnp.asarray(data["home_zone"])
     tg = jnp.asarray(data["zone_ids"])
     n_batches = max(1, n_agents // bsz)
+    if accum_steps > 1 and n_batches % accum_steps:
+        raise ValueError(
+            f"accum_steps={accum_steps} must divide the epoch's batch "
+            f"count ({n_batches} batches of {bsz} agents)"
+        )
 
     last_ckpt = os.path.join(outdir, "gatode_last.ckpt")
     start_epoch = 1

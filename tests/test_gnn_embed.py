@@ -510,6 +510,84 @@ class TestTraining:
                 np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
             )
 
+    def test_epoch_accum_matches_mean_grad_updates(self):
+        """make_epoch_fn(accum=2): every 2 microbatches become ONE
+        optimizer update on their MEAN gradient — checked against a
+        hand-rolled accumulate-then-update loop over the same rows.
+        SGD keeps the check well-conditioned: the update is linear in
+        the gradient, so jit-vs-eager numeric noise stays noise
+        (adamw's first step turns near-zero-grad sign flips into
+        full +-lr divergences)."""
+        import optax
+
+        from ananke_abm_tpu.models.gnn_embed.train import (
+            _build_loss_fn_g, _unpack_static, build_model, init_params,
+            make_epoch_fn,
+        )
+
+        cfg = tiny_cfg()
+        d = generate_agent_population(64, num_times=6, num_zones=10, seed=3)
+        model = build_model(cfg, 7, 8)
+        params = init_params(model, cfg, d, 16, jax.random.PRNGKey(0))
+        opt = optax.sgd(0.05)
+        static = (
+            jnp.asarray(d["zone_features"]), jnp.asarray(d["adj"]),
+            jnp.asarray(d["times"]),
+        )
+        pf, hz = jnp.asarray(d["person_feats"]), jnp.asarray(d["home_zone"])
+        tg = jnp.asarray(d["zone_ids"])
+        batches = jnp.asarray(
+            np.random.default_rng(1).permutation(64).reshape(4, 16)
+        )
+        loss_g = _build_loss_fn_g(model, cfg)
+        graph = _unpack_static(static)
+
+        epoch_fn = make_epoch_fn(opt, loss_g, graph=graph, accum=2)
+        p_a, _, losses, accs = epoch_fn(
+            params, opt.init(params), pf, hz, tg, batches
+        )
+        assert losses.shape == (4,) and accs.shape == (4,)
+
+        p_r, st = params, opt.init(params)
+        ref_losses = []
+        for pair in np.asarray(batches).reshape(2, 2, 16):
+            grads_sum = None
+            for rows in pair:
+                (loss, _), grads = jax.value_and_grad(
+                    loss_g, has_aux=True
+                )(p_r, pf[rows], hz[rows], tg[rows], graph)
+                ref_losses.append(float(loss))
+                grads_sum = grads if grads_sum is None else (
+                    jax.tree_util.tree_map(jnp.add, grads_sum, grads)
+                )
+            mean_g = jax.tree_util.tree_map(lambda g: g / 2, grads_sum)
+            updates, st = opt.update(mean_g, st, p_r)
+            p_r = optax.apply_updates(p_r, updates)
+        np.testing.assert_allclose(
+            np.asarray(losses), np.asarray(ref_losses), rtol=1e-5
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(p_a), jax.tree_util.tree_leaves(p_r)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+            )
+
+    def test_train_accum_steps(self, tmp_path):
+        """train(accum_steps=2) runs end-to-end and rejects the
+        configurations the contract excludes."""
+        from ananke_abm_tpu.models.gnn_embed.train import train
+
+        cfg = tiny_cfg()
+        cfg.epochs = 1
+        cfg.batch_size = 16
+        out = train(str(tmp_path / "a"), n_agents=64, num_times=6,
+                    num_zones=10, config=cfg, accum_steps=2)
+        assert np.isfinite(out["final_loss"])
+        with pytest.raises(ValueError, match="divide"):
+            train(str(tmp_path / "b"), n_agents=48, num_times=6,
+                  num_zones=10, config=cfg, accum_steps=2)
+
     @pytest.mark.slow
     def test_train_data_parallel(self, eight_devices, tmp_path):
         """train(data_parallel=True) shards batches over the 8-device
@@ -607,6 +685,67 @@ class TestSharded:
             params2, jnp.asarray(d["person_feats"]), jnp.asarray(d["home_zone"])
         )
         assert y.shape == (64, 8)
+
+    @pytest.mark.slow
+    def test_sharded_step_zone_ring(self, eight_devices):
+        """make_sharded_train_step(zone_ring=True): the ring-halo zone
+        encoder INSIDE the sharded train step — losses and post-step
+        params must match the GSPMD-annotated dense step (same program
+        semantics, hand-written zone-axis collectives). SGD keeps the
+        comparison linear in the gradient."""
+        from ananke_abm_tpu.parallel.mesh import make_mesh
+        from ananke_abm_tpu.parallel.sharded import make_sharded_train_step
+
+        mesh = make_mesh(8, zone_parallel=2)
+        cfg = tiny_cfg()
+        d = generate_agent_population(64, num_times=8, num_zones=16, seed=4)
+        model = build_model(cfg, 7, 8)
+        params = init_params(model, cfg, d, 64, jax.random.PRNGKey(0))
+        opt = optax.sgd(1e-2)
+
+        static = (
+            jnp.asarray(d["zone_features"]),
+            jnp.asarray(d["adj"]),
+            jnp.asarray(d["times"]),
+        )
+        pf, hz = jnp.asarray(d["person_feats"]), jnp.asarray(d["home_zone"])
+        tg = jnp.asarray(d["zone_ids"])
+
+        step_ring = make_sharded_train_step(
+            model, opt, cfg, mesh, static, zone_ring=True
+        )
+        step_dense = make_sharded_train_step(model, opt, cfg, mesh, static)
+        p_r, _, loss_r, acc_r = step_ring(params, opt.init(params),
+                                          pf, hz, tg)
+        p_d, _, loss_d, acc_d = step_dense(params, opt.init(params),
+                                           pf, hz, tg)
+        np.testing.assert_allclose(float(loss_r), float(loss_d), rtol=1e-5)
+        np.testing.assert_allclose(float(acc_r), float(acc_d), rtol=1e-6)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(p_r), jax.tree_util.tree_leaves(p_d)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+            )
+
+        # contract errors are eager
+        sparse_static = (static[0], None, static[2],
+                         (jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.int32)))
+        with pytest.raises(ValueError, match="dense adjacency"):
+            make_sharded_train_step(
+                model, opt, cfg, mesh, sparse_static, zone_ring=True
+            )
+        d15 = generate_agent_population(64, num_times=8, num_zones=15,
+                                        seed=4)
+        bad = (
+            jnp.asarray(d15["zone_features"]),
+            jnp.asarray(d15["adj"]),
+            jnp.asarray(d15["times"]),
+        )
+        with pytest.raises(ValueError, match="not divisible"):
+            make_sharded_train_step(
+                model, opt, cfg, mesh, bad, zone_ring=True
+            )
 
     @pytest.mark.slow
     def test_sharded_step_sparse_static(self, eight_devices):
