@@ -1,5 +1,7 @@
 """ToD marginal curves per purpose across models (reference
-compare/viz_metrics/ToD.py:34 — grayscale-safe markers/linestyles)."""
+compare/viz_metrics/ToD.py:34-200 — cosmetic parity: the same
+grayscale-safe marker/linestyle cycle tables, black-by-default lines,
+hours x-axis, per-purpose y-zoom and grid)."""
 from __future__ import annotations
 
 import os
@@ -13,11 +15,15 @@ import numpy as np
 
 from ananke_abm_tpu.models.gen_schedule.evals.metrics import tod_marginals
 
+# reference ToD.py:131-132 — markers distinguish datasets, linestyles
+# kick in once the marker cycle wraps; visually interchangeable figures
+MARKERS = ["o", "s", "^", "D", "v", "x", "+", ">", "<", "p"]
 LINESTYLES = ["-", "--", "-.", ":"]
-MARKERS = ["", "o", "s", "^", "d", "x"]
 
 
-def plot_tod_curves(ref: Dict, models: List[Dict], outdir: str):
+def plot_tod_curves(ref: Dict, models: List[Dict], outdir: str,
+                    time_grid: int = 5, start_time_min: int = 0,
+                    colors: List[str] | None = None):
     os.makedirs(outdir, exist_ok=True)
     pm = ref["purpose_map"]
     P = len(pm)
@@ -27,22 +33,25 @@ def plot_tod_curves(ref: Dict, models: List[Dict], outdir: str):
         (m["name"], tod_marginals(m["Y"], P)) for m in models
     ]
     T = m_ref.shape[0]
-    t = np.arange(T)
+    t_hours = (start_time_min + np.arange(T) * time_grid) / 60.0
+    markevery = slice(0, None, max(T // 12, 1))
     for p in range(P):
-        fig, ax = plt.subplots(figsize=(8, 4))
+        fig, ax = plt.subplots()
         for i, (name, mm) in enumerate(all_m):
             ax.plot(
-                t, mm[:, p],
-                linestyle=LINESTYLES[i % len(LINESTYLES)],
+                t_hours, mm[:, p],
                 marker=MARKERS[i % len(MARKERS)],
-                markevery=max(1, T // 24),
-                markersize=3,
+                linestyle=LINESTYLES[(i // len(MARKERS)) % len(LINESTYLES)],
+                markevery=markevery,
+                color=colors[i] if colors is not None else "black",
                 label=name,
             )
-        ax.set_title(f"Time-of-day marginal: {inv[p]}")
-        ax.set_xlabel("time bin")
-        ax.set_ylabel("probability")
-        ax.legend(fontsize=8)
-        fig.tight_layout()
-        fig.savefig(os.path.join(outdir, f"tod_{inv[p]}.png"), dpi=110)
+        ax.set_xlabel("Time of day (hours)")
+        ax.set_ylabel(f"P(activity = {inv[p]})")
+        ax.set_xlim(t_hours[0], t_hours[-1])
+        y_max = max(1e-8, max(mm[:, p].max() for _, mm in all_m))
+        ax.set_ylim(0.0, min(1.0, y_max * 1.05))
+        ax.grid(True, alpha=0.3)
+        ax.legend()
+        fig.savefig(os.path.join(outdir, f"tod_{inv[p]}.png"))
         plt.close(fig)

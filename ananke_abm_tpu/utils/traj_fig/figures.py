@@ -13,15 +13,19 @@ matplotlib.use("Agg")
 import matplotlib.pyplot as plt
 import numpy as np
 
-# fixed palette for the canonical 7 purposes (stable across figures)
+# fixed palette + legend order for the canonical 7 purposes — the exact
+# values of reference fig_stacked_traj.py:29-38, so reference and repo
+# figures are visually interchangeable
+ORDERED_LABELS = ["Home", "Work", "Education", "Social", "Shopping",
+                  "Accompanying", "Other"]
 PURPOSE_PALETTE = {
-    "Home": "#4c72b0",
-    "Work": "#dd8452",
-    "Education": "#55a868",
-    "Shopping": "#c44e52",
-    "Social": "#8172b3",
-    "Accompanying": "#937860",
-    "Other": "#8c8c8c",
+    "Home": "#9ecae1",          # light blue
+    "Work": "#3182bd",          # blue
+    "Education": "#31a354",     # green
+    "Social": "#756bb1",        # purple
+    "Shopping": "#e6550d",      # orange
+    "Accompanying": "#fd8d3c",  # light orange
+    "Other": "#969696",         # grey
 }
 _FALLBACK = ["#1f77b4", "#ff7f0e", "#2ca02c", "#d62728", "#9467bd",
              "#8c564b", "#7f7f7f", "#bcbd22", "#17becf"]
@@ -44,21 +48,43 @@ def _shares(Y: np.ndarray, P: int) -> np.ndarray:
 
 def fig_stacked_traj(Y, purpose_map: Dict[str, int], out_png: str,
                      grid_min: int = 5):
+    """Flipped stacked proportional distribution, cosmetics matching
+    reference fig_stacked_traj.py:78-122: canonical label order with
+    unknown purposes folded into "Other", stack order reversed so Home
+    is the visual background, 12x6 figure, 2-hour ticks, white legend
+    box in ORDERED_LABELS order."""
+    from matplotlib.patches import Patch
+
     names = sorted(purpose_map, key=purpose_map.get)
     shares = _shares(Y, len(names))  # (T, P)
+    # reorder columns into ORDERED_LABELS; unseen labels -> "Other"
+    ordered = np.zeros((shares.shape[0], len(ORDERED_LABELS)))
+    for i, n in enumerate(names):
+        j = ORDERED_LABELS.index(n if n in ORDERED_LABELS else "Other")
+        ordered[:, j] += shares[:, i]
     hours = np.arange(Y.shape[1]) * grid_min / 60.0
-    fig, ax = plt.subplots(figsize=(11, 5))
-    ax.stackplot(
-        hours, shares.T, labels=names, colors=_colors(names), alpha=0.9
+
+    fig = plt.figure(figsize=(12, 6), dpi=140)
+    plt.stackplot(
+        hours, ordered.T[::-1],
+        colors=[PURPOSE_PALETTE[l] for l in ORDERED_LABELS[::-1]],
     )
-    ax.set_xlabel("hour of day")
-    ax.set_ylabel("share of population")
-    ax.set_xlim(hours[0], hours[-1])
-    ax.set_ylim(0, 1)
-    ax.legend(loc="upper right", fontsize=8, ncols=2)
-    ax.set_title("Population activity shares over the day")
-    fig.tight_layout()
-    fig.savefig(out_png, dpi=120)
+    plt.title(
+        "Stacked Proportional Distribution of Activities "
+        "(Flipped, Hour Scale)"
+    )
+    plt.xlabel("Time (hours)")
+    plt.ylabel("Proportion")
+    plt.ylim(0, 1)
+    plt.xlim(float(hours.min()), float(hours.max()))
+    plt.xticks(range(int(np.floor(hours.min())),
+                     int(np.ceil(hours.max())) + 1, 2))
+    handles = [Patch(facecolor=PURPOSE_PALETTE[l], label=l)
+               for l in ORDERED_LABELS]
+    plt.legend(handles=handles, loc="upper left", frameon=True,
+               facecolor="white", edgecolor="black")
+    plt.tight_layout()
+    fig.savefig(out_png, bbox_inches="tight", dpi=300)
     plt.close(fig)
     return out_png
 
