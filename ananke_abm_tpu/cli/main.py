@@ -4,10 +4,21 @@ info. In the reference snapshot traj-embed/gval-traj point at a missing
 module (SURVEY.md §2.8); here they are fully functional. Beyond parity:
 gatode-train / gatode-serve expose the flagship GAT-ODE family
 (BASELINE.json names gnn_embed as a required capability; the reference
-never shipped it)."""
+never shipped it).
+
+``ANANKE_PLATFORM=cpu`` pins the jax backend before first use (plain
+env vars cannot — the container's sitecustomize pins
+``JAX_PLATFORMS=axon``; see CLAUDE.md)."""
 from __future__ import annotations
 
+import os
+
 import click
+
+if os.environ.get("ANANKE_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["ANANKE_PLATFORM"])
 
 
 @click.group()

@@ -2,10 +2,23 @@
 src/ananke_abm/models/gen_schedule/cli.py:10-99): prepare, fit,
 sample-population, eval-population, viz-population, compute-pds,
 prepare-crf-data, train-crf, compare-samples, metric-tables, plot-overview.
+
+``ANANKE_PLATFORM=cpu`` (or any jax platform name) pins the backend
+before first use — the container's sitecustomize pins
+``JAX_PLATFORMS=axon`` so plain env vars cannot flip it (CLAUDE.md),
+and CLI runs must be able to stay off the TPU while a measurement job
+holds it.
 """
 from __future__ import annotations
 
+import os
+
 import click
+
+if os.environ.get("ANANKE_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["ANANKE_PLATFORM"])
 
 
 @click.group()
