@@ -715,31 +715,53 @@ def serve(
 
 
 def make_adjoint_step_fns(model, optimizer, config, static,
-                          use_fused="auto"):
+                          use_fused="auto", adjoint_mode="continuous",
+                          max_accepted=512, ckpt_every=16):
     """Training step whose integration uses adaptive DOPRI5 with
-    continuous-adjoint gradients (BASELINE config 3: "adaptive dopri5 +
-    adjoint gradients through the GAT dynamics").
+    adjoint gradients (BASELINE config 3: "adaptive dopri5 + adjoint
+    gradients through the GAT dynamics").
 
     The flax params are threaded through the solver's differentiable
     ``args`` (NOT closure-captured — see CLAUDE.md), so the custom_vjp
     propagates cotangents into the drift/attention weights; zone embeddings
     and contexts ride along in args and receive gradients the same way.
 
-    ``use_fused``: "auto" runs the adjoint BACKWARD's augmented RHS (one
-    eval + its full VJP) through the fused Pallas joint kernel
-    (ops/pallas/fused_rhs.py::drift_rhs_and_vjp) on TPU when its
+    ``adjoint_mode``:
+
+    - ``"continuous"`` — torchdiffeq-style continuous adjoint
+      (ode/adjoint.py): a second adaptive solve of the augmented system
+      per output interval.
+    - ``"discrete"`` — backprop through the forward's accepted step
+      sequence (ode/discrete_adjoint.py): the exact gradient of the
+      computed output at roughly the forward's own step count instead
+      of a ~3x augmented re-solve; ``max_accepted``/``ckpt_every`` size
+      its recording buffers (a solve exceeding ``max_accepted``
+      accepted steps NaN-poisons loudly).
+
+    ``use_fused``: "auto" engages the Pallas kernels on TPU when their
     contract holds (attn_temp == 1.0, num_blocks >= 1, Z small enough
-    for the VMEM-replicated zone table); True forces it (interpret mode
-    off-TPU); False keeps generic ``jax.vjp``. The FORWARD solve always
-    uses the XLA RHS: measured at config-3 dims (98k agents, Z=64 —
-    docs/evidence_round4/config3_fused.json) the single-eval fused
-    forward kernel LOSES to XLA's fusion (2279 vs 1600 ms per solve;
-    per-eval launch overhead and K=32/64 MXU underfill dominate at these
-    dims), while the joint backward kernel wins (2168 -> 1786 ms). The
-    kernel shares the serving/fixed-step stage math, bf16 matmul
-    precision class; gradient cosine vs the XLA path 0.9999997 at 98k.
+    for the VMEM-replicated zone table); True forces them (interpret
+    mode off-TPU); False keeps generic XLA + ``jax.vjp``. What gets
+    fused depends on the mode — continuous: the backward's augmented
+    RHS (one eval + full VJP per launch,
+    ops/pallas/fused_rhs.py::drift_rhs_and_vjp; forward stays XLA —
+    the single-eval fused forward kernel measured SLOWER than XLA's
+    fusion, 2279 vs 1600 ms at config-3 dims,
+    docs/evidence_round4/config3_fused.json). Discrete: whole DOPRI5
+    steps — one kernel per attempted forward step and one
+    recompute+VJP kernel per accepted backward step
+    (ops/pallas/fused_dopri5.py). All kernels share the serving/
+    fixed-step stage math; the continuous-mode RHS kernel keeps the
+    bf16 matmul precision class (gradient cosine vs the XLA path
+    0.9999997 at 98k agents) while the discrete-mode step kernels run
+    f32 activations — bf16 stage rounding noise-floors the embedded
+    5(4) error estimate and blows up the controller's step count
+    (see ops/pallas/fused_dopri5.py).
     """
-    from ananke_abm_tpu.ode import odeint_adjoint
+    from ananke_abm_tpu.ode import odeint_adjoint, odeint_discrete_adjoint
+
+    if adjoint_mode not in ("continuous", "discrete"):
+        raise ValueError(f"unknown adjoint_mode {adjoint_mode!r}")
 
     # graph threaded as a jit argument, not closure-captured — see
     # make_step_fns
@@ -751,19 +773,26 @@ def make_adjoint_step_fns(model, optimizer, config, static,
             and getattr(config, "num_blocks", 0) >= 1
             and graph[0].shape[0] <= 2048
         )
+    rhs_vjp = None
+    step_impl = step_vjp = None
     if use_fused:
         if getattr(model, "attn_temp", 1.0) != 1.0:
             raise ValueError(
                 "fused adjoint RHS requires attn_temp == 1.0 (the "
                 "kernels hard-code that attention); pass use_fused=False"
             )
-        from ananke_abm_tpu.ops.pallas.fused_rhs import (
-            make_fused_adjoint_rhs,
-        )
+        if adjoint_mode == "continuous":
+            from ananke_abm_tpu.ops.pallas.fused_rhs import (
+                make_fused_adjoint_rhs,
+            )
 
-        _, rhs_vjp = make_fused_adjoint_rhs()
-    else:
-        rhs_vjp = None
+            _, rhs_vjp = make_fused_adjoint_rhs()
+        else:
+            from ananke_abm_tpu.ops.pallas.fused_dopri5 import (
+                make_fused_dopri5_hooks,
+            )
+
+            step_impl, step_vjp = make_fused_dopri5_hooks()
 
     def rhs(t, x, args):
         params, h, zone_emb = args
@@ -780,10 +809,18 @@ def make_adjoint_step_fns(model, optimizer, config, static,
         x0, h = model.apply(
             {"params": params}, pf, hz, zone_emb, method=model.initial_state
         )
-        xs = odeint_adjoint(
-            rhs, x0, times, (params, h, zone_emb),
-            rtol=config.rtol, atol=config.atol, rhs_vjp=rhs_vjp,
-        )
+        if adjoint_mode == "discrete":
+            xs = odeint_discrete_adjoint(
+                rhs, x0, times, (params, h, zone_emb),
+                rtol=config.rtol, atol=config.atol,
+                max_accepted=max_accepted, ckpt_every=ckpt_every,
+                step_impl=step_impl, step_vjp=step_vjp,
+            )
+        else:
+            xs = odeint_adjoint(
+                rhs, x0, times, (params, h, zone_emb),
+                rtol=config.rtol, atol=config.atol, rhs_vjp=rhs_vjp,
+            )
         xs = jnp.swapaxes(xs, 0, 1)
         logits = model.apply(
             {"params": params}, xs, zone_emb, method=model.decode

@@ -6,6 +6,8 @@ Entry points:
       backprop-through-scan gradients.
     - :func:`dopri5_solve` — adaptive, dense output, forward-only.
     - :func:`odeint_adjoint` — adaptive with continuous-adjoint gradients.
+    - :func:`odeint_discrete_adjoint` — adaptive with discrete-adjoint
+      (backprop-through-the-accepted-steps) gradients.
     - :func:`euler_maruyama_solve` — diagonal-noise Itô SDE.
 """
 from __future__ import annotations
@@ -13,6 +15,7 @@ from __future__ import annotations
 import jax
 
 from ananke_abm_tpu.ode.adjoint import odeint_adjoint
+from ananke_abm_tpu.ode.discrete_adjoint import odeint_discrete_adjoint
 from ananke_abm_tpu.ode.dopri5 import dopri5_solve
 from ananke_abm_tpu.ode.rk4 import euler_solve, rk4_solve
 from ananke_abm_tpu.ode.sde import euler_maruyama_solve
@@ -91,6 +94,7 @@ def odeint(
 __all__ = [
     "odeint",
     "odeint_adjoint",
+    "odeint_discrete_adjoint",
     "dopri5_solve",
     "rk4_solve",
     "euler_solve",

@@ -1,0 +1,282 @@
+"""Discrete-adjoint gradients for the adaptive DOPRI5 solver.
+
+``ode/adjoint.py`` (continuous adjoint) integrates a SECOND adaptive
+solve of the augmented system backwards — at config-3 scale that costs
+~3x the forward's RHS evaluations on a step grid the controller has to
+rediscover. The discrete adjoint instead backpropagates through the
+exact step sequence the forward controller chose: the forward records
+each accepted step's ``(t0, h)`` (plus periodic state checkpoints), and
+the backward replays those steps in reverse, applying the VJP of one
+DOPRI5 step per accepted step. No augmented system, no second adaptive
+solve, and the gradient is the EXACT derivative of the computed
+(discretized) output rather than a re-discretization of the continuous
+adjoint ODE — the same semantics torch gets from backprop through the
+torchdiffeq graph (the reference's default everywhere outside the
+unused ODEBlock: src/ananke_abm/models/latent_ode/architecture/
+ode_components.py:29-50).
+
+Step-size control is treated as non-differentiable (cotangents do not
+flow through accept/reject decisions or ``h`` proposals), matching both
+torchdiffeq and the continuous adjoint here.
+
+Memory: O(max_accepted / ckpt_every) states for checkpoints plus one
+``ckpt_every``-step recompute window — NOT O(n_steps) full activation
+storage. Backward cost per accepted step = one step recompute + one
+step VJP; with the fused Pallas step kernels
+(ops/pallas/fused_dopri5.py) both are single launches.
+
+Hooks (same split as ``dopri5_solve``):
+
+- ``step_impl(t0, h, y, f, args) -> (y1, f1, err, interp)`` — fused
+  forward step, used for the forward solve AND the backward's segment
+  recompute (bit-identical replay is what makes the VJP exact).
+- ``step_vjp(t0, h, y, f, args, gset) -> (gy, gf, gargs)`` with
+  ``gset = (g_dy, g_r5, g_k1x, g_k7x, g_y0_direct)`` — fused step
+  backward. The generic fallback builds it from ``jax.vjp`` of the
+  tableau step.
+
+Cotangent folding (derivation): with ``dy = h*sum(b5_j k_j)`` the step
+outputs are ``y1 = y0 + dy``, ``f1 = k7`` and the CONTD5 interpolation
+coefficients ``r1 = y0``, ``r2 = dy``, ``r3 = h k1 - dy``,
+``r4 = 2 dy - h k1 - h k7``, ``r5 = h*sum(d_j k_j)``. Incoming
+cotangents ``(g_y1, g_f1, g_r1..g_r5)`` therefore fold to
+
+    g_dy        = g_y1 + g_r2 - g_r3 + 2 g_r4
+    g_k1_extra  = h (g_r3 - g_r4)        # k1 = f0 is a step INPUT
+    g_k7_extra  = g_f1 - h g_r4
+    g_y0_direct = g_y1 + g_r1
+
+and the per-stage cotangents are ``gk_j = h (b5_j g_dy + d_j g_r5)``
+plus the extras on k1/k7 plus the reverse tableau chain.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ananke_abm_tpu.ode.dopri5 import _step, dopri5_solve
+from ananke_abm_tpu.ode.tree import tree_add, tree_map, tree_where
+
+_tm = jax.tree_util.tree_map
+
+
+def _generic_step_vjp(rhs, step):
+    """``step_vjp`` fallback via ``jax.vjp`` of the tableau step (works
+    over arbitrary pytrees; the Pallas kernel path replaces it for the
+    GAT-ODE drift)."""
+
+    def step_vjp(t0, h, y, f, args, gset):
+        g_dy, g_r5, g_k1x, g_k7x, g_y0_direct = gset
+
+        def raw(y_, f_, a_):
+            y1, f1, _err, interp = step(t0, h, y_, f_, a_)
+            dy = tree_map(jnp.subtract, y1, y_)
+            return dy, interp.r5, f1
+
+        _, pull = jax.vjp(raw, y, f, args)
+        gy, gf, gargs = pull((g_dy, g_r5, g_k7x))
+        # raw's dy = y1 - y routes -g_dy into y; the direct fold term
+        # g_y0_direct already carries y1's +g_y1 and r1's +g_r1
+        gy = tree_add(gy, g_y0_direct)
+        gf = tree_add(gf, g_k1x)
+        return gy, gf, gargs
+
+    return step_vjp
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
+def _odeint_disc(rhs, step_impl, step_vjp, rtol, atol, max_steps,
+                 max_accepted, ckpt_every, y0, ts, args):
+    # value-only path records too, so the max_accepted cap NaN-poisons
+    # identically whether or not gradients are requested
+    ys, _ = dopri5_solve(
+        rhs, y0, ts, args, rtol=rtol, atol=atol, max_steps=max_steps,
+        step_impl=step_impl,
+        record={"max_accepted": max_accepted, "ckpt_every": ckpt_every},
+    )
+    return ys
+
+
+def _disc_fwd(rhs, step_impl, step_vjp, rtol, atol, max_steps,
+              max_accepted, ckpt_every, y0, ts, args):
+    ys, stats = dopri5_solve(
+        rhs, y0, ts, args, rtol=rtol, atol=atol, max_steps=max_steps,
+        step_impl=step_impl,
+        record={"max_accepted": max_accepted, "ckpt_every": ckpt_every},
+    )
+    res = (ts, args, stats["rec_t0"], stats["rec_h"], stats["out_step"],
+           stats["ckpts"], stats["n_accepted"])
+    return ys, res
+
+
+def _disc_bwd(rhs, step_impl, step_vjp, rtol, atol, max_steps,
+              max_accepted, ckpt_every, res, g):
+    ts, args, rec_t0, rec_h, out_step, ckpts, n_acc = res
+    step = step_impl if step_impl is not None else functools.partial(
+        _step, rhs
+    )
+    if step_vjp is None:
+        step_vjp = _generic_step_vjp(rhs, step)
+    K = ckpt_every
+    n_ckpt = jax.tree_util.tree_leaves(ckpts)[0].shape[0]
+
+    def zeros_like_row(tree):
+        return _tm(lambda l: jnp.zeros_like(l[0]), tree)
+
+    def dense_cotangents(idx, t0j, hj):
+        """Fold the dense-output rows this step produced into
+        (g_r1..g_r5) — one pass over g via a (5, T) weight matrix."""
+        mask = (out_step == idx).astype(jnp.float32)
+        safe_h = jnp.where(hj == 0, 1.0, hj)
+        theta = jnp.clip((ts - t0j) / safe_h, 0.0, 1.0)
+        om = 1.0 - theta
+        w = jnp.stack([
+            jnp.ones_like(theta), theta, theta * om,
+            theta * theta * om, theta * theta * om * om,
+        ]) * mask[None, :]  # (5, T)
+        gr = _tm(lambda gl: jnp.tensordot(w, gl, axes=1), g)
+        return tuple(_tm(lambda s: s[k], gr) for k in range(5))
+
+    def seg_bwd(carry, s):
+        g_y, g_f, g_args = carry
+
+        def do(c):
+            g_y, g_f, g_args = c
+            y_c = _tm(lambda b: b[s], ckpts)
+            f_c = rhs(rec_t0[s * K], y_c, args)
+
+            def fwd_body(cc, j):
+                y, f = cc
+                idx = s * K + j
+                act = idx < n_acc
+                y1, f1, _err, _interp = step(
+                    rec_t0[idx], rec_h[idx], y, f, args
+                )
+                y_new = tree_where(act, y1, y)
+                f_new = tree_where(act, f1, f)
+                return (y_new, f_new), (y, f)
+
+            _, (ys_seg, fs_seg) = jax.lax.scan(
+                fwd_body, (y_c, f_c), jnp.arange(K)
+            )
+
+            def bwd_body(cc, xs):
+                g_y, g_f, g_args = cc
+                j, y_j, f_j = xs
+                idx = s * K + j
+                act = idx < n_acc
+                t0j, hj = rec_t0[idx], rec_h[idx]
+                gr1, gr2, gr3, gr4, gr5 = jax.lax.cond(
+                    jnp.any(out_step == idx),
+                    lambda: dense_cotangents(idx, t0j, hj),
+                    lambda: tuple(zeros_like_row(g) for _ in range(5)),
+                )
+                g_dy = _tm(
+                    lambda a, b, c_, d: a + b - c_ + 2.0 * d,
+                    g_y, gr2, gr3, gr4,
+                )
+                g_k1x = _tm(lambda a, b: hj * (a - b), gr3, gr4)
+                g_k7x = _tm(lambda a, b: a - hj * b, g_f, gr4)
+                g_y0d = tree_add(g_y, gr1)
+                gy0, gf0, gargs_j = step_vjp(
+                    t0j, hj, y_j, f_j, args,
+                    (g_dy, gr5, g_k1x, g_k7x, g_y0d),
+                )
+                g_y = tree_where(act, gy0, g_y)
+                g_f = tree_where(act, gf0, g_f)
+                g_args = _tm(
+                    lambda a, b: a + jnp.where(act, b, jnp.zeros_like(b)),
+                    g_args, gargs_j,
+                )
+                return (g_y, g_f, g_args), None
+
+            rev = (
+                jnp.arange(K - 1, -1, -1),
+                _tm(lambda b: b[::-1], ys_seg),
+                _tm(lambda b: b[::-1], fs_seg),
+            )
+            (g_y, g_f, g_args), _ = jax.lax.scan(
+                bwd_body, (g_y, g_f, g_args), rev
+            )
+            return g_y, g_f, g_args
+
+        carry = jax.lax.cond(s * K < n_acc, do, lambda c: c,
+                             (g_y, g_f, g_args))
+        return carry, None
+
+    init = (
+        zeros_like_row(g),                      # g_y: cotangent of y after
+        zeros_like_row(g),                      # g_f: cotangent of FSAL f
+        tree_map(jnp.zeros_like, args) if args is not None else None,
+    )
+    (g_y, g_f, g_args), _ = jax.lax.scan(
+        seg_bwd, init, jnp.arange(n_ckpt - 1, -1, -1)
+    )
+
+    # row 0 of ys is y0 written directly; the solve's initial FSAL eval
+    # f0 = rhs(ts[0], y0, args) closes the chain
+    g0 = _tm(lambda gl: gl[0], g)
+    g_y0 = tree_add(g_y, g0)
+    # rows never filled (max_accepted/max_steps exhaustion) hold NaN in
+    # the forward; their cotangents match no accepted step and would be
+    # silently DROPPED here, turning a loudly-poisoned value into a
+    # quietly-finite gradient. Route them into g_y0 instead: a loss that
+    # touched a poisoned row carries NaN cotangents and the gradient
+    # NaN-poisons too; a loss that never touched one adds exact zeros.
+    unfilled = (out_step == -1) & (jnp.arange(out_step.shape[0]) > 0)
+    g_tail = _tm(
+        lambda gl: jnp.tensordot(
+            unfilled.astype(gl.dtype),
+            gl.reshape(gl.shape[0], -1),
+            axes=1,
+        ).reshape(gl.shape[1:]),
+        g,
+    )
+    g_y0 = tree_add(g_y0, g_tail)
+    y00 = _tm(lambda b: b[0], ckpts)
+    _, pull0 = jax.vjp(lambda y_, a_: rhs(ts[0], y_, a_), y00, args)
+    gy_f0, gargs_f0 = pull0(g_f)
+    g_y0 = tree_add(g_y0, gy_f0)
+    if g_args is not None:
+        g_args = tree_add(g_args, gargs_f0)
+    grad_ts = jnp.zeros_like(ts)  # output-time gradients not propagated
+    return g_y0, grad_ts, g_args
+
+
+_odeint_disc.defvjp(_disc_fwd, _disc_bwd)
+
+
+def odeint_discrete_adjoint(
+    rhs,
+    y0,
+    ts,
+    args=None,
+    *,
+    rtol: float = 1e-5,
+    atol: float = 1e-5,
+    max_steps: int = 16384,
+    max_accepted: int = 512,
+    ckpt_every: int = 16,
+    step_impl=None,
+    step_vjp=None,
+):
+    """Adaptive DOPRI5 solve with discrete-adjoint (backprop-through-
+    the-solver) gradients.
+
+    Same interface/returns as :func:`dopri5_solve` (without stats);
+    gradients flow to ``y0`` and ``args``, output-time gradients are
+    zero — drop-in for :func:`ode.adjoint.odeint_adjoint` with a
+    cheaper, exact backward.
+
+    ``max_accepted`` caps the recordable accepted-step count: a solve
+    that would exceed it stops and NaN-poisons the remaining output
+    rows (loud failure, like ``max_steps``) — size it ~2x the expected
+    accepted count. ``ckpt_every`` trades checkpoint memory
+    (``max_accepted/ckpt_every`` states) against recompute window size.
+    """
+    return _odeint_disc(
+        rhs, step_impl, step_vjp, rtol, atol, max_steps, max_accepted,
+        ckpt_every, y0, jnp.asarray(ts), args,
+    )

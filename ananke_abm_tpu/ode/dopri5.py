@@ -13,6 +13,7 @@ Gradients: the while_loop is not reverse-differentiable by design — use
 """
 from __future__ import annotations
 
+import functools
 import os
 from typing import NamedTuple
 
@@ -165,6 +166,7 @@ def dopri5_solve(
     max_steps: int = 16384,
     first_step=None,
     step_impl=None,
+    record=None,
 ):
     """Integrate with adaptive DOPRI5, returning dense output at ``ts``.
 
@@ -185,6 +187,20 @@ def dopri5_solve(
             stays THIS one tested copy; only the 6-stage evaluation is
             swapped. ``rhs`` is still used for the initial eval and
             HINIT.
+        record: optional ``{"max_accepted": int, "ckpt_every": int}``.
+            Records the accepted-step sequence for the discrete adjoint
+            (ode/discrete_adjoint.py): stats gains ``rec_t0``/``rec_h``
+            (max_accepted,) start time and ACTUAL (clamped) step size
+            per accepted step, ``out_step`` (T,) the accepted-step
+            ordinal whose interpolant filled each output row (-1 for
+            row 0, written directly), and ``ckpts`` — the pre-step
+            state ``y`` at every ``ckpt_every``-th accepted step
+            (leaves ``(ceil(max_accepted/ckpt_every),) + leaf.shape``).
+            Solves that would exceed ``max_accepted`` accepted steps
+            stop and NaN-poison the unfilled rows exactly like
+            ``max_steps`` exhaustion (``ok`` False) — a silent
+            truncation would make gradients wrong, a loud one makes the
+            cap a visible tuning knob.
 
     Returns:
         (ys, stats) where ys has leaves of shape ``(T,) + leaf.shape`` and
@@ -216,32 +232,57 @@ def dopri5_solve(
     ys = tree_stack_buffer(y0, num_out)
     ys = tree_buffer_set(ys, 0, y0)
 
-    def fill_outputs(carry, interp, t_new):
+    step = step_impl if step_impl is not None else functools.partial(
+        _step, rhs
+    )
+
+    if record is not None:
+        max_acc = int(record["max_accepted"])
+        ckpt_every = int(record["ckpt_every"])
+        n_ckpt = -(-max_acc // ckpt_every)
+        rec0 = {
+            "rec_t0": jnp.zeros((max_acc,), ts.dtype),
+            "rec_h": jnp.zeros((max_acc,), ts.dtype),
+            "out_step": jnp.full((num_out,), -1, jnp.int32),
+            "ckpts": tree_map(
+                lambda l: jnp.zeros((n_ckpt,) + jnp.shape(l),
+                                    jnp.asarray(l).dtype), y0
+            ),
+        }
+    else:
+        rec0 = None
+
+    def fill_outputs(carry, interp, t_new, n_acc):
         """Write every requested output time that falls inside this step."""
-        out_idx, ys = carry
+        out_idx, ys, out_step = carry
         eps = 1e-7 * jnp.maximum(jnp.abs(t_new), 1.0)
 
         def cond(c):
-            i, _ = c
+            i, _, _ = c
             return (i < num_out) & (ts[jnp.minimum(i, num_out - 1)] <= t_new + eps)
 
         def body(c):
-            i, ys = c
+            i, ys, out_step = c
             y_t = _dense_eval(interp, ts[i])
-            return i + 1, tree_buffer_set(ys, i, y_t)
+            if out_step is not None:
+                out_step = out_step.at[i].set(n_acc)
+            return i + 1, tree_buffer_set(ys, i, y_t), out_step
 
-        return jax.lax.while_loop(cond, body, (out_idx, ys))
+        return jax.lax.while_loop(cond, body, (out_idx, ys, out_step))
 
-    State = tuple  # (t, y, f, h, out_idx, ys, n_steps, n_accepted)
+    State = tuple  # (t, y, f, h, out_idx, ys, n_steps, n_accepted, rec)
 
     def cond_fn(s: State):
-        t, _, _, _, out_idx, _, n_steps, _ = s
-        return (out_idx < num_out) & (n_steps < max_steps)
+        t, _, _, _, out_idx, _, n_steps, n_acc, _ = s
+        more = (out_idx < num_out) & (n_steps < max_steps)
+        if record is not None:
+            more = more & (n_acc < max_acc)
+        return more
 
     def body_fn(s: State):
-        t, y, f, h, out_idx, ys, n_steps, n_acc = s
+        t, y, f, h, out_idx, ys, n_steps, n_acc, rec = s
         h = jnp.minimum(h, t_end - t)
-        y1, f1, err, interp = _step(rhs, t, h, y, f, args)
+        y1, f1, err, interp = step(t, h, y, f, args)
         err_norm = tree_error_norm(err, y, y1, rtol, atol)
         # guard NaN: treat as rejection with aggressive shrink
         bad = ~jnp.isfinite(err_norm)
@@ -254,17 +295,50 @@ def dopri5_solve(
         h_next = h * factor
 
         t_new = t + h
-        out_idx_new, ys_new = fill_outputs((out_idx, ys), interp, t_new)
+        out_step = None if rec is None else rec["out_step"]
+        out_idx_new, ys_new, out_step_new = fill_outputs(
+            (out_idx, ys, out_step), interp, t_new, n_acc
+        )
+
+        if rec is not None:
+            # the big ckpt buffer is written under the SAME cond it's
+            # needed (accepted ckpt_every-th step) — an accept-select
+            # over the whole buffer would move its full footprint every
+            # attempted step
+            rec = {
+                "rec_t0": jnp.where(
+                    accept, rec["rec_t0"].at[n_acc].set(t), rec["rec_t0"]
+                ),
+                "rec_h": jnp.where(
+                    accept, rec["rec_h"].at[n_acc].set(h), rec["rec_h"]
+                ),
+                "out_step": jnp.where(
+                    accept, out_step_new, rec["out_step"]
+                ),
+                "ckpts": jax.lax.cond(
+                    accept & (n_acc % ckpt_every == 0),
+                    lambda c: tree_map(
+                        lambda buf, l: jax.lax.dynamic_update_index_in_dim(
+                            buf, l.astype(buf.dtype), n_acc // ckpt_every, 0
+                        ),
+                        c, y,
+                    ),
+                    lambda c: c,
+                    rec["ckpts"],
+                ),
+            }
 
         t = jnp.where(accept, t_new, t)
         y = tree_where(accept, y1, y)
         f = tree_where(accept, f1, f)
         out_idx = jnp.where(accept, out_idx_new, out_idx)
         ys = tree_where(accept, ys_new, ys)
-        return (t, y, f, h_next, out_idx, ys, n_steps + 1, n_acc + accept)
+        return (t, y, f, h_next, out_idx, ys, n_steps + 1, n_acc + accept,
+                rec)
 
-    init = (t0, y0, f0, h_init, jnp.asarray(1), ys, jnp.asarray(0), jnp.asarray(0))
-    t, y, f, h, out_idx, ys, n_steps, n_acc = jax.lax.while_loop(
+    init = (t0, y0, f0, h_init, jnp.asarray(1), ys, jnp.asarray(0),
+            jnp.asarray(0), rec0)
+    t, y, f, h, out_idx, ys, n_steps, n_acc, rec = jax.lax.while_loop(
         cond_fn, body_fn, init
     )
     ok = out_idx >= num_out
@@ -304,4 +378,6 @@ def dopri5_solve(
         # adjoint backward threads it across intervals)
         "h_next": h,
     }
+    if rec is not None:
+        stats.update(rec)
     return ys, stats

@@ -1,0 +1,484 @@
+"""Fused DOPRI5 step kernels for the adaptive/adjoint training path.
+
+The adaptive trainer (BASELINE config 3: dopri5 + adjoint gradients,
+reference torchdiffeq usage at
+src/ananke_abm/models/latent_ode/architecture/ode_components.py:29-50)
+previously evaluated the drift once per XLA launch — six launches per
+attempted step, each reloading every weight and round-tripping all
+(N, *) intermediates through HBM. Measured at config-3 scale (98k
+agents, Z=64) that put the forward solve at 1.22 ms/eval while the
+fused *joint* backward kernel ran ~3x the FLOPs in far less
+(docs/evidence_round4/config3_fused.json): the forward is
+launch/HBM-bound, not FLOP-bound.
+
+:func:`dopri5_step_fused` executes ONE whole Dormand-Prince 5(4) step —
+all six stage evaluations, the 5th-order update, the embedded error
+vector, and the dense-output ``r5`` coefficient — in a single Pallas
+kernel. Weights and the zone table load into VMEM once per tile per
+STEP (not per stage), the FSAL ``k1`` arrives as an input, and the ks
+never touch HBM. The step-size controller (accept/reject, dense output,
+NaN poisoning, stats) stays the one tested copy in ``ode/dopri5.py`` —
+this kernel plugs into its ``step_impl`` hook.
+
+:func:`dopri5_step_vjp_fused` is the backward twin for the discrete
+adjoint (``ode/discrete_adjoint.py``): it re-evaluates the six stages
+keeping every intermediate in VMEM, then reverse-chains the shared
+stage backward (`fused_step._stage_vjp_math`) through the tableau,
+producing cotangents for the step inputs and accumulated weight/zone
+gradients — one launch per accepted step instead of a separate
+adaptive solve of the augmented system.
+
+Stage math / stage backward are the ONE shared copy in
+``fused_step.py``, so gradient agreement transfers between the
+fixed-step, continuous-adjoint, and discrete-adjoint trainers. Unlike
+the serving/fixed-step kernels these default to **f32 activations**
+(``precision="f32"``): bf16 per-stage rounding is non-smooth noise that
+does not cancel in the embedded 5(4) error difference and noise-floors
+the step controller (measured 343 vs 8 accepted steps at rtol=1e-5);
+at these launch/VPU-bound dims the f32 matmuls cost little.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ananke_abm_tpu.ode.dopri5 import _A, _B4, _B5, _C, _D
+from ananke_abm_tpu.ops._platform import on_tpu as _on_tpu
+from ananke_abm_tpu.ops.pallas.fused_step import (
+    _nt_dot,
+    _stage_math,
+    _stage_vjp_math,
+    _time_feature_table,
+    _to16,
+)
+
+TILE_N = 1024
+
+_VMEM_100MB = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+# embedded-error coefficients b5 - b4 (k7's b5 is 0)
+_BE = tuple(b5 - b4 for b5, b4 in zip(_B5, _B4))
+
+
+def _mk_cast(precision):
+    """Activation/weight narrowing for the stage math. "f32" (default)
+    keeps everything f32: bf16 per-stage activation rounding is
+    non-smooth noise that does NOT cancel in the embedded 5(4) error
+    difference, noise-flooring the step controller — measured 343 vs 8
+    accepted steps at rtol=1e-5 on the GAT-ODE drift. At these dims the
+    kernel is launch/VPU-bound, so f32 matmuls cost little; "bf16"
+    stays available for loose tolerances (rtol >= ~1e-3)."""
+    if precision == "f32":
+        return lambda a: a.astype(jnp.float32)
+    if precision == "bf16":
+        return _to16
+    raise ValueError(f"precision must be 'f32' or 'bf16', got {precision!r}")
+
+
+def _pad_tile(x):
+    n = x.shape[0]
+    n_tiles = -(-n // TILE_N)
+    pad = n_tiles * TILE_N - n
+    if pad:
+        x = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+    return x, n_tiles
+
+
+def _rep(shape):
+    if len(shape) == 1:
+        return pl.BlockSpec(shape, lambda i: (0,), memory_space=pltpu.VMEM)
+    zeros = (0,) * len(shape)
+    return pl.BlockSpec(shape, lambda i: zeros, memory_space=pltpu.VMEM)
+
+
+def _tile_spec(d):
+    return pl.BlockSpec((TILE_N, d), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def stage_time_rows(t0, h_step, W1t, b1):
+    """(7, H) f32 additive Dense_0 pre-activations at the seven DOPRI5
+    stage times ``t0 + c_i * h`` (row 0 is unused — k1 is the FSAL
+    input — but kept so row index == stage index). Plain XLA and
+    differentiable: W1t/b1 cotangents flow through it outside the
+    kernels."""
+    stage_t = t0 + jnp.asarray(_C, jnp.float32) * h_step
+    return _time_feature_table(stage_t, W1t, b1)
+
+
+def dopri5_step_fused(x, f0, h, ze, tf_rows, Wq, W1xc, W1h, blocks, W3,
+                      b3, h_step, *, interpret=None, precision="f32"):
+    """One full DOPRI5 step for the GAT-ODE drift in a single kernel.
+
+    x: (N, Da) f32 state at t0; f0: (N, Da) f32 FSAL eval f(t0, x);
+    h: (N, Hc) f32 agent context (constant over the solve — its Dense_0
+    contribution is ONE matmul per step, not one per stage); ze: (Z, Dz)
+    f32/bf16 zone embeddings; tf_rows: (7, H) f32 from
+    :func:`stage_time_rows`; weights: f32 arrays in
+    ``fused_rhs.split_drift_params`` order (narrowed per ``precision``
+    here); h_step: scalar step size (dynamic).
+
+    Returns ``(y1, f1, err, r5)`` — the 5th-order update, the FSAL eval
+    at (t0 + h, y1), the embedded 5(4) error vector, and the CONTD5
+    dense-output coefficient ``h * sum d_i k_i``; all (N, Da) f32. The
+    remaining interpolation coefficients (r3, r4) are elementwise in
+    (x, f0, y1, f1) and stay in XLA.
+
+    NOT differentiable (no AD rule): the adaptive controller's
+    while_loop never differentiates; training gradients come from
+    ``ode/adjoint.py`` (continuous) or ``ode/discrete_adjoint.py``
+    (which pairs this with :func:`dopri5_step_vjp_fused`).
+    """
+    N, Da = x.shape
+    Z, Dz = ze.shape
+    Hc = h.shape[1]
+    n_blocks = len(blocks)
+    cast = _mk_cast(precision)
+    flat_blocks = [cast(w) for blk in blocks for w in blk]
+    scale = np.float32(1.0 / np.sqrt(float(Dz)))
+    if interpret is None:
+        interpret = not _on_tpu()
+
+    xp, n_tiles = _pad_tile(x)
+    fp, _ = _pad_tile(f0)
+    hp, _ = _pad_tile(h)
+    Np = n_tiles * TILE_N
+    hs = jnp.asarray(h_step, jnp.float32)
+
+    def kernel(x_ref, f0_ref, h_ref, ze_ref, tf_ref, hs_ref,
+               wq_ref, w1xc_ref, w1h_ref, *rest):
+        blk_refs = rest[: 4 * n_blocks]
+        w3_ref, b3_ref, y1_ref, f1_ref, err_ref, r5_ref = \
+            rest[4 * n_blocks:]
+        blk = tuple(
+            (blk_refs[4 * i][:], blk_refs[4 * i + 1][:],
+             blk_refs[4 * i + 2][:], blk_refs[4 * i + 3][:])
+            for i in range(n_blocks)
+        )
+        x0 = x_ref[:]
+        hstep = hs_ref[0]
+        hb = cast(h_ref[:])
+        hpre = jnp.dot(hb, w1h_ref[:], preferred_element_type=jnp.float32)
+
+        ks = [f0_ref[:]]
+        for i in range(1, 7):
+            y_stage = x0
+            for j, a in enumerate(_A[i]):
+                if a != 0.0:
+                    y_stage = y_stage + (hstep * a) * ks[j]
+            k, _ = _stage_math(
+                cast(y_stage), hpre, tf_ref[i][None, :], ze_ref[:],
+                scale, wq_ref[:], w1xc_ref[:], blk, w3_ref[:], b3_ref[:],
+                cast=cast,
+            )
+            ks.append(k)
+
+        incr5 = sum(b * k for b, k in zip(_B5[:6], ks[:6]) if b != 0.0)
+        y1_ref[:] = x0 + hstep * incr5
+        f1_ref[:] = ks[6]
+        err_ref[:] = hstep * sum(
+            e * k for e, k in zip(_BE, ks) if e != 0.0
+        )
+        r5_ref[:] = hstep * sum(
+            d * k for d, k in zip(_D, ks) if d != 0.0
+        )
+
+    out_shapes = [jax.ShapeDtypeStruct((Np, Da), jnp.float32)] * 4
+    y1, f1, err, r5 = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            _tile_spec(Da), _tile_spec(Da), _tile_spec(Hc),
+            _rep((Z, Dz)), _rep(tf_rows.shape),
+            pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
+            _rep(Wq.shape), _rep(W1xc.shape), _rep(W1h.shape),
+            *[_rep(w.shape) for w in flat_blocks],
+            _rep(W3.shape), _rep(b3.shape),
+        ],
+        out_specs=[_tile_spec(Da)] * 4,
+        out_shape=out_shapes,
+        interpret=interpret,
+        compiler_params=None if interpret else _VMEM_100MB,
+    )(
+        xp, fp, hp, cast(ze), tf_rows.astype(jnp.float32), hs[None],
+        cast(Wq), cast(W1xc), cast(W1h), *flat_blocks,
+        cast(W3), cast(b3),
+    )
+    return y1[:N], f1[:N], err[:N], r5[:N]
+
+
+def dopri5_step_vjp_fused(x, f0, h, ze, tf_rows, Wq, W1xc, W1h, blocks,
+                          W3, b3, h_step, g_dy, g_r5, g_k1x, g_k7x,
+                          g_y0_direct, *, interpret=None,
+                          precision="f32"):
+    """VJP of one accepted DOPRI5 step in a single kernel (discrete
+    adjoint backward).
+
+    Re-evaluates the six stages (intermediates VMEM-resident) at the
+    SAME ``precision`` the forward controller used — the linearization
+    point must be the trajectory the forward actually took — then
+    reverse-chains the shared stage backward through the tableau:
+    stage cotangents are ``gk_j = h*(b5_j*g_dy + d_j*g_r5) +
+    [j==1]*g_k1x + [j==7]*g_k7x`` plus the chain terms
+    ``h * A[i][j] * gx_i`` from later stages; every stage's input
+    cotangent also lands on y0.
+
+    The caller (``ode/discrete_adjoint.py``) folds the step's OUTPUT
+    cotangents (g_y1, g_f1 and the dense-output interpolation
+    cotangents g_r1..g_r5) into this input set in plain XLA — see the
+    derivation there. ``g_y0_direct`` is the part of y0's cotangent
+    that bypasses the stages (from y1 = y0 + ... and r1 = y0).
+
+    Returns ``(gy0, gf0, gh, gze, gtf, gWq, gW1xc, gW1h, gblocks, gW3,
+    gb3)`` — per-agent gy0 (N, Da) / gf0 (N, Da) / gh (N, Hc);
+    gtf (7, H) per-stage time-row cotangents (row 0 zero — k1 is an
+    input); the rest accumulated across tiles (constant-index output
+    blocks, sequential TPU grid).
+    """
+    N, Da = x.shape
+    Z, Dz = ze.shape
+    Hc = h.shape[1]
+    H = W1xc.shape[1]
+    n_blocks = len(blocks)
+    cast = _mk_cast(precision)
+    flat_blocks = [cast(w) for blk in blocks for w in blk]
+    scale = np.float32(1.0 / np.sqrt(float(Dz)))
+    if interpret is None:
+        interpret = not _on_tpu()
+
+    xp, n_tiles = _pad_tile(x)
+    fp, _ = _pad_tile(f0)
+    hp, _ = _pad_tile(h)
+    # zero cotangents on padded rows: no gradient leak from padding
+    gdyp, _ = _pad_tile(g_dy)
+    gr5p, _ = _pad_tile(g_r5)
+    gk1p, _ = _pad_tile(g_k1x)
+    gk7p, _ = _pad_tile(g_k7x)
+    gy0p, _ = _pad_tile(g_y0_direct)
+    Np = n_tiles * TILE_N
+    hs = jnp.asarray(h_step, jnp.float32)
+
+    def kernel(*refs):
+        (x_ref, f0_ref, h_ref, gdy_ref, gr5_ref, gk1_ref, gk7_ref,
+         gy0d_ref, ze_ref, tf_ref, hs_ref,
+         wq_ref, w1xc_ref, w1h_ref) = refs[:14]
+        blk_refs = refs[14: 14 + 4 * n_blocks]
+        w3_ref, b3_ref = refs[14 + 4 * n_blocks: 16 + 4 * n_blocks]
+        outs = refs[16 + 4 * n_blocks:]
+        (gy0_ref, gf0_ref, gh_ref, gze_ref, gtf_ref,
+         gwq_ref, gw1xc_ref, gw1h_ref) = outs[:8]
+        gblk_refs = outs[8: 8 + 4 * n_blocks]
+        gw3_ref, gb3_ref = outs[8 + 4 * n_blocks:]
+
+        blk = tuple(
+            (blk_refs[4 * i][:], blk_refs[4 * i + 1][:],
+             blk_refs[4 * i + 2][:], blk_refs[4 * i + 3][:])
+            for i in range(n_blocks)
+        )
+        x0 = x_ref[:]
+        hstep = hs_ref[0]
+        hb = cast(h_ref[:])
+        ze16 = ze_ref[:]
+        hpre = jnp.dot(hb, w1h_ref[:], preferred_element_type=jnp.float32)
+        wq16, w1xc16, w316 = wq_ref[:], w1xc_ref[:], w3_ref[:]
+
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            for r in ((gze_ref, gtf_ref, gwq_ref, gw1xc_ref, gw1h_ref,
+                       gw3_ref, gb3_ref) + tuple(gblk_refs)):
+                r[:] = jnp.zeros_like(r)
+
+        # -- forward recompute, keeping every stage's intermediates ----
+        ks = [f0_ref[:]]
+        inters = [None]  # stage 0 (k1) is an input, no eval
+        for i in range(1, 7):
+            y_stage = x0
+            for j, a in enumerate(_A[i]):
+                if a != 0.0:
+                    y_stage = y_stage + (hstep * a) * ks[j]
+            k, inter = _stage_math(
+                cast(y_stage), hpre, tf_ref[i][None, :], ze16,
+                scale, wq16, w1xc16, blk, w316, b3_ref[:],
+                cast=cast,
+            )
+            ks.append(k)
+            inters.append(inter)
+
+        # -- reverse sweep through the tableau ---------------------------
+        tw = (
+            ze16, ze16.T, wq16.T, w1xc16.T,
+            tuple((b[0].T, b[2].T) for b in blk), w316.T,
+        )
+        acc = (
+            jnp.zeros((Z, Dz), jnp.float32),
+            jnp.zeros((Da, Dz), jnp.float32),
+            jnp.zeros((Da + Dz, H), jnp.float32),
+            jnp.zeros((TILE_N, H), jnp.float32),
+            tuple(
+                (jnp.zeros((H, H), jnp.float32),
+                 jnp.zeros((1, H), jnp.float32),
+                 jnp.zeros((H, H), jnp.float32),
+                 jnp.zeros((1, H), jnp.float32))
+                for _ in range(n_blocks)
+            ),
+            jnp.zeros((H, Da), jnp.float32),
+            jnp.zeros((1, Da), jnp.float32),
+        )
+        gdy = gdy_ref[:]
+        gr5 = gr5_ref[:]
+        gk = [
+            hstep * (_B5[j] * gdy + _D[j] * gr5)
+            if (_B5[j] != 0.0 or _D[j] != 0.0)
+            else jnp.zeros((TILE_N, Da), jnp.float32)
+            for j in range(7)
+        ]
+        gk[0] = gk[0] + gk1_ref[:]
+        gk[6] = gk[6] + gk7_ref[:]
+        gy0 = gy0d_ref[:]
+        # row 0 stays zero: k1 is the FSAL input, no stage eval
+        gtf_rows = [jnp.zeros((1, H), jnp.float32)] * 7
+        for i in range(6, 0, -1):
+            gx_i, gtf_i, acc = _stage_vjp_math(
+                gk[i], inters[i], acc, tw, scale, Da, cast=cast
+            )
+            gtf_rows[i] = gtf_i
+            gy0 = gy0 + gx_i
+            for j, a in enumerate(_A[i]):
+                if a != 0.0:
+                    gk[j] = gk[j] + (hstep * a) * gx_i
+
+        (gzeA, gwqA, gw1A, ghpA, blkA, gw3A, gb3A) = acc
+        gy0_ref[:] = gy0
+        gf0_ref[:] = gk[0]
+        gh_ref[:] = jnp.dot(cast(ghpA), w1h_ref[:].T,
+                            preferred_element_type=jnp.float32)
+        gze_ref[:] += gzeA
+        gtf_ref[:] += jnp.concatenate(gtf_rows, axis=0)
+        gwq_ref[:] += gwqA
+        gw1xc_ref[:] += gw1A
+        gw1h_ref[:] += _nt_dot(hb, cast(ghpA))
+        for i in range(4 * n_blocks):
+            gblk_refs[i][:] += blkA[i // 4][i % 4]
+        gw3_ref[:] += gw3A
+        gb3_ref[:] += gb3A
+
+    blk_grad_shapes = []
+    for _ in range(n_blocks):
+        blk_grad_shapes += [(H, H), (1, H), (H, H), (1, H)]
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            _tile_spec(Da), _tile_spec(Da), _tile_spec(Hc),
+            _tile_spec(Da), _tile_spec(Da), _tile_spec(Da),
+            _tile_spec(Da), _tile_spec(Da),
+            _rep((Z, Dz)), _rep(tf_rows.shape),
+            pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
+            _rep(Wq.shape), _rep(W1xc.shape), _rep(W1h.shape),
+            *[_rep(w.shape) for w in flat_blocks],
+            _rep(W3.shape), _rep(b3.shape),
+        ],
+        out_specs=[
+            _tile_spec(Da), _tile_spec(Da), _tile_spec(Hc),
+            _rep((Z, Dz)), _rep(tf_rows.shape),
+            _rep((Da, Dz)), _rep((Da + Dz, H)), _rep((Hc, H)),
+            *[_rep(s) for s in blk_grad_shapes],
+            _rep((H, Da)), _rep((1, Da)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Np, Da), jnp.float32),
+            jax.ShapeDtypeStruct((Np, Da), jnp.float32),
+            jax.ShapeDtypeStruct((Np, Hc), jnp.float32),
+            jax.ShapeDtypeStruct((Z, Dz), jnp.float32),
+            jax.ShapeDtypeStruct(tf_rows.shape, jnp.float32),
+            jax.ShapeDtypeStruct((Da, Dz), jnp.float32),
+            jax.ShapeDtypeStruct((Da + Dz, H), jnp.float32),
+            jax.ShapeDtypeStruct((Hc, H), jnp.float32),
+            *[jax.ShapeDtypeStruct(s, jnp.float32)
+              for s in blk_grad_shapes],
+            jax.ShapeDtypeStruct((H, Da), jnp.float32),
+            jax.ShapeDtypeStruct((1, Da), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else _VMEM_100MB,
+    )(
+        xp, fp, hp, gdyp, gr5p, gk1p, gk7p, gy0p,
+        cast(ze), tf_rows.astype(jnp.float32), hs[None],
+        cast(Wq), cast(W1xc), cast(W1h), *flat_blocks,
+        cast(W3), cast(b3),
+    )
+    gy0, gf0, gh, gze, gtf, gWq, gW1xc, gW1h = outs[:8]
+    flat_gblk = outs[8: 8 + 4 * n_blocks]
+    gW3, gb3 = outs[8 + 4 * n_blocks:]
+    gblocks = tuple(
+        (flat_gblk[4 * i], flat_gblk[4 * i + 1][0],
+         flat_gblk[4 * i + 2], flat_gblk[4 * i + 3][0])
+        for i in range(n_blocks)
+    )
+    return (gy0[:N], gf0[:N], gh[:N], gze, gtf, gWq, gW1xc, gW1h,
+            gblocks, gW3, gb3[0])
+
+
+def make_fused_dopri5_hooks(params_template=None, *, interpret=None,
+                            precision="f32"):
+    """Build the ``(step_impl, step_vjp)`` pair for
+    ``ode.odeint_discrete_adjoint`` over GATODE drift dynamics with
+    ``args = (params, h_ctx, zone_emb)``.
+
+    ``step_impl`` runs :func:`dopri5_step_fused` (one kernel per
+    attempted step — forward solve AND backward segment recompute);
+    ``step_vjp`` runs :func:`dopri5_step_vjp_fused` and scatters the
+    weight cotangents back into the params tree via ``jax.vjp`` of the
+    split (zeros for params the drift never touches — encoder/decoder/
+    init weights get their gradients from the XLA parts of the loss).
+    Pass ``params_template`` to validate the drift structure eagerly.
+    ``precision`` ("f32" default / "bf16") applies to BOTH kernels —
+    the backward's recompute must linearize at the trajectory the
+    forward controller actually took (see :func:`_mk_cast` for why the
+    controller needs f32).
+    """
+    from ananke_abm_tpu.ode.dopri5 import _Interp
+    from ananke_abm_tpu.ops.pallas.fused_rhs import split_drift_params
+
+    if params_template is not None:
+        split_drift_params(params_template)  # raises on num_blocks < 1
+
+    def _prep(params, t0, h_step):
+        (Wq, W1xc, W1h, W1t, b1, blocks, W3, b3) = split_drift_params(
+            params)
+        tf_rows = stage_time_rows(t0, h_step, W1t, b1)
+        return (Wq, W1xc, W1h, blocks, W3, b3, tf_rows)
+
+    def step_impl(t0, h_step, y, f, args):
+        params, hc, ze = args
+        (Wq, W1xc, W1h, blocks, W3, b3, tf_rows) = _prep(
+            params, t0, h_step)
+        y1, f1, err, r5 = dopri5_step_fused(
+            y, f, hc, ze, tf_rows, Wq, W1xc, W1h, blocks, W3, b3,
+            h_step, interpret=interpret, precision=precision,
+        )
+        dy = y1 - y
+        r3 = h_step * f - dy
+        r4 = dy - h_step * f1 - r3
+        return y1, f1, err, _Interp(t0=t0, h=h_step, r1=y, r2=dy,
+                                    r3=r3, r4=r4, r5=r5)
+
+    def step_vjp(t0, h_step, y, f, args, gset):
+        params, hc, ze = args
+        g_dy, g_r5, g_k1x, g_k7x, g_y0d = gset
+        wt, pull = jax.vjp(lambda p: _prep(p, t0, h_step), params)
+        (Wq, W1xc, W1h, blocks, W3, b3, tf_rows) = wt
+        (gy0, gf0, gh, gze, gtf, gWq, gW1xc, gW1h, gblocks, gW3,
+         gb3) = dopri5_step_vjp_fused(
+            y, f, hc, ze, tf_rows, Wq, W1xc, W1h, blocks, W3, b3,
+            h_step, g_dy, g_r5, g_k1x, g_k7x, g_y0d,
+            interpret=interpret, precision=precision,
+        )
+        (gparams,) = pull((gWq, gW1xc, gW1h, gblocks, gW3, gb3, gtf))
+        return gy0, gf0, (gparams, gh, gze)
+
+    return step_impl, step_vjp

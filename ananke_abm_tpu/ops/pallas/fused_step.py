@@ -100,7 +100,8 @@ def _nt_dot(a, b):
     )
 
 
-def _stage_math(xb, hpre, tfp_row, ze, scale, wq, w1xc, blocks, w3, b3):
+def _stage_math(xb, hpre, tfp_row, ze, scale, wq, w1xc, blocks, w3, b3,
+                cast=_to16):
     """One drift-RHS evaluation returning (k, intermediates-for-VJP).
 
     THE single copy of the stage math — the serving kernels below call
@@ -116,10 +117,18 @@ def _stage_math(xb, hpre, tfp_row, ze, scale, wq, w1xc, blocks, w3, b3):
     ``blocks``: tuple of (wr1, br1, wr2, br2) per residual MLP block
     (model.py AgentDrift num_blocks), applied in order:
     z <- tanh(z + W2 tanh(W1 z + b1) + b2).
+
+    ``cast``: the activation-narrowing function applied before each
+    matmul (and to the stored intermediates). Default bf16 — the
+    serving/fixed-step precision class. The adaptive fused-DOPRI5
+    kernels pass identity: bf16 rounding of per-stage activations acts
+    as non-smooth noise that does NOT cancel in the embedded 5(4)
+    error difference, noise-flooring the step controller (measured
+    343 vs 8 accepted steps at rtol=1e-5 — ops/pallas/fused_dopri5.py).
     """
     q = jnp.dot(xb, wq, preferred_element_type=jnp.float32)
     scores = (
-        jnp.dot(_to16(q), ze.T, preferred_element_type=jnp.float32) * scale
+        jnp.dot(cast(q), ze.T, preferred_element_type=jnp.float32) * scale
     )
     # max-free softmax: exp(s)/sum(exp(s)) is exact (the usual max
     # subtraction cancels in the ratio); the clamp guards f32 overflow
@@ -134,9 +143,9 @@ def _stage_math(xb, hpre, tfp_row, ze, scale, wq, w1xc, blocks, w3, b3):
     # roundings of the same f32 attention). ``attn`` is still produced
     # for the training VJP — Mosaic dead-code-eliminates it in the
     # serving kernels.
-    ctx = jnp.dot(_to16(p_att), ze, preferred_element_type=jnp.float32) * inv
+    ctx = jnp.dot(cast(p_att), ze, preferred_element_type=jnp.float32) * inv
     attn = p_att * inv  # f32
-    feats = jnp.concatenate([xb, _to16(ctx)], axis=-1)
+    feats = jnp.concatenate([xb, cast(ctx)], axis=-1)
     z = jnp.tanh(
         jnp.dot(feats, w1xc, preferred_element_type=jnp.float32)
         + hpre
@@ -148,25 +157,25 @@ def _stage_math(xb, hpre, tfp_row, ze, scale, wq, w1xc, blocks, w3, b3):
     # in f32 is ~4e-3 relative gradient noise, inside the tested budget
     block_inter = []
     for (wr1, br1, wr2, br2) in blocks:
-        z_in16 = _to16(z)
+        z_in16 = cast(z)
         rt = jnp.tanh(
             jnp.dot(z_in16, wr1, preferred_element_type=jnp.float32)
             + br1.astype(jnp.float32)
         )
         r3 = (
-            jnp.dot(_to16(rt), wr2, preferred_element_type=jnp.float32)
+            jnp.dot(cast(rt), wr2, preferred_element_type=jnp.float32)
             + br2.astype(jnp.float32)
         )
         z = jnp.tanh(z + r3)
-        block_inter.append((z_in16, _to16(rt), _to16(z)))
+        block_inter.append((z_in16, cast(rt), cast(z)))
     k = (
-        jnp.dot(_to16(z), w3, preferred_element_type=jnp.float32)
+        jnp.dot(cast(z), w3, preferred_element_type=jnp.float32)
         + b3.astype(jnp.float32)
     )
-    return k, (_to16(q), _to16(attn), tuple(block_inter), feats)
+    return k, (cast(q), cast(attn), tuple(block_inter), feats)
 
 
-def _stage_vjp_math(gk, inter, acc, tw, scale, Da):
+def _stage_vjp_math(gk, inter, acc, tw, scale, Da, cast=_to16):
     """Hand-written VJP of ONE :func:`_stage_math` evaluation.
 
     THE single copy of the stage backward — the training day kernel
@@ -193,7 +202,7 @@ def _stage_vjp_math(gk, inter, acc, tw, scale, Da):
     n_blocks = len(blkT)
     (q16, attn16, block_inter, feats) = inter
     (gzeA, gwqA, gw1A, ghpA, blkA, gw3A, gb3A) = acc
-    gk16 = _to16(gk)
+    gk16 = cast(gk)
     # k = z_out @ W3 + b3  (z_out = last block's output)
     z_out16 = block_inter[-1][2]
     gw3A += _nt_dot(z_out16, gk16)
@@ -207,14 +216,14 @@ def _stage_vjp_math(gk, inter, acc, tw, scale, Da):
         wr1T, wr2T = blkT[b]
         zo = zo16.astype(jnp.float32)
         gpre = gz * (1.0 - zo * zo)
-        gp16 = _to16(gpre)
+        gp16 = cast(gpre)
         gwr2A += _nt_dot(rt16, gp16)
         gbr2A += jnp.sum(gpre, axis=0, keepdims=True)
         grt = jnp.dot(gp16, wr2T,
                       preferred_element_type=jnp.float32)
         rt = rt16.astype(jnp.float32)
         gpre2 = grt * (1.0 - rt * rt)
-        gp216 = _to16(gpre2)
+        gp216 = cast(gpre2)
         gwr1A += _nt_dot(z_in16, gp216)
         gbr1A += jnp.sum(gpre2, axis=0, keepdims=True)
         gz = gpre + jnp.dot(gp216, wr1T,
@@ -223,7 +232,7 @@ def _stage_vjp_math(gk, inter, acc, tw, scale, Da):
     # z1 = tanh(feats @ W1xc + hpre + tfp_row); z1 == first block's input
     z1 = block_inter[0][0].astype(jnp.float32)
     gpre1 = gz * (1.0 - z1 * z1)
-    gp116 = _to16(gpre1)
+    gp116 = cast(gpre1)
     gw1A += _nt_dot(feats, gp116)
     ghpA += gpre1
     gtf = jnp.sum(gpre1, axis=0, keepdims=True)  # (1, H)
@@ -231,7 +240,7 @@ def _stage_vjp_math(gk, inter, acc, tw, scale, Da):
                      preferred_element_type=jnp.float32)
     gxb = gfeats[:, :Da]
     gctx = gfeats[:, Da:]
-    gctx16 = _to16(gctx)
+    gctx16 = cast(gctx)
     # ctx = attn @ ze
     gzeA += _nt_dot(attn16, gctx16)
     gattn = jnp.dot(gctx16, zeT,
@@ -241,12 +250,12 @@ def _stage_vjp_math(gk, inter, acc, tw, scale, Da):
     ds = attn * (
         gattn - jnp.sum(attn * gattn, axis=-1, keepdims=True)
     ) * scale
-    ds16 = _to16(ds)
+    ds16 = cast(ds)
     # scores = (q @ ze.T) * scale
     gq = jnp.dot(ds16, ze16, preferred_element_type=jnp.float32)
     gzeA += _nt_dot(ds16, q16)
     # q = xb @ Wq
-    gq16 = _to16(gq)
+    gq16 = cast(gq)
     gwqA += _nt_dot(feats[:, :Da], gq16)
     gx = gxb + jnp.dot(gq16, wqT,
                        preferred_element_type=jnp.float32)

@@ -174,6 +174,143 @@ class TestAdjoint:
         np.testing.assert_allclose(float(g), -3 * np.exp(-2.0), rtol=1e-3)
 
 
+class TestDiscreteAdjoint:
+    """ode/discrete_adjoint.py — backprop through the forward's accepted
+    step sequence. Values must equal dopri5_solve's exactly (same
+    controller, same steps); gradients must agree with the continuous
+    adjoint and with checkpointed RK4 backprop."""
+
+    @staticmethod
+    def _mlp_setup():
+        def rhs(t, y, args):
+            W, b = args["W"], args["b"]
+            return jnp.tanh(y @ W + b) - 0.1 * y + 0.05 * jnp.sin(t)
+
+        key = jax.random.PRNGKey(7)
+        k1, k2, k3 = jax.random.split(key, 3)
+        D = 4
+        y0 = jax.random.normal(k1, (2, D)) * 0.3
+        args = {
+            "W": jax.random.normal(k2, (D, D)) * 0.4,
+            "b": jax.random.normal(k3, (D,)) * 0.1,
+        }
+        ts = jnp.linspace(0.0, 1.0, 5)
+        return rhs, y0, ts, args
+
+    def test_forward_matches_dopri5(self):
+        from ananke_abm_tpu.ode import odeint_discrete_adjoint
+
+        rhs, y0, ts, args = self._mlp_setup()
+        want, stats = dopri5_solve(rhs, y0, ts, args, rtol=1e-6, atol=1e-8)
+        assert bool(stats["ok"])
+        got = odeint_discrete_adjoint(
+            rhs, y0, ts, args, rtol=1e-6, atol=1e-8
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    @pytest.mark.parametrize("ckpt_every", [1, 4, 64])
+    def test_gradient_agreement(self, ckpt_every):
+        """Grads vs the continuous adjoint AND vs checkpointed RK4
+        backprop; the loss touches an INTERIOR output row so the
+        dense-output interpolation cotangents (r1..r5 fold) are
+        exercised, not just the endpoint."""
+        from ananke_abm_tpu.ode import odeint_discrete_adjoint
+
+        rhs, y0, ts, args = self._mlp_setup()
+
+        def mk_loss(solver):
+            def loss(y0, args):
+                ys = solver(y0, args)
+                return jnp.sum(ys[-1] ** 2) + 0.5 * jnp.sum(ys[2] ** 2)
+
+            return loss
+
+        loss_disc = mk_loss(
+            lambda y0, a: odeint_discrete_adjoint(
+                rhs, y0, ts, a, rtol=1e-7, atol=1e-9,
+                ckpt_every=ckpt_every,
+            )
+        )
+        loss_cont = mk_loss(
+            lambda y0, a: odeint_adjoint(rhs, y0, ts, a, rtol=1e-7, atol=1e-9)
+        )
+        loss_rk4 = mk_loss(
+            lambda y0, a: rk4_solve(rhs, y0, ts, a, substeps=64)
+        )
+
+        gd = jax.grad(loss_disc, argnums=(0, 1))(y0, args)
+        gc = jax.grad(loss_cont, argnums=(0, 1))(y0, args)
+        gr = jax.grad(loss_rk4, argnums=(0, 1))(y0, args)
+        for got, want in ((gd, gc), (gd, gr)):
+            np.testing.assert_allclose(
+                np.asarray(got[0]), np.asarray(want[0]), rtol=2e-3, atol=2e-5
+            )
+            for k in args:
+                np.testing.assert_allclose(
+                    np.asarray(got[1][k]), np.asarray(want[1][k]),
+                    rtol=2e-3, atol=2e-5,
+                )
+
+    def test_jit_compose_and_scalar_args(self):
+        from ananke_abm_tpu.ode import odeint_discrete_adjoint
+
+        rhs = lambda t, y, args: -args["k"] * y
+        ts = jnp.array([0.0, 1.0])
+
+        @jax.jit
+        def f(y0, k):
+            ys = odeint_discrete_adjoint(
+                rhs, y0, ts, {"k": k}, rtol=1e-6, atol=1e-8
+            )
+            return ys[-1]
+
+        y0 = jnp.ones((3,))
+        np.testing.assert_allclose(
+            np.asarray(f(y0, jnp.asarray(2.0))), np.exp(-2.0), rtol=1e-5
+        )
+        g = jax.grad(lambda k: jnp.sum(f(y0, k)))(jnp.asarray(2.0))
+        np.testing.assert_allclose(float(g), -3 * np.exp(-2.0), rtol=1e-3)
+
+    def test_max_accepted_exceeded_poisons(self):
+        """A solve that needs more accepted steps than max_accepted must
+        NaN-poison the unfilled rows — in the value-only call AND under
+        grad — never silently truncate the gradient."""
+        from ananke_abm_tpu.ode import odeint_discrete_adjoint
+
+        rhs = lambda t, y, args: -50.0 * (y - jnp.cos(t))
+        ts = jnp.linspace(0.0, 3.0, 6)
+        y0 = jnp.zeros(2)
+        ys = odeint_discrete_adjoint(
+            rhs, y0, ts, rtol=1e-8, atol=1e-10, max_accepted=4
+        )
+        assert np.isnan(np.asarray(ys)[-1]).all()
+        g = jax.grad(
+            lambda y0: jnp.sum(
+                odeint_discrete_adjoint(
+                    rhs, y0, ts, rtol=1e-8, atol=1e-10, max_accepted=4
+                )
+                ** 2
+            )
+        )(y0)
+        assert np.isnan(np.asarray(g)).all()
+
+    def test_sized_max_accepted_is_exact(self):
+        """The same stiff solve with max_accepted sized generously is ok
+        and matches dopri5_solve."""
+        from ananke_abm_tpu.ode import odeint_discrete_adjoint
+
+        rhs = lambda t, y, args: -50.0 * (y - jnp.cos(t))
+        ts = jnp.linspace(0.0, 3.0, 6)
+        y0 = jnp.zeros(2)
+        want, stats = dopri5_solve(rhs, y0, ts, None, rtol=1e-6, atol=1e-8)
+        assert bool(stats["ok"])
+        got = odeint_discrete_adjoint(
+            rhs, y0, ts, rtol=1e-6, atol=1e-8, max_accepted=512,
+            ckpt_every=8,
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 class TestSDE:
     def test_deterministic_limit(self):
         """Zero diffusion must reduce to Euler ODE."""

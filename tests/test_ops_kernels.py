@@ -874,3 +874,183 @@ class TestFusedZoneGAT:
         f(jnp.ones(2))
         assert seen["probe"] is True
         assert fg._PROBE_CACHE[(16, 7, 16, 2, 1)] is True
+
+
+class TestFusedDopri5:
+    """ops/pallas/fused_dopri5.py — whole-DOPRI5-step kernels for the
+    discrete-adjoint trainer. The step kernel must match ode/dopri5._step
+    on the GAT-ODE drift (bf16 matmul class), the VJP kernel must match
+    the generic jax.vjp backward, and the trainer's
+    adjoint_mode="discrete" must agree with "continuous"."""
+
+    @staticmethod
+    def _drift_setup(n_agents=100, num_blocks=2, seed=0):
+        cfg, model, params, zone_emb, x0, h = _rhs_setup(
+            n_agents=n_agents, num_blocks=num_blocks, seed=seed
+        )
+
+        def rhs(t, y, args):
+            p, hh, ze = args
+            return model.apply(
+                {"params": p}, t, y, hh, ze, method=model.rhs
+            )
+
+        return cfg, model, params, rhs, (params, h, zone_emb), x0
+
+    @pytest.mark.parametrize("num_blocks", [1, 2])
+    def test_step_matches_xla_step(self, num_blocks):
+        from ananke_abm_tpu.ode.dopri5 import _step
+        from ananke_abm_tpu.ops.pallas.fused_dopri5 import (
+            make_fused_dopri5_hooks,
+        )
+
+        cfg, model, params, rhs, args, x0 = self._drift_setup(
+            num_blocks=num_blocks
+        )
+        t0 = jnp.asarray(3.0)
+        f0 = rhs(t0, x0, args)
+        step_impl, _ = make_fused_dopri5_hooks(params, interpret=True)
+
+        # small step: outputs must match; err and r5 sit at the f32
+        # rounding floor here (~1e-9 / ~1e-6 — measured: both paths emit
+        # uncorrelated rounding noise), so assert them ABSOLUTELY
+        # against the state scale — err below a typical tolerance floor
+        # in both paths (same accept decision), r5's dense-output
+        # contribution negligible.
+        h_step = jnp.asarray(0.125)
+        y1, f1, err, interp = step_impl(t0, h_step, x0, f0, args)
+        y1w, f1w, errw, interpw = _step(rhs, t0, h_step, x0, f0, args)
+        for got, want, name in [(y1, y1w, "y1"), (f1, f1w, "f1")]:
+            a, b = np.asarray(got), np.asarray(want)
+            denom = np.maximum(np.abs(b).max(), 1e-6)
+            assert np.abs(a - b).max() / denom < 2e-2, name
+            assert _cos(got, want) > 0.999, name
+        atol_floor = 1e-6
+        assert float(jnp.abs(err).max()) < atol_floor
+        assert float(jnp.abs(errw).max()) < atol_floor
+        y_scale = float(jnp.abs(y1w).max())
+        assert float(jnp.abs(interp.r5 - interpw.r5).max()) < 1e-5 * y_scale
+
+        # large step: truncation error dominates the estimate, so the
+        # fused err must match XLA's in direction AND magnitude (this is
+        # what keeps the two controllers on the same step sequence).
+        h_big = jnp.asarray(2.0)
+        y1, f1, err, interp = step_impl(t0, h_big, x0, f0, args)
+        y1w, f1w, errw, interpw = _step(rhs, t0, h_big, x0, f0, args)
+        for got, want, name in [
+            (y1, y1w, "y1"), (f1, f1w, "f1"), (err, errw, "err"),
+            (interp.r5, interpw.r5, "r5"),
+        ]:
+            a, b = np.asarray(got), np.asarray(want)
+            denom = np.maximum(np.abs(b).max(), 1e-6)
+            assert np.abs(a - b).max() / denom < 2e-2, name
+            assert _cos(got, want) > 0.999, name
+
+    @pytest.mark.slow
+    def test_discrete_adjoint_fused_hooks_match_xla(self):
+        """odeint_discrete_adjoint with the fused (step_impl, step_vjp)
+        pair == the plain-XLA discrete adjoint: solution close, grads
+        cosine-aligned on y0 AND the full params tree (incl. zeros for
+        params the drift never touches)."""
+        from ananke_abm_tpu.ode import odeint_discrete_adjoint
+        from ananke_abm_tpu.ops.pallas.fused_dopri5 import (
+            make_fused_dopri5_hooks,
+        )
+
+        cfg, model, params, rhs, args, x0 = self._drift_setup(
+            n_agents=60, num_blocks=1, seed=5
+        )
+        ts = jnp.linspace(0.0, 4.0, 4)
+        step_impl, step_vjp = make_fused_dopri5_hooks(
+            params, interpret=True
+        )
+        cot = jax.random.normal(jax.random.PRNGKey(3),
+                                (4,) + x0.shape) * 0.1
+
+        def loss(y0, a, fused):
+            hooks = (
+                {"step_impl": step_impl, "step_vjp": step_vjp}
+                if fused else {}
+            )
+            ys = odeint_discrete_adjoint(
+                rhs, y0, ts, a, rtol=1e-4, atol=1e-6, max_accepted=128,
+                ckpt_every=8, **hooks,
+            )
+            return jnp.sum(ys * cot)
+
+        l_x = loss(x0, args, False)
+        l_f = loss(x0, args, True)
+        np.testing.assert_allclose(float(l_f), float(l_x), rtol=5e-3)
+
+        gx = jax.grad(loss, argnums=(0, 1))(x0, args, False)
+        gf = jax.grad(loss, argnums=(0, 1))(x0, args, True)
+        assert _cos(gf[0], gx[0]) > 0.999                 # y0
+        assert _cos(gf[1][0], gx[1][0]) > 0.995           # params
+        assert _cos(gf[1][1], gx[1][1]) > 0.999           # h context
+        assert _cos(gf[1][2], gx[1][2]) > 0.999           # zone_emb
+        # params outside the drift must get exactly zero in BOTH paths
+        for k in ("zone_gat", "context_encoder", "init_proj",
+                  "decode_proj"):
+            leaves = jax.tree_util.tree_leaves(gf[1][0][k])
+            assert all(float(jnp.abs(l).max()) == 0.0 for l in leaves)
+
+    @pytest.mark.slow
+    def test_trainer_discrete_mode_matches_continuous(self):
+        """make_adjoint_step_fns(adjoint_mode="discrete") ==
+        adjoint_mode="continuous": same loss, cosine-aligned grads
+        (generic XLA hooks; the fused pair is covered above)."""
+        import optax
+
+        from ananke_abm_tpu.models.gnn_embed.train import (
+            make_adjoint_step_fns,
+        )
+
+        cfg = GATODEConfig(
+            zone_dim=16, agent_dim=8, context_dim=8, hidden_dim=16,
+            gat_heads=2, gat_layers=1, num_blocks=1, substeps=1,
+            rtol=1e-5, atol=1e-7,
+        )
+        d = generate_agent_population(48, num_times=5, num_zones=10,
+                                      seed=11)
+        model = build_model(cfg, 7, 8)
+        params = init_params(model, cfg, d, 48, jax.random.PRNGKey(0))
+        optimizer = optax.adamw(1e-3)
+        static = (
+            jnp.asarray(d["zone_features"]),
+            jnp.asarray(d["adj"]),
+            jnp.asarray(d["times"]),
+        )
+        pf = jnp.asarray(d["person_feats"])
+        hz = jnp.asarray(d["home_zone"])
+        tg = jnp.asarray(d["zone_ids"])
+
+        _, loss_cont = make_adjoint_step_fns(
+            model, optimizer, cfg, static, use_fused=False,
+            adjoint_mode="continuous",
+        )
+        _, loss_disc = make_adjoint_step_fns(
+            model, optimizer, cfg, static, use_fused=False,
+            adjoint_mode="discrete", max_accepted=256, ckpt_every=8,
+        )
+        l0, _ = loss_cont(params, pf, hz, tg)
+        l1, _ = loss_disc(params, pf, hz, tg)
+        np.testing.assert_allclose(float(l1), float(l0), rtol=2e-4)
+
+        g0 = jax.grad(lambda p: loss_cont(p, pf, hz, tg)[0])(params)
+        g1 = jax.grad(lambda p: loss_disc(p, pf, hz, tg)[0])(params)
+        assert _cos(g1, g0) > 0.999
+
+    def test_unknown_adjoint_mode_raises(self):
+        import optax
+
+        from ananke_abm_tpu.models.gnn_embed.train import (
+            make_adjoint_step_fns,
+        )
+
+        cfg = GATODEConfig(num_blocks=1, substeps=1)
+        model = build_model(cfg, 7, 8)
+        with pytest.raises(ValueError, match="adjoint_mode"):
+            make_adjoint_step_fns(
+                model, optax.adamw(1e-3), cfg, (None, None, None),
+                adjoint_mode="banana",
+            )
