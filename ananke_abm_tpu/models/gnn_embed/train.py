@@ -716,7 +716,8 @@ def serve(
 
 def make_adjoint_step_fns(model, optimizer, config, static,
                           use_fused="auto", adjoint_mode="continuous",
-                          max_accepted=512, ckpt_every=16):
+                          max_accepted=512, ckpt_every=16,
+                          bwd_precision=None):
     """Training step whose integration uses adaptive DOPRI5 with
     adjoint gradients (BASELINE config 3: "adaptive dopri5 + adjoint
     gradients through the GAT dynamics").
@@ -756,7 +757,12 @@ def make_adjoint_step_fns(model, optimizer, config, static,
     0.9999997 at 98k agents) while the discrete-mode step kernels run
     f32 activations — bf16 stage rounding noise-floors the embedded
     5(4) error estimate and blows up the controller's step count
-    (see ops/pallas/fused_dopri5.py).
+    (see ops/pallas/fused_dopri5.py). ``bwd_precision`` (discrete mode
+    only; None = follow the forward's f32) sets the BACKWARD step-VJP
+    kernel's class independently: "bf16" buys 1-pass MXU matmuls in
+    the weight-gradient dots at the fixed-step trainer's tested ~4e-3
+    relative gradient-noise budget, without touching the f32
+    controller or its accepted-step sequence.
     """
     from ananke_abm_tpu.ode import odeint_adjoint, odeint_discrete_adjoint
 
@@ -792,7 +798,8 @@ def make_adjoint_step_fns(model, optimizer, config, static,
                 make_fused_dopri5_hooks,
             )
 
-            step_impl, step_vjp = make_fused_dopri5_hooks()
+            step_impl, step_vjp = make_fused_dopri5_hooks(
+                bwd_precision=bwd_precision)
 
     def rhs(t, x, args):
         params, h, zone_emb = args

@@ -296,8 +296,17 @@ def dopri5_solve(
 
         t_new = t + h
         out_step = None if rec is None else rec["out_step"]
-        out_idx_new, ys_new, out_step_new = fill_outputs(
-            (out_idx, ys, out_step), interp, t_new, n_acc
+        # dense-output rows land only on accepted steps: running the fill
+        # under cond (fill-or-passthrough) keeps the (T, N, *) output
+        # buffer IN PLACE on rejections AND on accepts that cover no
+        # output time — the previous fill-then-select moved the buffer's
+        # full footprint (e.g. 302 MB at config-3 scale) through HBM on
+        # every attempted step, which dominated the controller overhead.
+        out_idx, ys, out_step = jax.lax.cond(
+            accept,
+            lambda c: fill_outputs(c, interp, t_new, n_acc),
+            lambda c: c,
+            (out_idx, ys, out_step),
         )
 
         if rec is not None:
@@ -312,9 +321,7 @@ def dopri5_solve(
                 "rec_h": jnp.where(
                     accept, rec["rec_h"].at[n_acc].set(h), rec["rec_h"]
                 ),
-                "out_step": jnp.where(
-                    accept, out_step_new, rec["out_step"]
-                ),
+                "out_step": out_step,
                 "ckpts": jax.lax.cond(
                     accept & (n_acc % ckpt_every == 0),
                     lambda c: tree_map(
@@ -331,8 +338,6 @@ def dopri5_solve(
         t = jnp.where(accept, t_new, t)
         y = tree_where(accept, y1, y)
         f = tree_where(accept, f1, f)
-        out_idx = jnp.where(accept, out_idx_new, out_idx)
-        ys = tree_where(accept, ys_new, ys)
         return (t, y, f, h_next, out_idx, ys, n_steps + 1, n_acc + accept,
                 rec)
 

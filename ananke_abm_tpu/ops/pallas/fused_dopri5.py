@@ -217,9 +217,12 @@ def dopri5_step_vjp_fused(x, f0, h, ze, tf_rows, Wq, W1xc, W1h, blocks,
     """VJP of one accepted DOPRI5 step in a single kernel (discrete
     adjoint backward).
 
-    Re-evaluates the six stages (intermediates VMEM-resident) at the
-    SAME ``precision`` the forward controller used — the linearization
-    point must be the trajectory the forward actually took — then
+    Re-evaluates the six stages (intermediates VMEM-resident) from the
+    exact f32 ``(x, f0)`` the forward controller accepted, at
+    ``precision`` — "f32" replays the forward bit-compatibly; "bf16"
+    linearizes at a bf16-rounded replay of the same trajectory (the
+    fixed-step trainer's tested noise class, ~4e-3 relative) in
+    exchange for 1-pass MXU matmuls — then
     reverse-chains the shared stage backward through the tableau:
     stage cotangents are ``gk_j = h*(b5_j*g_dy + d_j*g_r5) +
     [j==1]*g_k1x + [j==7]*g_k7x`` plus the chain terms
@@ -424,7 +427,7 @@ def dopri5_step_vjp_fused(x, f0, h, ze, tf_rows, Wq, W1xc, W1h, blocks,
 
 
 def make_fused_dopri5_hooks(params_template=None, *, interpret=None,
-                            precision="f32"):
+                            precision="f32", bwd_precision=None):
     """Build the ``(step_impl, step_vjp)`` pair for
     ``ode.odeint_discrete_adjoint`` over GATODE drift dynamics with
     ``args = (params, h_ctx, zone_emb)``.
@@ -436,14 +439,27 @@ def make_fused_dopri5_hooks(params_template=None, *, interpret=None,
     split (zeros for params the drift never touches — encoder/decoder/
     init weights get their gradients from the XLA parts of the loss).
     Pass ``params_template`` to validate the drift structure eagerly.
-    ``precision`` ("f32" default / "bf16") applies to BOTH kernels —
-    the backward's recompute must linearize at the trajectory the
-    forward controller actually took (see :func:`_mk_cast` for why the
-    controller needs f32).
+
+    ``precision`` ("f32" default / "bf16") is the FORWARD controller's
+    activation class — f32 is required at tight tolerances (see
+    :func:`_mk_cast`). ``bwd_precision`` (default: same as
+    ``precision``) applies only to :func:`dopri5_step_vjp_fused`: the
+    step-size CONTROL decisions were already taken on the f32 forward,
+    so the backward's in-kernel stage recompute + cotangent chain can
+    run the bf16 precision class of the shipping RK4 trainer
+    (fused_train.py) without touching the accepted-step sequence. The
+    cost is bf16-class gradient noise (linearization at a bf16-rounded
+    replay of the f32 trajectory, bf16 matmul inputs in the reverse
+    chain) — same budget as the fixed-step trainer's tested ~4e-3
+    relative class; the win is 1-pass MXU matmuls in the
+    weight-gradient NT dots that dominate the backward kernel.
     """
     from ananke_abm_tpu.ode.dopri5 import _Interp
     from ananke_abm_tpu.ops.pallas.fused_rhs import split_drift_params
 
+    if bwd_precision is None:
+        bwd_precision = precision
+    _mk_cast(bwd_precision)  # validate eagerly
     if params_template is not None:
         split_drift_params(params_template)  # raises on num_blocks < 1
 
@@ -476,7 +492,7 @@ def make_fused_dopri5_hooks(params_template=None, *, interpret=None,
          gb3) = dopri5_step_vjp_fused(
             y, f, hc, ze, tf_rows, Wq, W1xc, W1h, blocks, W3, b3,
             h_step, g_dy, g_r5, g_k1x, g_k7x, g_y0d,
-            interpret=interpret, precision=precision,
+            interpret=interpret, precision=bwd_precision,
         )
         (gparams,) = pull((gWq, gW1xc, gW1h, gblocks, gW3, gb3, gtf))
         return gy0, gf0, (gparams, gh, gze)
