@@ -186,21 +186,37 @@ def _disc_bwd(rhs, step_impl, step_vjp, rtol, atol, max_steps,
                 idx = s * K + j
                 act = idx < n_acc
                 t0j, hj = rec_t0[idx], rec_h[idx]
-                gr1, gr2, gr3, gr4, gr5 = jax.lax.cond(
-                    jnp.any(out_step == idx),
-                    lambda: dense_cotangents(idx, t0j, hj),
-                    lambda: tuple(zeros_like_row(g) for _ in range(5)),
+
+                # Fold dense-output cotangents into the step's gset
+                # UNDER the cond: only the handful of steps whose
+                # interpolant filled an output row (T of n_acc) pay the
+                # five (5, N, *) tensordots and elementwise combines;
+                # every other step's gset is just (g_y, 0, 0, g_f, g_y)
+                # — materializing five zero trees and combining them on
+                # every step cost ~0.4 ms/step of pure HBM traffic at
+                # config-3 scale.
+                def with_outputs():
+                    gr1, gr2, gr3, gr4, gr5 = dense_cotangents(
+                        idx, t0j, hj)
+                    g_dy = _tm(
+                        lambda a, b, c_, d: a + b - c_ + 2.0 * d,
+                        g_y, gr2, gr3, gr4,
+                    )
+                    g_k1x = _tm(lambda a, b: hj * (a - b), gr3, gr4)
+                    g_k7x = _tm(lambda a, b: a - hj * b, g_f, gr4)
+                    g_y0d = tree_add(g_y, gr1)
+                    return (g_dy, gr5, g_k1x, g_k7x, g_y0d)
+
+                def without_outputs():
+                    z = zeros_like_row(g)
+                    return (g_y, z, z, g_f, g_y)
+
+                gset = jax.lax.cond(
+                    jnp.any(out_step == idx), with_outputs,
+                    without_outputs,
                 )
-                g_dy = _tm(
-                    lambda a, b, c_, d: a + b - c_ + 2.0 * d,
-                    g_y, gr2, gr3, gr4,
-                )
-                g_k1x = _tm(lambda a, b: hj * (a - b), gr3, gr4)
-                g_k7x = _tm(lambda a, b: a - hj * b, g_f, gr4)
-                g_y0d = tree_add(g_y, gr1)
                 gy0, gf0, gargs_j = step_vjp(
-                    t0j, hj, y_j, f_j, args,
-                    (g_dy, gr5, g_k1x, g_k7x, g_y0d),
+                    t0j, hj, y_j, f_j, args, gset,
                 )
                 g_y = tree_where(act, gy0, g_y)
                 g_f = tree_where(act, gf0, g_f)
