@@ -717,7 +717,7 @@ def serve(
 def make_adjoint_step_fns(model, optimizer, config, static,
                           use_fused="auto", adjoint_mode="continuous",
                           max_accepted=512, ckpt_every=16,
-                          bwd_precision=None):
+                          bwd_precision=None, store_f="auto"):
     """Training step whose integration uses adaptive DOPRI5 with
     adjoint gradients (BASELINE config 3: "adaptive dopri5 + adjoint
     gradients through the GAT dynamics").
@@ -763,11 +763,30 @@ def make_adjoint_step_fns(model, optimizer, config, static,
     the weight-gradient dots at the fixed-step trainer's tested ~4e-3
     relative gradient-noise budget, without touching the f32
     controller or its accepted-step sequence.
+
+    ``store_f`` (discrete mode): record the pre-step FSAL eval at every
+    checkpoint so the backward skips its per-segment ``rhs``
+    re-evaluation (measured 1.16 ms per accepted step at config-3
+    scale). "auto" enables it when ``ckpt_every == 1`` AND
+    ``bwd_precision == "bf16"`` — there the eval is per-step, and
+    storing BOTH buffers bf16 (states + FSAL evals, the bf16 backward's
+    existing linearization noise class) costs exactly what the f32
+    state buffer alone did; the f32 pair OOMs one chip at config-3
+    scale. True/"bf16"/False force it.
     """
     from ananke_abm_tpu.ode import odeint_adjoint, odeint_discrete_adjoint
 
     if adjoint_mode not in ("continuous", "discrete"):
         raise ValueError(f"unknown adjoint_mode {adjoint_mode!r}")
+    ckpt_dtype = None
+    if store_f == "auto":
+        if ckpt_every == 1 and bwd_precision == "bf16":
+            # both buffers bf16: together they cost what the f32 state
+            # buffer alone did (the f32 pair OOMs one chip at config-3
+            # scale: +6.4 GB over the ~9 GB already live)
+            store_f = ckpt_dtype = "bf16"
+        else:
+            store_f = False
 
     # graph threaded as a jit argument, not closure-captured — see
     # make_step_fns
@@ -821,6 +840,7 @@ def make_adjoint_step_fns(model, optimizer, config, static,
                 rhs, x0, times, (params, h, zone_emb),
                 rtol=config.rtol, atol=config.atol,
                 max_accepted=max_accepted, ckpt_every=ckpt_every,
+                store_f=store_f, ckpt_dtype=ckpt_dtype,
                 step_impl=step_impl, step_vjp=step_vjp,
             )
         else:

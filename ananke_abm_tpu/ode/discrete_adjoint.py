@@ -91,34 +91,39 @@ def _generic_step_vjp(rhs, step):
     return step_vjp
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8, 9))
 def _odeint_disc(rhs, step_impl, step_vjp, rtol, atol, max_steps,
-                 max_accepted, ckpt_every, y0, ts, args):
+                 max_accepted, ckpt_every, store_f, ckpt_dtype,
+                 y0, ts, args):
     # value-only path records too, so the max_accepted cap NaN-poisons
     # identically whether or not gradients are requested
     ys, _ = dopri5_solve(
         rhs, y0, ts, args, rtol=rtol, atol=atol, max_steps=max_steps,
         step_impl=step_impl,
-        record={"max_accepted": max_accepted, "ckpt_every": ckpt_every},
+        record={"max_accepted": max_accepted, "ckpt_every": ckpt_every,
+                "store_f": store_f, "ckpt_dtype": ckpt_dtype},
     )
     return ys
 
 
 def _disc_fwd(rhs, step_impl, step_vjp, rtol, atol, max_steps,
-              max_accepted, ckpt_every, y0, ts, args):
+              max_accepted, ckpt_every, store_f, ckpt_dtype,
+              y0, ts, args):
     ys, stats = dopri5_solve(
         rhs, y0, ts, args, rtol=rtol, atol=atol, max_steps=max_steps,
         step_impl=step_impl,
-        record={"max_accepted": max_accepted, "ckpt_every": ckpt_every},
+        record={"max_accepted": max_accepted, "ckpt_every": ckpt_every,
+                "store_f": store_f, "ckpt_dtype": ckpt_dtype},
     )
     res = (ts, args, stats["rec_t0"], stats["rec_h"], stats["out_step"],
-           stats["ckpts"], stats["n_accepted"])
+           stats["ckpts"], stats.get("ckpt_f"), stats["n_accepted"])
     return ys, res
 
 
 def _disc_bwd(rhs, step_impl, step_vjp, rtol, atol, max_steps,
-              max_accepted, ckpt_every, res, g):
-    ts, args, rec_t0, rec_h, out_step, ckpts, n_acc = res
+              max_accepted, ckpt_every, store_f, ckpt_dtype, res, g):
+    ts, args, rec_t0, rec_h, out_step, ckpts, ckpt_f, n_acc = res
     step = step_impl if step_impl is not None else functools.partial(
         _step, rhs
     )
@@ -149,8 +154,19 @@ def _disc_bwd(rhs, step_impl, step_vjp, rtol, atol, max_steps,
 
         def do(c):
             g_y, g_f, g_args = c
-            y_c = _tm(lambda b: b[s], ckpts)
-            f_c = rhs(rec_t0[s * K], y_c, args)
+            # checkpoints may be stored narrowed (ckpt_dtype="bf16");
+            # widen to the cotangent dtype for the replay/VJP inputs
+            y_c = _tm(lambda b, gl: b[s].astype(gl.dtype), ckpts, g)
+            if ckpt_f is not None:
+                # segment-start FSAL eval recorded by the forward — the
+                # forward's own (kernel-computed) f, bit-faithful AND
+                # free: skips one rhs eval per segment (per accepted
+                # step at ckpt_every=1 — measured 1.16 ms/step of the
+                # config-3 backward)
+                f_c = _tm(lambda b, yl: b[s].astype(yl.dtype),
+                          ckpt_f, y_c)
+            else:
+                f_c = rhs(rec_t0[s * K], y_c, args)
 
             if K == 1:
                 # ckpt_every=1: every accepted step's pre-step state is
@@ -269,7 +285,7 @@ def _disc_bwd(rhs, step_impl, step_vjp, rtol, atol, max_steps,
         g,
     )
     g_y0 = tree_add(g_y0, g_tail)
-    y00 = _tm(lambda b: b[0], ckpts)
+    y00 = _tm(lambda b, gl: b[0].astype(gl.dtype), ckpts, g)
     _, pull0 = jax.vjp(lambda y_, a_: rhs(ts[0], y_, a_), y00, args)
     gy_f0, gargs_f0 = pull0(g_f)
     g_y0 = tree_add(g_y0, gy_f0)
@@ -293,6 +309,8 @@ def odeint_discrete_adjoint(
     max_steps: int = 16384,
     max_accepted: int = 512,
     ckpt_every: int = 16,
+    store_f=False,
+    ckpt_dtype=None,
     step_impl=None,
     step_vjp=None,
 ):
@@ -309,8 +327,22 @@ def odeint_discrete_adjoint(
     rows (loud failure, like ``max_steps``) — size it ~2x the expected
     accepted count. ``ckpt_every`` trades checkpoint memory
     (``max_accepted/ckpt_every`` states) against recompute window size.
+
+    ``store_f`` (False | True | "bf16") additionally records the
+    pre-step FSAL eval at every checkpoint so the backward skips its
+    per-segment ``rhs`` re-evaluation — worth it at ``ckpt_every=1``
+    (one eval per accepted step, measured 1.16 ms/step at config-3
+    scale) at the cost of a second checkpoint buffer (halved by
+    "bf16", whose rounding of the backward's linearization point is
+    the bf16-backward noise class).
+
+    ``ckpt_dtype`` ("bf16" | None) narrows the state-checkpoint buffer
+    the same way — the backward linearizes each step at a bf16 rounding
+    of the accepted state. With both narrowed, ``store_f`` costs no
+    memory over the plain f32 state buffer. Values are unaffected
+    (checkpoints are only read by the backward).
     """
     return _odeint_disc(
         rhs, step_impl, step_vjp, rtol, atol, max_steps, max_accepted,
-        ckpt_every, y0, jnp.asarray(ts), args,
+        ckpt_every, store_f, ckpt_dtype, y0, jnp.asarray(ts), args,
     )

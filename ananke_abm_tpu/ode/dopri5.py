@@ -196,6 +196,20 @@ def dopri5_solve(
             row 0, written directly), and ``ckpts`` — the pre-step
             state ``y`` at every ``ckpt_every``-th accepted step
             (leaves ``(ceil(max_accepted/ckpt_every),) + leaf.shape``).
+            Optional ``"store_f"`` (False | True | "bf16") additionally
+            records the pre-step FSAL eval ``f`` at the same indices as
+            ``stats["ckpt_f"]`` — the discrete adjoint's backward then
+            starts each segment from the forward's own kernel-computed
+            ``f`` instead of re-evaluating ``rhs`` (at ``ckpt_every=1``
+            that eval is one per accepted step — measured 1.16 ms/step
+            of the config-3 backward). ``"bf16"`` halves the buffer at
+            the bf16-backward noise class; True stores the exact f32.
+            Optional ``"ckpt_dtype"`` ("bf16") likewise narrows the
+            state-checkpoint buffer itself — the backward then
+            linearizes each step at a bf16 rounding of the accepted
+            state (the bf16-backward noise class again); together with
+            ``store_f="bf16"`` the two buffers cost what the f32 state
+            buffer alone did.
             Solves that would exceed ``max_accepted`` accepted steps
             stop and NaN-poison the unfilled rows exactly like
             ``max_steps`` exhaustion (``ok`` False) — a silent
@@ -239,6 +253,9 @@ def dopri5_solve(
     if record is not None:
         max_acc = int(record["max_accepted"])
         ckpt_every = int(record["ckpt_every"])
+        store_f = record.get("store_f", False)
+        ckpt_dtype = record.get("ckpt_dtype")
+        y_dtype = jnp.bfloat16 if ckpt_dtype == "bf16" else None
         n_ckpt = -(-max_acc // ckpt_every)
         rec0 = {
             "rec_t0": jnp.zeros((max_acc,), ts.dtype),
@@ -246,11 +263,19 @@ def dopri5_solve(
             "out_step": jnp.full((num_out,), -1, jnp.int32),
             "ckpts": tree_map(
                 lambda l: jnp.zeros((n_ckpt,) + jnp.shape(l),
-                                    jnp.asarray(l).dtype), y0
+                                    y_dtype or jnp.asarray(l).dtype), y0
             ),
         }
+        if store_f:
+            f_dtype = jnp.bfloat16 if store_f == "bf16" else None
+            rec0["ckpt_f"] = tree_map(
+                lambda l: jnp.zeros(
+                    (n_ckpt,) + jnp.shape(l),
+                    f_dtype or jnp.asarray(l).dtype), f0
+            )
     else:
         rec0 = None
+        store_f = False
 
     def fill_outputs(carry, interp, t_new, n_acc):
         """Write every requested output time that falls inside this step."""
@@ -314,6 +339,23 @@ def dopri5_solve(
             # needed (accepted ckpt_every-th step) — an accept-select
             # over the whole buffer would move its full footprint every
             # attempted step
+            def _write(bufs, vals):
+                return tree_map(
+                    lambda buf, l: jax.lax.dynamic_update_index_in_dim(
+                        buf, l.astype(buf.dtype), n_acc // ckpt_every, 0
+                    ),
+                    bufs, vals,
+                )
+
+            bufs = (rec["ckpts"], rec["ckpt_f"]) if store_f \
+                else (rec["ckpts"],)
+            vals = (y, f) if store_f else (y,)
+            bufs = jax.lax.cond(
+                accept & (n_acc % ckpt_every == 0),
+                lambda b: _write(b, vals),
+                lambda b: b,
+                bufs,
+            )
             rec = {
                 "rec_t0": jnp.where(
                     accept, rec["rec_t0"].at[n_acc].set(t), rec["rec_t0"]
@@ -322,18 +364,10 @@ def dopri5_solve(
                     accept, rec["rec_h"].at[n_acc].set(h), rec["rec_h"]
                 ),
                 "out_step": out_step,
-                "ckpts": jax.lax.cond(
-                    accept & (n_acc % ckpt_every == 0),
-                    lambda c: tree_map(
-                        lambda buf, l: jax.lax.dynamic_update_index_in_dim(
-                            buf, l.astype(buf.dtype), n_acc // ckpt_every, 0
-                        ),
-                        c, y,
-                    ),
-                    lambda c: c,
-                    rec["ckpts"],
-                ),
+                "ckpts": bufs[0],
             }
+            if store_f:
+                rec["ckpt_f"] = bufs[1]
 
         t = jnp.where(accept, t_new, t)
         y = tree_where(accept, y1, y)

@@ -251,6 +251,43 @@ class TestDiscreteAdjoint:
                     rtol=2e-3, atol=2e-5,
                 )
 
+    @pytest.mark.parametrize("store_f,ckpt_every,ckpt_dtype,tol", [
+        (True, 1, None, 1e-6), (True, 4, None, 1e-6),
+        ("bf16", 1, None, 5e-3), ("bf16", 1, "bf16", 2e-2),
+    ])
+    def test_store_f_gradients(self, store_f, ckpt_every, ckpt_dtype,
+                               tol):
+        """store_f replaces the backward's per-segment rhs re-evaluation
+        with the forward's recorded FSAL eval: f32 storage must
+        reproduce the recompute path's gradients to f32 rounding; bf16
+        storage within the bf16-backward noise class. Values must be
+        bit-identical (the forward solve is unchanged)."""
+        from ananke_abm_tpu.ode import odeint_discrete_adjoint
+
+        rhs, y0, ts, args = self._mlp_setup()
+
+        def mk_loss(**kw):
+            def loss(y0, args):
+                ys = odeint_discrete_adjoint(
+                    rhs, y0, ts, args, rtol=1e-7, atol=1e-9,
+                    ckpt_every=ckpt_every, **kw)
+                return jnp.sum(ys[-1] ** 2) + 0.5 * jnp.sum(ys[2] ** 2)
+
+            return loss
+
+        base = mk_loss()
+        fast = mk_loss(store_f=store_f, ckpt_dtype=ckpt_dtype)
+        np.testing.assert_array_equal(
+            np.asarray(fast(y0, args)), np.asarray(base(y0, args)))
+        gb = jax.grad(base, argnums=(0, 1))(y0, args)
+        gf = jax.grad(fast, argnums=(0, 1))(y0, args)
+        np.testing.assert_allclose(
+            np.asarray(gf[0]), np.asarray(gb[0]), rtol=tol, atol=tol)
+        for k in args:
+            np.testing.assert_allclose(
+                np.asarray(gf[1][k]), np.asarray(gb[1][k]),
+                rtol=tol, atol=tol)
+
     def test_jit_compose_and_scalar_args(self):
         from ananke_abm_tpu.ode import odeint_discrete_adjoint
 
