@@ -766,8 +766,10 @@ def make_adjoint_step_fns(model, optimizer, config, static,
 
     ``store_f`` (discrete mode): record the pre-step FSAL eval at every
     checkpoint so the backward skips its per-segment ``rhs``
-    re-evaluation (measured 1.16 ms per accepted step at config-3
-    scale). "auto" enables it when ``ckpt_every == 1`` AND
+    re-evaluation. End-to-end effect is modest — 1611.7 -> 1587.5
+    ms/step at config-3 scale (XLA overlaps most of the re-eval;
+    docs/evidence_round4/config3_storef.json) — but free at the
+    bf16 noise class. "auto" enables it when ``ckpt_every == 1`` AND
     ``bwd_precision == "bf16"`` — there the eval is per-step, and
     storing BOTH buffers bf16 (states + FSAL evals, the bf16 backward's
     existing linearization noise class) costs exactly what the f32

@@ -330,11 +330,12 @@ def odeint_discrete_adjoint(
 
     ``store_f`` (False | True | "bf16") additionally records the
     pre-step FSAL eval at every checkpoint so the backward skips its
-    per-segment ``rhs`` re-evaluation — worth it at ``ckpt_every=1``
-    (one eval per accepted step, measured 1.16 ms/step at config-3
-    scale) at the cost of a second checkpoint buffer (halved by
-    "bf16", whose rounding of the backward's linearization point is
-    the bf16-backward noise class).
+    per-segment ``rhs`` re-evaluation, at the cost of a second
+    checkpoint buffer (halved by "bf16", whose rounding of the
+    backward's linearization point is the bf16-backward noise class).
+    End-to-end win is modest — ~0.1 ms per accepted step at config-3
+    scale (XLA overlaps most of the skipped eval;
+    docs/evidence_round4/config3_storef.json).
 
     ``ckpt_dtype`` ("bf16" | None) narrows the state-checkpoint buffer
     the same way — the backward linearizes each step at a bf16 rounding

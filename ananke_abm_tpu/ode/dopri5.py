@@ -200,9 +200,9 @@ def dopri5_solve(
             records the pre-step FSAL eval ``f`` at the same indices as
             ``stats["ckpt_f"]`` — the discrete adjoint's backward then
             starts each segment from the forward's own kernel-computed
-            ``f`` instead of re-evaluating ``rhs`` (at ``ckpt_every=1``
-            that eval is one per accepted step — measured 1.16 ms/step
-            of the config-3 backward). ``"bf16"`` halves the buffer at
+            ``f`` instead of re-evaluating ``rhs`` (~0.1 ms per
+            accepted step end-to-end at config-3 scale — XLA overlaps
+            most of the skipped eval). ``"bf16"`` halves the buffer at
             the bf16-backward noise class; True stores the exact f32.
             Optional ``"ckpt_dtype"`` ("bf16") likewise narrows the
             state-checkpoint buffer itself — the backward then
