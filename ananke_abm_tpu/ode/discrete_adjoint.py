@@ -159,10 +159,9 @@ def _disc_bwd(rhs, step_impl, step_vjp, rtol, atol, max_steps,
             y_c = _tm(lambda b, gl: b[s].astype(gl.dtype), ckpts, g)
             if ckpt_f is not None:
                 # segment-start FSAL eval recorded by the forward — the
-                # forward's own (kernel-computed) f, bit-faithful AND
-                # free: skips one rhs eval per segment (per accepted
-                # step at ckpt_every=1 — measured 1.16 ms/step of the
-                # config-3 backward)
+                # forward's own (kernel-computed) f: skips one rhs eval
+                # per segment (~0.1 ms/accepted-step end-to-end at
+                # config-3 scale; XLA overlaps most of it)
                 f_c = _tm(lambda b, yl: b[s].astype(yl.dtype),
                           ckpt_f, y_c)
             else:

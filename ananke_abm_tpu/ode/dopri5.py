@@ -71,27 +71,44 @@ _ORDER_EXP = -0.2  # err ** (-1/5)
 
 
 class _Interp(NamedTuple):
-    """Continuous extension over one accepted step [t0, t0+h]."""
+    """Continuous extension over one accepted step [t0, t0+h].
+
+    LAZY representation: the CONTD5 coefficients r2..r4 are elementwise
+    in (y0, f0, y1, f1) — r2 = y1-y0, r3 = h*f0-r2, r4 = r2-h*f1-r3 —
+    so the step stores the raw endpoints (arrays it produces anyway)
+    and :func:`_dense_eval` forms the coefficients only when an output
+    row is actually filled (a handful of accepted steps per solve).
+    The eager form cost three extra elementwise passes over the full
+    state on EVERY attempted step (~0.1 ms/step of the config-3
+    controller glue, docs/evidence_round4/config3_fwd_ablate.json).
+    Only ``r5 = h * sum d_i k_i`` needs the stage evals, so it alone is
+    materialized by the step.
+    """
 
     t0: jnp.ndarray
     h: jnp.ndarray
-    r1: object  # y0
-    r2: object  # y1 - y0
-    r3: object  # h*k1 - (y1 - y0)
-    r4: object  # (y1 - y0) - h*k7 - r3
+    y0: object
+    f0: object  # k1
+    y1: object
+    f1: object  # k7
     r5: object  # h * sum d_i k_i
 
 
 def _dense_eval(interp: _Interp, t):
     # guard h == 0 (duplicate output times / zero-span integration)
-    safe_h = jnp.where(interp.h == 0, 1.0, interp.h)
+    h = interp.h
+    safe_h = jnp.where(h == 0, 1.0, h)
     theta = jnp.clip((t - interp.t0) / safe_h, 0.0, 1.0)
     om = 1.0 - theta
 
-    def leaf(r1, r2, r3, r4, r5):
-        return r1 + theta * (r2 + om * (r3 + theta * (r4 + om * r5)))
+    def leaf(y0, f0, y1, f1, r5):
+        r2 = y1 - y0
+        r3 = h * f0 - r2
+        r4 = r2 - h * f1 - r3
+        return y0 + theta * (r2 + om * (r3 + theta * (r4 + om * r5)))
 
-    return tree_map(leaf, interp.r1, interp.r2, interp.r3, interp.r4, interp.r5)
+    return tree_map(leaf, interp.y0, interp.f0, interp.y1, interp.f1,
+                    interp.r5)
 
 
 def _step(rhs, t0, h, y0, f0, args):
@@ -114,12 +131,9 @@ def _step(rhs, t0, h, y0, f0, args):
     e_coeffs = [h * (b5 - b4) for b5, b4 in zip(_B5, _B4)]
     err = tree_lincomb(e_coeffs, ks)
 
-    dy = tree_map(jnp.subtract, y1, y0)
-    r3 = tree_map(lambda k, d: h * k - d, ks[0], dy)
-    r4 = tree_map(lambda d, k7, r3l: d - h * k7 - r3l, dy, f1, r3)
     d_nz = [(c, k) for c, k in zip(_D, ks) if c != 0.0]
     r5 = tree_lincomb([h * c for c, _ in d_nz], [k for _, k in d_nz])
-    interp = _Interp(t0=t0, h=h, r1=y0, r2=dy, r3=r3, r4=r4, r5=r5)
+    interp = _Interp(t0=t0, h=h, y0=y0, f0=ks[0], y1=y1, f1=f1, r5=r5)
     return y1, f1, err, interp
 
 

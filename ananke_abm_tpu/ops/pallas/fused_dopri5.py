@@ -55,7 +55,15 @@ from ananke_abm_tpu.ops.pallas.fused_step import (
     _to16,
 )
 
-TILE_N = 1024
+# Per-kernel defaults from the config-3-scale tile sweep
+# (docs/evidence_round4/config3_bwd_ablate.json, 98,304 agents, Z=64):
+# the forward step kernel runs fastest at 2048 (1.539 vs 1.615 ms/step
+# at 1024); the VJP kernel — whose per-tile VMEM live set is ~6x larger
+# (six stages of intermediates held for the reverse chain) — peaks at
+# 1024 (4.681 vs 5.048 at 2048; 4096 exceeds the remote compiler's
+# scoped-memory budget and fails to compile).
+TILE_N_FWD = 2048
+TILE_N_BWD = 1024
 
 _VMEM_100MB = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
@@ -78,10 +86,10 @@ def _mk_cast(precision):
     raise ValueError(f"precision must be 'f32' or 'bf16', got {precision!r}")
 
 
-def _pad_tile(x):
+def _pad_tile(x, tile):
     n = x.shape[0]
-    n_tiles = -(-n // TILE_N)
-    pad = n_tiles * TILE_N - n
+    n_tiles = -(-n // tile)
+    pad = n_tiles * tile - n
     if pad:
         x = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
     return x, n_tiles
@@ -94,8 +102,8 @@ def _rep(shape):
     return pl.BlockSpec(shape, lambda i: zeros, memory_space=pltpu.VMEM)
 
 
-def _tile_spec(d):
-    return pl.BlockSpec((TILE_N, d), lambda i: (i, 0),
+def _tile_spec(d, tile):
+    return pl.BlockSpec((tile, d), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
 
 
@@ -110,7 +118,8 @@ def stage_time_rows(t0, h_step, W1t, b1):
 
 
 def dopri5_step_fused(x, f0, h, ze, tf_rows, Wq, W1xc, W1h, blocks, W3,
-                      b3, h_step, *, interpret=None, precision="f32"):
+                      b3, h_step, *, interpret=None, precision="f32",
+                      tile=None):
     """One full DOPRI5 step for the GAT-ODE drift in a single kernel.
 
     x: (N, Da) f32 state at t0; f0: (N, Da) f32 FSAL eval f(t0, x);
@@ -124,8 +133,9 @@ def dopri5_step_fused(x, f0, h, ze, tf_rows, Wq, W1xc, W1h, blocks, W3,
     Returns ``(y1, f1, err, r5)`` — the 5th-order update, the FSAL eval
     at (t0 + h, y1), the embedded 5(4) error vector, and the CONTD5
     dense-output coefficient ``h * sum d_i k_i``; all (N, Da) f32. The
-    remaining interpolation coefficients (r3, r4) are elementwise in
-    (x, f0, y1, f1) and stay in XLA.
+    remaining interpolation coefficients (r2..r4) are elementwise in
+    (x, f0, y1, f1) and are formed lazily at dense-output fill time
+    (ode/dopri5.py ``_Interp``).
 
     NOT differentiable (no AD rule): the adaptive controller's
     while_loop never differentiates; training gradients come from
@@ -141,11 +151,12 @@ def dopri5_step_fused(x, f0, h, ze, tf_rows, Wq, W1xc, W1h, blocks, W3,
     scale = np.float32(1.0 / np.sqrt(float(Dz)))
     if interpret is None:
         interpret = not _on_tpu()
+    tile = TILE_N_FWD if tile is None else tile
 
-    xp, n_tiles = _pad_tile(x)
-    fp, _ = _pad_tile(f0)
-    hp, _ = _pad_tile(h)
-    Np = n_tiles * TILE_N
+    xp, n_tiles = _pad_tile(x, tile)
+    fp, _ = _pad_tile(f0, tile)
+    hp, _ = _pad_tile(h, tile)
+    Np = n_tiles * tile
     hs = jnp.asarray(h_step, jnp.float32)
 
     def kernel(x_ref, f0_ref, h_ref, ze_ref, tf_ref, hs_ref,
@@ -191,14 +202,15 @@ def dopri5_step_fused(x, f0, h, ze, tf_rows, Wq, W1xc, W1h, blocks, W3,
         kernel,
         grid=(n_tiles,),
         in_specs=[
-            _tile_spec(Da), _tile_spec(Da), _tile_spec(Hc),
+            _tile_spec(Da, tile), _tile_spec(Da, tile),
+            _tile_spec(Hc, tile),
             _rep((Z, Dz)), _rep(tf_rows.shape),
             pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
             _rep(Wq.shape), _rep(W1xc.shape), _rep(W1h.shape),
             *[_rep(w.shape) for w in flat_blocks],
             _rep(W3.shape), _rep(b3.shape),
         ],
-        out_specs=[_tile_spec(Da)] * 4,
+        out_specs=[_tile_spec(Da, tile)] * 4,
         out_shape=out_shapes,
         interpret=interpret,
         compiler_params=None if interpret else _VMEM_100MB,
@@ -213,7 +225,7 @@ def dopri5_step_fused(x, f0, h, ze, tf_rows, Wq, W1xc, W1h, blocks, W3,
 def dopri5_step_vjp_fused(x, f0, h, ze, tf_rows, Wq, W1xc, W1h, blocks,
                           W3, b3, h_step, g_dy, g_r5, g_k1x, g_k7x,
                           g_y0_direct, *, interpret=None,
-                          precision="f32"):
+                          precision="f32", tile=None):
     """VJP of one accepted DOPRI5 step in a single kernel (discrete
     adjoint backward).
 
@@ -251,17 +263,18 @@ def dopri5_step_vjp_fused(x, f0, h, ze, tf_rows, Wq, W1xc, W1h, blocks,
     scale = np.float32(1.0 / np.sqrt(float(Dz)))
     if interpret is None:
         interpret = not _on_tpu()
+    tile = TILE_N_BWD if tile is None else tile
 
-    xp, n_tiles = _pad_tile(x)
-    fp, _ = _pad_tile(f0)
-    hp, _ = _pad_tile(h)
+    xp, n_tiles = _pad_tile(x, tile)
+    fp, _ = _pad_tile(f0, tile)
+    hp, _ = _pad_tile(h, tile)
     # zero cotangents on padded rows: no gradient leak from padding
-    gdyp, _ = _pad_tile(g_dy)
-    gr5p, _ = _pad_tile(g_r5)
-    gk1p, _ = _pad_tile(g_k1x)
-    gk7p, _ = _pad_tile(g_k7x)
-    gy0p, _ = _pad_tile(g_y0_direct)
-    Np = n_tiles * TILE_N
+    gdyp, _ = _pad_tile(g_dy, tile)
+    gr5p, _ = _pad_tile(g_r5, tile)
+    gk1p, _ = _pad_tile(g_k1x, tile)
+    gk7p, _ = _pad_tile(g_k7x, tile)
+    gy0p, _ = _pad_tile(g_y0_direct, tile)
+    Np = n_tiles * tile
     hs = jnp.asarray(h_step, jnp.float32)
 
     def kernel(*refs):
@@ -319,7 +332,7 @@ def dopri5_step_vjp_fused(x, f0, h, ze, tf_rows, Wq, W1xc, W1h, blocks,
             jnp.zeros((Z, Dz), jnp.float32),
             jnp.zeros((Da, Dz), jnp.float32),
             jnp.zeros((Da + Dz, H), jnp.float32),
-            jnp.zeros((TILE_N, H), jnp.float32),
+            jnp.zeros((tile, H), jnp.float32),
             tuple(
                 (jnp.zeros((H, H), jnp.float32),
                  jnp.zeros((1, H), jnp.float32),
@@ -335,7 +348,7 @@ def dopri5_step_vjp_fused(x, f0, h, ze, tf_rows, Wq, W1xc, W1h, blocks,
         gk = [
             hstep * (_B5[j] * gdy + _D[j] * gr5)
             if (_B5[j] != 0.0 or _D[j] != 0.0)
-            else jnp.zeros((TILE_N, Da), jnp.float32)
+            else jnp.zeros((tile, Da), jnp.float32)
             for j in range(7)
         ]
         gk[0] = gk[0] + gk1_ref[:]
@@ -376,9 +389,11 @@ def dopri5_step_vjp_fused(x, f0, h, ze, tf_rows, Wq, W1xc, W1h, blocks,
         kernel,
         grid=(n_tiles,),
         in_specs=[
-            _tile_spec(Da), _tile_spec(Da), _tile_spec(Hc),
-            _tile_spec(Da), _tile_spec(Da), _tile_spec(Da),
-            _tile_spec(Da), _tile_spec(Da),
+            _tile_spec(Da, tile), _tile_spec(Da, tile),
+            _tile_spec(Hc, tile),
+            _tile_spec(Da, tile), _tile_spec(Da, tile),
+            _tile_spec(Da, tile),
+            _tile_spec(Da, tile), _tile_spec(Da, tile),
             _rep((Z, Dz)), _rep(tf_rows.shape),
             pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
             _rep(Wq.shape), _rep(W1xc.shape), _rep(W1h.shape),
@@ -386,7 +401,8 @@ def dopri5_step_vjp_fused(x, f0, h, ze, tf_rows, Wq, W1xc, W1h, blocks,
             _rep(W3.shape), _rep(b3.shape),
         ],
         out_specs=[
-            _tile_spec(Da), _tile_spec(Da), _tile_spec(Hc),
+            _tile_spec(Da, tile), _tile_spec(Da, tile),
+            _tile_spec(Hc, tile),
             _rep((Z, Dz)), _rep(tf_rows.shape),
             _rep((Da, Dz)), _rep((Da + Dz, H)), _rep((Hc, H)),
             *[_rep(s) for s in blk_grad_shapes],
@@ -477,11 +493,10 @@ def make_fused_dopri5_hooks(params_template=None, *, interpret=None,
             y, f, hc, ze, tf_rows, Wq, W1xc, W1h, blocks, W3, b3,
             h_step, interpret=interpret, precision=precision,
         )
-        dy = y1 - y
-        r3 = h_step * f - dy
-        r4 = dy - h_step * f1 - r3
-        return y1, f1, err, _Interp(t0=t0, h=h_step, r1=y, r2=dy,
-                                    r3=r3, r4=r4, r5=r5)
+        # _Interp is lazy (ode/dopri5.py): endpoints only — the CONTD5
+        # r2..r4 combines are formed at fill time, not per attempted step
+        return y1, f1, err, _Interp(t0=t0, h=h_step, y0=y, f0=f,
+                                    y1=y1, f1=f1, r5=r5)
 
     def step_vjp(t0, h_step, y, f, args, gset):
         params, hc, ze = args
