@@ -30,7 +30,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_N = 1024
+# Agent-tile size for the serving kernels. Swept at the bench workload
+# (1M agents x 48 times x 2 substeps, Z=64, nb=2 —
+# docs/evidence_round4/serve_tile_sweep.json): 2048 runs 1.185M
+# agents/s vs 1.120M at 1024 (+5.8%, exact decode-id agreement; 512 and
+# 4096 fail the remote compiler's memory budget). Small-N calls pad to
+# one tile either way.
+TILE_N = 2048
 
 
 from ananke_abm_tpu.ops._platform import on_tpu as _on_tpu
