@@ -3,9 +3,11 @@ config-5 scale): dopri5 + discrete adjoint over 1,048,576 agents on one
 chip.
 
 Two modes, both recorded:
-  - microbatched SGD epochs: 8 chunks of 131,072 agents through the
+  - microbatched SGD epochs: 16 chunks of 65,536 agents through the
     fused discrete-adjoint step (ckpt_every=1 + bf16 backward +
-    store_f — the config-3-tuned fast path), adamw per chunk;
+    store_f — the config-3-tuned fast path), adamw per chunk.
+    131,072-agent chunks OOM (19.91G vs 15.75G HBM — the ck1
+    checkpoint pair scales with the chunk; recorded);
   - one FULL-BATCH step attempt at 1M agents (ckpt_every=8,
     bf16 checkpoints) to probe the single-chip memory wall — outcome
     recorded either way.
@@ -28,7 +30,7 @@ from ananke_abm_tpu.models.gnn_embed.train import (
 )
 
 N, Z, T = 1_048_576, 64, 12
-CHUNK = 131_072
+CHUNK = 65_536
 EPOCHS = 3
 cfg = GATODEConfig(method="dopri5")
 d = generate_agent_population(N, num_times=T, seed=11, num_zones=Z)

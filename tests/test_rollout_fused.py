@@ -164,3 +164,31 @@ def test_interval_fused_decode_matches_per_step_kernel(num_blocks):
     np.testing.assert_array_equal(
         np.asarray(r1(params, pf, hz)), np.asarray(r0(params, pf, hz))
     )
+
+
+def test_multi_tile_grid_matches_single_tile():
+    """Cross-tile grid indexing: the same rollout split over several
+    agent tiles (TILE_N patched small, ragged tail) must emit exactly
+    the ids of the one-tile run. Guards the i-indexed BlockSpecs after
+    the shipping tile default moved to 2048 (every small-N test pads to
+    ONE tile, so without this the multi-tile path had CPU coverage only
+    at tile-multiple N)."""
+    from ananke_abm_tpu.ops.pallas import fused_step
+
+    cfg, model, params, (zf, adj, times, pf, hz) = _tiny_setup(
+        n_agents=150, num_times=5, num_zones=10, num_blocks=1
+    )
+    one_tile = fused_step.make_pallas_rollout(
+        model, zf, adj, times, substeps=2, fuse_decode=True
+    )(params, pf, hz)
+    orig = fused_step.TILE_N
+    try:
+        fused_step.TILE_N = 64  # 150 agents -> 3 tiles, ragged tail
+        multi_tile = fused_step.make_pallas_rollout(
+            model, zf, adj, times, substeps=2, fuse_decode=True
+        )(params, pf, hz)
+    finally:
+        fused_step.TILE_N = orig
+    np.testing.assert_array_equal(
+        np.asarray(multi_tile), np.asarray(one_tile)
+    )
