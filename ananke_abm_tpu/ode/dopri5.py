@@ -269,6 +269,18 @@ def dopri5_solve(
         ckpt_every = int(record["ckpt_every"])
         store_f = record.get("store_f", False)
         ckpt_dtype = record.get("ckpt_dtype")
+        # loud validation: a typo'd value would otherwise silently pick
+        # a different memory/precision configuration (e.g. a full-size
+        # f32 ckpt_f buffer — the pairing that OOMs one chip at
+        # config-3 scale)
+        if store_f not in (False, True, "bf16"):
+            raise ValueError(
+                f"store_f must be False, True, or 'bf16'; got {store_f!r}"
+            )
+        if ckpt_dtype not in (None, "bf16"):
+            raise ValueError(
+                f"ckpt_dtype must be None or 'bf16'; got {ckpt_dtype!r}"
+            )
         y_dtype = jnp.bfloat16 if ckpt_dtype == "bf16" else None
         n_ckpt = -(-max_acc // ckpt_every)
         rec0 = {

@@ -35,8 +35,16 @@ from jax.experimental.pallas import tpu as pltpu
 # docs/evidence_round4/serve_tile_sweep.json): 2048 runs 1.185M
 # agents/s vs 1.120M at 1024 (+5.8%, exact decode-id agreement; 512 and
 # 4096 fail the remote compiler's memory budget). Small-N calls pad to
-# one tile either way.
+# one tile either way. The sweep covered Z=64 only, and the serving
+# kernels set no vmem_limit override — at larger zone tables the
+# (TILE, Z) attention/logit intermediates scale with the tile, so
+# :func:`_serve_tile` falls back to 1024 past Z=128 (unswept ground;
+# the pre-round-4 default).
 TILE_N = 2048
+
+
+def _serve_tile(num_zones):
+    return TILE_N if num_zones <= 128 else 1024
 
 
 from ananke_abm_tpu.ops._platform import on_tpu as _on_tpu
@@ -297,9 +305,10 @@ def rk4_step_fused(
     flat_blocks = [w for blk in blocks for w in blk]
     if interpret is None:
         interpret = not _on_tpu()
+    tile = _serve_tile(Z)
 
-    n_tiles = -(-N // TILE_N)
-    pad = n_tiles * TILE_N - N
+    n_tiles = -(-N // tile)
+    pad = n_tiles * tile - N
     if pad:
         x = jnp.pad(x, ((0, pad), (0, 0)))
         h = jnp.pad(h, ((0, pad), (0, 0)))
@@ -352,8 +361,8 @@ def rk4_step_fused(
         kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((TILE_N, Da), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_N, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, Da), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
             rep(zone_emb_bf16),
             rep(tf_pre),
             pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
@@ -362,9 +371,9 @@ def rk4_step_fused(
             rep(W3), rep(b3),
         ],
         out_specs=pl.BlockSpec(
-            (TILE_N, Da), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (tile, Da), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((n_tiles * TILE_N, Da), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * tile, Da), jnp.float32),
         interpret=interpret,
     )(
         x, h, zone_emb_bf16, tf_pre, dt32[None],
@@ -398,9 +407,10 @@ def rk4_interval_decode_fused(
     flat_blocks = [w for blk in blocks for w in blk]
     if interpret is None:
         interpret = not _on_tpu()
+    tile = _serve_tile(Z)
 
-    n_tiles = -(-N // TILE_N)
-    pad = n_tiles * TILE_N - N
+    n_tiles = -(-N // tile)
+    pad = n_tiles * tile - N
     if pad:
         x = jnp.pad(x, ((0, pad), (0, 0)))
         h = jnp.pad(h, ((0, pad), (0, 0)))
@@ -473,8 +483,8 @@ def rk4_interval_decode_fused(
         kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((TILE_N, Da), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_N, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, Da), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
             rep(zone_emb_bf16),
             rep(tf_pre),
             pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
@@ -484,13 +494,13 @@ def rk4_interval_decode_fused(
         ],
         out_specs=[
             pl.BlockSpec(
-                (TILE_N, Da), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (tile, Da), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((TILE_N,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_tiles * TILE_N, Da), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles * TILE_N,), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles * tile, Da), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles * tile,), jnp.int32),
         ],
         interpret=interpret,
     )(

@@ -251,6 +251,7 @@ class TestDiscreteAdjoint:
                     rtol=2e-3, atol=2e-5,
                 )
 
+    @pytest.mark.slow
     @pytest.mark.parametrize("store_f,ckpt_every,ckpt_dtype,tol", [
         (True, 1, None, 1e-6), (True, 4, None, 1e-6),
         ("bf16", 1, None, 5e-3), ("bf16", 1, "bf16", 2e-2),
@@ -287,6 +288,17 @@ class TestDiscreteAdjoint:
             np.testing.assert_allclose(
                 np.asarray(gf[1][k]), np.asarray(gb[1][k]),
                 rtol=tol, atol=tol)
+
+    def test_invalid_store_f_and_ckpt_dtype_raise(self):
+        """Typo'd knob values must fail loudly at trace time, not pick a
+        silently different memory/precision configuration."""
+        from ananke_abm_tpu.ode import odeint_discrete_adjoint
+
+        rhs, y0, ts, args = self._mlp_setup()
+        with pytest.raises(ValueError, match="store_f"):
+            odeint_discrete_adjoint(rhs, y0, ts, args, store_f="auto")
+        with pytest.raises(ValueError, match="ckpt_dtype"):
+            odeint_discrete_adjoint(rhs, y0, ts, args, ckpt_dtype="fp16")
 
     def test_jit_compose_and_scalar_args(self):
         from ananke_abm_tpu.ode import odeint_discrete_adjoint

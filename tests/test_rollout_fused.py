@@ -166,6 +166,7 @@ def test_interval_fused_decode_matches_per_step_kernel(num_blocks):
     )
 
 
+@pytest.mark.slow
 def test_multi_tile_grid_matches_single_tile():
     """Cross-tile grid indexing: the same rollout split over several
     agent tiles (TILE_N patched small, ragged tail) must emit exactly
