@@ -500,6 +500,20 @@ def train(
             graph=(),
             accum=accum_steps,
         )
+    elif config.method == "dopri5":
+        # the adaptive solver's while_loop is not reverse-differentiable:
+        # training MUST route through an adjoint (params threaded as
+        # solver args, never closure-captured — CLAUDE.md). Discrete
+        # mode = backprop through the accepted-step sequence, the
+        # config-3 measured path.
+        epoch_fn = make_epoch_fn(
+            optimizer,
+            build_adjoint_loss_fn_g(
+                model, config, static, adjoint_mode="discrete"
+            ),
+            graph=_unpack_static(static),
+            accum=accum_steps,
+        )
     else:
         epoch_fn = make_epoch_fn(
             optimizer, _build_loss_fn_g(model, config),
@@ -714,68 +728,17 @@ def serve(
     }
 
 
-def make_adjoint_step_fns(model, optimizer, config, static,
-                          use_fused="auto", adjoint_mode="continuous",
-                          max_accepted=512, ckpt_every=16,
-                          bwd_precision=None, store_f="auto"):
-    """Training step whose integration uses adaptive DOPRI5 with
-    adjoint gradients (BASELINE config 3: "adaptive dopri5 + adjoint
-    gradients through the GAT dynamics").
-
-    The flax params are threaded through the solver's differentiable
-    ``args`` (NOT closure-captured — see CLAUDE.md), so the custom_vjp
-    propagates cotangents into the drift/attention weights; zone embeddings
-    and contexts ride along in args and receive gradients the same way.
-
-    ``adjoint_mode``:
-
-    - ``"continuous"`` — torchdiffeq-style continuous adjoint
-      (ode/adjoint.py): a second adaptive solve of the augmented system
-      per output interval.
-    - ``"discrete"`` — backprop through the forward's accepted step
-      sequence (ode/discrete_adjoint.py): the exact gradient of the
-      computed output at roughly the forward's own step count instead
-      of a ~3x augmented re-solve; ``max_accepted``/``ckpt_every`` size
-      its recording buffers (a solve exceeding ``max_accepted``
-      accepted steps NaN-poisons loudly).
-
-    ``use_fused``: "auto" engages the Pallas kernels on TPU when their
-    contract holds (attn_temp == 1.0, num_blocks >= 1, Z small enough
-    for the VMEM-replicated zone table); True forces them (interpret
-    mode off-TPU); False keeps generic XLA + ``jax.vjp``. What gets
-    fused depends on the mode — continuous: the backward's augmented
-    RHS (one eval + full VJP per launch,
-    ops/pallas/fused_rhs.py::drift_rhs_and_vjp; forward stays XLA —
-    the single-eval fused forward kernel measured SLOWER than XLA's
-    fusion, 2279 vs 1600 ms at config-3 dims,
-    docs/evidence_round4/config3_fused.json). Discrete: whole DOPRI5
-    steps — one kernel per attempted forward step and one
-    recompute+VJP kernel per accepted backward step
-    (ops/pallas/fused_dopri5.py). All kernels share the serving/
-    fixed-step stage math; the continuous-mode RHS kernel keeps the
-    bf16 matmul precision class (gradient cosine vs the XLA path
-    0.9999997 at 98k agents) while the discrete-mode step kernels run
-    f32 activations — bf16 stage rounding noise-floors the embedded
-    5(4) error estimate and blows up the controller's step count
-    (see ops/pallas/fused_dopri5.py). ``bwd_precision`` (discrete mode
-    only; None = follow the forward's f32) sets the BACKWARD step-VJP
-    kernel's class independently: "bf16" buys 1-pass MXU matmuls in
-    the weight-gradient dots at the fixed-step trainer's tested ~4e-3
-    relative gradient-noise budget, without touching the f32
-    controller or its accepted-step sequence.
-
-    ``store_f`` (discrete mode): record the pre-step FSAL eval at every
-    checkpoint so the backward skips its per-segment ``rhs``
-    re-evaluation. End-to-end effect is modest — 1611.7 -> 1587.5
-    ms/step at config-3 scale (XLA overlaps most of the re-eval;
-    docs/evidence_round4/config3_storef.json) — but free at the
-    bf16 noise class. "auto" enables it when ``ckpt_every == 1`` AND
-    ``bwd_precision == "bf16"`` — there the eval is per-step, and
-    storing BOTH buffers bf16 (states + FSAL evals, the bf16 backward's
-    existing linearization noise class) costs exactly what the f32
-    state buffer alone did; the f32 pair OOMs one chip at config-3
-    scale. True/"bf16"/False force it.
-    """
+def build_adjoint_loss_fn_g(model, config, static,
+                            use_fused="auto", adjoint_mode="continuous",
+                            max_accepted=512, ckpt_every=16,
+                            bwd_precision=None, store_f="auto"):
+    """Graph-threaded ``loss_fn_g(params, pf, hz, targets, graph)`` whose
+    integration uses adaptive DOPRI5 with adjoint gradients — the loss
+    core shared by :func:`make_adjoint_step_fns` (per-step trainer) and
+    :func:`train`'s ``method="dopri5"`` epoch path (make_epoch_fn).
+    ``static`` is used only for the ``use_fused="auto"`` geometry check;
+    the graph itself arrives as the loss's final argument. See
+    :func:`make_adjoint_step_fns` for the knob semantics."""
     from ananke_abm_tpu.ode import odeint_adjoint, odeint_discrete_adjoint
 
     if adjoint_mode not in ("continuous", "discrete"):
@@ -858,6 +821,81 @@ def make_adjoint_step_fns(model, optimizer, config, static,
         nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
         acc = jnp.mean(jnp.argmax(logits, -1) == targets)
         return jnp.mean(nll), acc
+
+    return loss_fn_g
+
+
+def make_adjoint_step_fns(model, optimizer, config, static,
+                          use_fused="auto", adjoint_mode="continuous",
+                          max_accepted=512, ckpt_every=16,
+                          bwd_precision=None, store_f="auto"):
+    """Training step whose integration uses adaptive DOPRI5 with
+    adjoint gradients (BASELINE config 3: "adaptive dopri5 + adjoint
+    gradients through the GAT dynamics").
+
+    The flax params are threaded through the solver's differentiable
+    ``args`` (NOT closure-captured — see CLAUDE.md), so the custom_vjp
+    propagates cotangents into the drift/attention weights; zone embeddings
+    and contexts ride along in args and receive gradients the same way.
+
+    ``adjoint_mode``:
+
+    - ``"continuous"`` — torchdiffeq-style continuous adjoint
+      (ode/adjoint.py): a second adaptive solve of the augmented system
+      per output interval.
+    - ``"discrete"`` — backprop through the forward's accepted step
+      sequence (ode/discrete_adjoint.py): the exact gradient of the
+      computed output at roughly the forward's own step count instead
+      of a ~3x augmented re-solve; ``max_accepted``/``ckpt_every`` size
+      its recording buffers (a solve exceeding ``max_accepted``
+      accepted steps NaN-poisons loudly).
+
+    ``use_fused``: "auto" engages the Pallas kernels on TPU when their
+    contract holds (attn_temp == 1.0, num_blocks >= 1, Z small enough
+    for the VMEM-replicated zone table); True forces them (interpret
+    mode off-TPU); False keeps generic XLA + ``jax.vjp``. What gets
+    fused depends on the mode — continuous: the backward's augmented
+    RHS (one eval + full VJP per launch,
+    ops/pallas/fused_rhs.py::drift_rhs_and_vjp; forward stays XLA —
+    the single-eval fused forward kernel measured SLOWER than XLA's
+    fusion, 2279 vs 1600 ms at config-3 dims,
+    docs/evidence_round4/config3_fused.json). Discrete: whole DOPRI5
+    steps — one kernel per attempted forward step and one
+    recompute+VJP kernel per accepted backward step
+    (ops/pallas/fused_dopri5.py). All kernels share the serving/
+    fixed-step stage math; the continuous-mode RHS kernel keeps the
+    bf16 matmul precision class (gradient cosine vs the XLA path
+    0.9999997 at 98k agents) while the discrete-mode step kernels run
+    f32 activations — bf16 stage rounding noise-floors the embedded
+    5(4) error estimate and blows up the controller's step count
+    (see ops/pallas/fused_dopri5.py). ``bwd_precision`` (discrete mode
+    only; None = follow the forward's f32) sets the BACKWARD step-VJP
+    kernel's class independently: "bf16" buys 1-pass MXU matmuls in
+    the weight-gradient dots at the fixed-step trainer's tested ~4e-3
+    relative gradient-noise budget, without touching the f32
+    controller or its accepted-step sequence.
+
+    ``store_f`` (discrete mode): record the pre-step FSAL eval at every
+    checkpoint so the backward skips its per-segment ``rhs``
+    re-evaluation. End-to-end effect is modest — 1611.7 -> 1587.5
+    ms/step at config-3 scale (XLA overlaps most of the re-eval;
+    docs/evidence_round4/config3_storef.json) — but free at the
+    bf16 noise class. "auto" enables it when ``ckpt_every == 1`` AND
+    ``bwd_precision == "bf16"`` — there the eval is per-step, and
+    storing BOTH buffers bf16 (states + FSAL evals, the bf16 backward's
+    existing linearization noise class) costs exactly what the f32
+    state buffer alone did; the f32 pair OOMs one chip at config-3
+    scale. True/"bf16"/False force it.
+    """
+    loss_fn_g = build_adjoint_loss_fn_g(
+        model, config, static, use_fused=use_fused,
+        adjoint_mode=adjoint_mode, max_accepted=max_accepted,
+        ckpt_every=ckpt_every, bwd_precision=bwd_precision,
+        store_f=store_f,
+    )
+    # graph threaded as a jit argument, not closure-captured — see
+    # make_step_fns
+    graph = _unpack_static(static)
 
     @jax.jit
     def train_step_g(params, opt_state, pf, hz, targets, graph):

@@ -103,18 +103,38 @@ def make_sharded_train_step(model, optimizer, config, mesh, static,
         )
         x0 = _constraint(mesh, x0, AGENT_AXIS)
 
-        from ananke_abm_tpu.ode import odeint
+        if config.method == "dopri5":
+            # the adaptive while_loop is not reverse-differentiable under
+            # jax.value_and_grad: route through the discrete adjoint with
+            # params/h/zone_emb threaded as solver args (never
+            # closure-captured into the custom_vjp — CLAUDE.md)
+            from ananke_abm_tpu.ode import odeint_discrete_adjoint
 
-        def rhs(t, x, args):
-            x = _constraint(mesh, x, AGENT_AXIS)
-            return model.apply(
-                {"params": params}, t, x, h, zone_emb, method=model.rhs
+            def rhs_a(t, x, args):
+                p_, h_, ze_ = args
+                x = _constraint(mesh, x, AGENT_AXIS)
+                return model.apply(
+                    {"params": p_}, t, x, h_, ze_, method=model.rhs
+                )
+
+            xs = odeint_discrete_adjoint(
+                rhs_a, x0, times, (params, h, zone_emb),
+                rtol=config.rtol, atol=config.atol,
             )
+        else:
+            from ananke_abm_tpu.ode import odeint
 
-        xs = odeint(
-            rhs, x0, times, method=config.method, substeps=config.substeps,
-            rtol=config.rtol, atol=config.atol, adjoint=False,
-        )
+            def rhs(t, x, args):
+                x = _constraint(mesh, x, AGENT_AXIS)
+                return model.apply(
+                    {"params": params}, t, x, h, zone_emb, method=model.rhs
+                )
+
+            xs = odeint(
+                rhs, x0, times, method=config.method,
+                substeps=config.substeps,
+                rtol=config.rtol, atol=config.atol, adjoint=False,
+            )
         xs = jnp.swapaxes(xs, 0, 1)  # (N, T, Da)
         logits = model.apply(
             {"params": params}, xs, zone_emb, method=model.decode
