@@ -36,6 +36,10 @@ def plot_overview(ref_npz: str, ref_meta: str, compare_dir: str, outdir: str):
     assert_same_temporal_grid(ref, models)
     ensure_dir(outdir)
     plot_lorenz_gini(ref, models, outdir, color_map=MODEL_COLORS)
-    plot_tod_curves(ref, models, outdir)
+    # thread the reference grid: a 30-min grid plotted at the 5-min
+    # default would compress the time axis 6x (duration boxplots read
+    # grid_min from ref themselves)
+    plot_tod_curves(ref, models, outdir,
+                    time_grid=ref.get("grid_min") or 5)
     plot_duration_boxplots(ref, models, outdir)
     return outdir

@@ -341,7 +341,33 @@ def odeint_discrete_adjoint(
     of the accepted state. With both narrowed, ``store_f`` costs no
     memory over the plain f32 state buffer. Values are unaffected
     (checkpoints are only read by the backward).
+
+    ``step_impl``/``step_vjp`` must be provided TOGETHER (e.g. from
+    :func:`ops.pallas.fused_dopri5.make_dopri5_step_pair`): the generic
+    ``jax.vjp`` fallback differentiates the step function itself, which
+    fails at trace time for a Pallas step kernel with no AD rule — an
+    opaque error far from the misuse site. A custom step_impl that IS
+    reverse-differentiable may opt into the fallback explicitly with
+    ``step_vjp="generic"``.
     """
+    if (step_impl is None) != (step_vjp is None):
+        raise ValueError(
+            "step_impl and step_vjp must be provided together (see "
+            "ops.pallas.fused_dopri5.make_dopri5_step_pair); the "
+            "generic fallback would jax.vjp the step function itself, "
+            "which fails at trace time for Pallas step kernels. Pass "
+            "step_vjp='generic' to differentiate a custom "
+            "reverse-differentiable step_impl, or step_impl='tableau' "
+            "to pair a custom step_vjp with the generic tableau step."
+        )
+    if isinstance(step_vjp, str):
+        if step_vjp != "generic":
+            raise ValueError(f"unknown step_vjp sentinel {step_vjp!r}")
+        step_vjp = None
+    if isinstance(step_impl, str):
+        if step_impl != "tableau":
+            raise ValueError(f"unknown step_impl sentinel {step_impl!r}")
+        step_impl = None
     return _odeint_disc(
         rhs, step_impl, step_vjp, rtol, atol, max_steps, max_accepted,
         ckpt_every, store_f, ckpt_dtype, y0, jnp.asarray(ts), args,

@@ -247,8 +247,11 @@ def dopri5_solve(
     else:
         # traced/array first_step: values <= 0 mean "auto" — lax.cond
         # runs HINIT's two probe evals only when actually needed. This
-        # is the warm-restart hook (ode/adjoint.py threads the previous
-        # interval's proposed step through its backward scan).
+        # is the warm-restart hook; NOTE it is currently unused —
+        # ode/adjoint.py measured threading the previous interval's
+        # proposed step through its backward scan and REJECTED it
+        # (669 vs 643 aug steps, see adjoint.py:29-33) — kept for
+        # callers with correlated intervals.
         fs = jnp.asarray(first_step, dtype=ts.dtype)
         h_init = jax.lax.cond(
             fs > 0,

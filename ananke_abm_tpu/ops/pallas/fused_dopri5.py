@@ -65,7 +65,12 @@ from ananke_abm_tpu.ops.pallas.fused_step import (
 TILE_N_FWD = 2048
 TILE_N_BWD = 1024
 
-_VMEM_100MB = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+from ananke_abm_tpu.ops.pallas.tiling import (  # noqa: E402
+    VMEM_100MB as _VMEM_100MB,
+    pad_tile as _pad_tile,
+    rep_spec as _rep,
+    tile_spec as _tile_spec,
+)
 
 # embedded-error coefficients b5 - b4 (k7's b5 is 0)
 _BE = tuple(b5 - b4 for b5, b4 in zip(_B5, _B4))
@@ -84,27 +89,6 @@ def _mk_cast(precision):
     if precision == "bf16":
         return _to16
     raise ValueError(f"precision must be 'f32' or 'bf16', got {precision!r}")
-
-
-def _pad_tile(x, tile):
-    n = x.shape[0]
-    n_tiles = -(-n // tile)
-    pad = n_tiles * tile - n
-    if pad:
-        x = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
-    return x, n_tiles
-
-
-def _rep(shape):
-    if len(shape) == 1:
-        return pl.BlockSpec(shape, lambda i: (0,), memory_space=pltpu.VMEM)
-    zeros = (0,) * len(shape)
-    return pl.BlockSpec(shape, lambda i: zeros, memory_space=pltpu.VMEM)
-
-
-def _tile_spec(d, tile):
-    return pl.BlockSpec((tile, d), lambda i: (i, 0),
-                        memory_space=pltpu.VMEM)
 
 
 def stage_time_rows(t0, h_step, W1t, b1):

@@ -100,28 +100,20 @@ def time_row(t, W1t, b1):
         jnp.float32)[None, :]
 
 
+from ananke_abm_tpu.ops.pallas.tiling import (  # noqa: E402
+    VMEM_100MB as _VMEM_100MB,
+    pad_tile,
+    rep_spec as _rep,
+    tile_spec,
+)
+
+
 def _pad_tile(x):
-    n = x.shape[0]
-    n_tiles = -(-n // TILE_N)
-    pad = n_tiles * TILE_N - n
-    if pad:
-        x = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
-    return x, n_tiles
-
-
-def _rep(shape):
-    if len(shape) == 1:
-        return pl.BlockSpec(shape, lambda i: (0,), memory_space=pltpu.VMEM)
-    zeros = (0,) * len(shape)
-    return pl.BlockSpec(shape, lambda i: zeros, memory_space=pltpu.VMEM)
+    return pad_tile(x, TILE_N)
 
 
 def _tile_spec(d):
-    return pl.BlockSpec((TILE_N, d), lambda i: (i, 0),
-                        memory_space=pltpu.VMEM)
-
-
-_VMEM_100MB = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    return tile_spec(d, TILE_N)
 
 
 def drift_rhs_fused(x, h, ze, tf_row, Wq, W1xc, W1h, blocks, W3, b3,

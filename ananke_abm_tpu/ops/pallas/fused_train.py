@@ -136,20 +136,10 @@ def _day_core_bwd(interpret, res, g_xs):
 _day_core.defvjp(_day_core_fwd, _day_core_bwd)
 
 
-def _pad_tiles(x, tile):
-    n = x.shape[0]
-    n_tiles = -(-n // tile)
-    pad = n_tiles * tile - n
-    if pad:
-        x = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
-    return x, n_tiles
-
-
-def _rep(shape):
-    if len(shape) == 1:
-        return pl.BlockSpec(shape, lambda i: (0,), memory_space=pltpu.VMEM)
-    zeros = (0,) * len(shape)
-    return pl.BlockSpec(shape, lambda i: zeros, memory_space=pltpu.VMEM)
+from ananke_abm_tpu.ops.pallas.tiling import (  # noqa: E402
+    pad_tile as _pad_tiles,
+    rep_spec as _rep,
+)
 
 
 def _day_fwd_impl(x0, h, ze, Wq, W1xc, W1h, tf_pre, blocks, W3, b3, dts,

@@ -95,14 +95,14 @@ def _zone_gat_local(gat_params, zone_feats_local, adj_rows_local, *,
     return h
 
 
-def encode_zones_ring(params, zone_feats, adj, mesh, *, heads, num_layers,
-                      axis_name: str = ZONE_AXIS):
-    """Zone-sharded GATODE.encode_zones with ring halo exchange.
-
-    ``params``: the GATODE param tree (uses ``params["zone_gat"]``).
-    Returns (Z, Dz) zone embeddings sharded over ``axis_name``.
-    """
-    Z = zone_feats.shape[0]
+def ring_encoder_shard_map(mesh, Z, *, heads, num_layers,
+                           axis_name: str = ZONE_AXIS):
+    """The shard_map'd ring zone encoder
+    ``(gat_params, zone_feats, adj) -> zone_emb`` (all zone-sharded over
+    ``axis_name``, params replicated) — the ONE place the ring contract
+    (divisibility check, col_block derivation, in/out specs) is wired;
+    used by :func:`encode_zones_ring` standalone and composed inside
+    ``parallel/sharded.py::make_sharded_train_step(zone_ring=True)``."""
     n_shards = dict(zip(mesh.axis_names, mesh.devices.shape))[axis_name]
     if Z % n_shards:
         raise ValueError(f"Z={Z} not divisible by {axis_name}={n_shards}")
@@ -113,12 +113,25 @@ def encode_zones_ring(params, zone_feats, adj, mesh, *, heads, num_layers,
         axis_name=axis_name, n_shards=n_shards, col_block=col_block,
         heads=heads, num_layers=num_layers,
     )
-    sharded = jax.shard_map(
+    return jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(P(), P(axis_name), P(axis_name)),
         out_specs=P(axis_name),
         check_vma=False,
+    )
+
+
+def encode_zones_ring(params, zone_feats, adj, mesh, *, heads, num_layers,
+                      axis_name: str = ZONE_AXIS):
+    """Zone-sharded GATODE.encode_zones with ring halo exchange.
+
+    ``params``: the GATODE param tree (uses ``params["zone_gat"]``).
+    Returns (Z, Dz) zone embeddings sharded over ``axis_name``.
+    """
+    sharded = ring_encoder_shard_map(
+        mesh, zone_feats.shape[0], heads=heads, num_layers=num_layers,
+        axis_name=axis_name,
     )
     rep = NamedSharding(mesh, P())
     zsh = NamedSharding(mesh, P(axis_name))

@@ -54,36 +54,24 @@ def make_sharded_train_step(model, optimizer, config, mesh, static,
     ring), and the step is numerically the ``zone_ring=False`` step
     (tested on the 8-device mesh).
     """
-    import functools as _ft
-
     from ananke_abm_tpu.models.gnn_embed.train import _unpack_static
 
     graph = _unpack_static(static)
     ring_enc = None
     if zone_ring:
-        from ananke_abm_tpu.parallel.halo import _zone_gat_local
+        from ananke_abm_tpu.parallel.halo import ring_encoder_shard_map
 
         if graph[1] is None:
             raise ValueError(
                 "zone_ring=True needs the dense adjacency (the ring "
                 "streams (Z, Z) mask columns); got adj=None"
             )
-        Z = static[0].shape[0]
-        n_sh = mesh.shape[ZONE_AXIS]
-        if Z % n_sh:
-            raise ValueError(
-                f"Z={Z} not divisible by zone axis size {n_sh}"
-            )
-        ring_enc = jax.shard_map(
-            _ft.partial(
-                _zone_gat_local,
-                axis_name=ZONE_AXIS, n_shards=n_sh, col_block=Z // n_sh,
-                heads=config.gat_heads, num_layers=config.gat_layers,
-            ),
-            mesh=mesh,
-            in_specs=(P(), P(ZONE_AXIS), P(ZONE_AXIS)),
-            out_specs=P(ZONE_AXIS),
-            check_vma=False,
+        # the ring contract (divisibility, col_block, specs) is wired
+        # once in halo.py — this step and the standalone encoder share it
+        ring_enc = ring_encoder_shard_map(
+            mesh, static[0].shape[0],
+            heads=config.gat_heads, num_layers=config.gat_layers,
+            axis_name=ZONE_AXIS,
         )
 
     def loss_fn(params, pf, hz, targets, graph):

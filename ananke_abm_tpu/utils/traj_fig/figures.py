@@ -27,17 +27,6 @@ PURPOSE_PALETTE = {
     "Accompanying": "#fd8d3c",  # light orange
     "Other": "#969696",         # grey
 }
-_FALLBACK = ["#1f77b4", "#ff7f0e", "#2ca02c", "#d62728", "#9467bd",
-             "#8c564b", "#7f7f7f", "#bcbd22", "#17becf"]
-
-
-def _colors(names):
-    return [
-        PURPOSE_PALETTE.get(n, _FALLBACK[i % len(_FALLBACK)])
-        for i, n in enumerate(names)
-    ]
-
-
 def _shares(Y: np.ndarray, P: int) -> np.ndarray:
     """(T, P) per-bin purpose shares across persons."""
     N, T = Y.shape

@@ -426,3 +426,20 @@ class TestComparisonsAndOverview:
         for root, _, files in os.walk(outdir):
             out += [f for f in files if f.endswith(".png")]
         assert len(out) >= 3, out
+
+    def test_plot_overview_threads_grid_min(self, tmp_path, monkeypatch):
+        """The ToD time axis must follow the reference grid: at
+        grid_min=60 a 24-bin day spans 24 h, not the 5-min default's
+        2 h (regression: plot_overview dropped ref['grid_min'])."""
+        import ananke_abm_tpu.models.gen_schedule.compare.plot_viz as pv
+
+        seen = {}
+
+        def fake_tod(ref, models, outdir, time_grid=5, **kw):
+            seen["time_grid"] = time_grid
+
+        monkeypatch.setattr(pv, "plot_tod_curves", fake_tod)
+        ref_npz, ref_meta, _ = self._make_world(tmp_path)
+        pv.plot_overview(ref_npz, ref_meta, str(tmp_path),
+                         str(tmp_path / "viz2"))
+        assert seen["time_grid"] == 60

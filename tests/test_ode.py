@@ -300,6 +300,33 @@ class TestDiscreteAdjoint:
         with pytest.raises(ValueError, match="ckpt_dtype"):
             odeint_discrete_adjoint(rhs, y0, ts, args, ckpt_dtype="fp16")
 
+    def test_unpaired_step_hooks_raise(self):
+        """step_impl without step_vjp (or vice versa) must fail loudly
+        at the call site — the generic jax.vjp fallback would otherwise
+        die deep in tracing when the step is a Pallas kernel with no AD
+        rule. The explicit sentinels opt back in."""
+        from ananke_abm_tpu.ode import odeint_discrete_adjoint
+
+        rhs, y0, ts, args = self._mlp_setup()
+        fake_step = lambda t0, h, y, f, a: None
+        fake_vjp = lambda t0, h, y, f, a, g: None
+        with pytest.raises(ValueError, match="together"):
+            odeint_discrete_adjoint(rhs, y0, ts, args, step_impl=fake_step)
+        with pytest.raises(ValueError, match="together"):
+            odeint_discrete_adjoint(rhs, y0, ts, args, step_vjp=fake_vjp)
+        with pytest.raises(ValueError, match="sentinel"):
+            odeint_discrete_adjoint(
+                rhs, y0, ts, args, step_impl=fake_step, step_vjp="generic?"
+            )
+        # sentinel pair == plain tableau path: runs and matches dopri5
+        ys = odeint_discrete_adjoint(
+            rhs, y0, ts, args, step_impl="tableau", step_vjp="generic"
+        )
+        ref, _ = dopri5_solve(rhs, y0, ts, args)
+        np.testing.assert_allclose(
+            np.asarray(ys), np.asarray(ref), rtol=1e-6, atol=1e-6
+        )
+
     def test_jit_compose_and_scalar_args(self):
         from ananke_abm_tpu.ode import odeint_discrete_adjoint
 
