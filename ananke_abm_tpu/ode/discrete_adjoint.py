@@ -343,7 +343,7 @@ def odeint_discrete_adjoint(
     (checkpoints are only read by the backward).
 
     ``step_impl``/``step_vjp`` must be provided TOGETHER (e.g. from
-    :func:`ops.pallas.fused_dopri5.make_dopri5_step_pair`): the generic
+    :func:`ops.pallas.fused_dopri5.make_fused_dopri5_hooks`): the generic
     ``jax.vjp`` fallback differentiates the step function itself, which
     fails at trace time for a Pallas step kernel with no AD rule — an
     opaque error far from the misuse site. A custom step_impl that IS
@@ -353,7 +353,7 @@ def odeint_discrete_adjoint(
     if (step_impl is None) != (step_vjp is None):
         raise ValueError(
             "step_impl and step_vjp must be provided together (see "
-            "ops.pallas.fused_dopri5.make_dopri5_step_pair); the "
+            "ops.pallas.fused_dopri5.make_fused_dopri5_hooks); the "
             "generic fallback would jax.vjp the step function itself, "
             "which fails at trace time for Pallas step kernels. Pass "
             "step_vjp='generic' to differentiate a custom "

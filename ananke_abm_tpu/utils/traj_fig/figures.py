@@ -27,6 +27,8 @@ PURPOSE_PALETTE = {
     "Accompanying": "#fd8d3c",  # light orange
     "Other": "#969696",         # grey
 }
+
+
 def _shares(Y: np.ndarray, P: int) -> np.ndarray:
     """(T, P) per-bin purpose shares across persons."""
     N, T = Y.shape
