@@ -31,6 +31,7 @@ def build_model(cfg: dict, meta: dict):
             cnn_channels=tuple(cfg["model"].get("cnn_channels", [64, 64])),
             cnn_kernel=cfg["model"].get("cnn_kernel", 5),
             cnn_dropout=cfg["model"].get("cnn_dropout", 0.1),
+            cnn_norm=cfg["model"].get("cnn_norm", "group"),
         )
         return model, None
 
@@ -61,6 +62,7 @@ def build_model(cfg: dict, meta: dict):
             cnn_channels=tuple(cfg["model"].get("cnn_channels", [64, 64])),
             cnn_kernel=cfg["model"].get("cnn_kernel", 5),
             cnn_dropout=cfg["model"].get("cnn_dropout", 0.1),
+            cnn_norm=cfg["model"].get("cnn_norm", "group"),
             use_pds=True,
         )
         return model, pds_features

@@ -60,20 +60,37 @@ def _resolve_splits_path(cfg: dict) -> str:
 
 def make_loss_fn(model, home_idx, lambdas, pds_arrays):
     """Build the composite masked loss. pds_arrays is None or a dict with
-    pds_features (P,T,D), m_tod (P,T), presence (P,)."""
+    pds_features (P,T,D), m_tod (P,T), presence (P,).
 
-    def loss_fn(params, batch_y, mask, rng, beta, deterministic):
+    ``stats`` is the mutable ``batch_stats`` collection (empty dict unless
+    the model uses ``cnn_norm="batch"``); the updated collection rides the
+    aux so the train scan can carry it (torch running-stat semantics)."""
+
+    def loss_fn(params, stats, batch_y, mask, rng, beta, deterministic):
         pds_features = (
             pds_arrays["pds_features"] if pds_arrays is not None else None
         )
-        logits, mu, logvar = model.apply(
-            {"params": params},
-            batch_y,
-            rng,
-            pds_features=pds_features,
-            deterministic=deterministic,
-            rngs={"dropout": jax.random.fold_in(rng, 1)},
-        )
+        if stats:
+            (logits, mu, logvar), mutated = model.apply(
+                {"params": params, "batch_stats": stats},
+                batch_y,
+                rng,
+                pds_features=pds_features,
+                deterministic=deterministic,
+                rngs={"dropout": jax.random.fold_in(rng, 1)},
+                mutable=["batch_stats"],
+            )
+            new_stats = mutated["batch_stats"]
+        else:
+            logits, mu, logvar = model.apply(
+                {"params": params},
+                batch_y,
+                rng,
+                pds_features=pds_features,
+                deterministic=deterministic,
+                rngs={"dropout": jax.random.fold_in(rng, 1)},
+            )
+            new_stats = stats
         ce = cross_entropy_masked(logits, batch_y, mask)
         kl = kl_gaussian(mu, logvar, mask)
         tv = time_total_variation(logits, mask)
@@ -104,7 +121,7 @@ def make_loss_fn(model, home_idx, lambdas, pds_arrays):
             comps["presence"] = jnp.zeros(())
             comps["share"] = jnp.zeros(())
         comps["loss"] = loss
-        return loss, comps
+        return loss, (comps, new_stats)
 
     return loss_fn
 
@@ -136,8 +153,10 @@ def _make_epoch_bodies(
         def shard_rows(x):
             return x
 
-    def train_epoch(params, opt_state, Y, key, beta, n_batches):
-        """One epoch: shuffle, scan over batches, sgd updates on device."""
+    def train_epoch(params, opt_state, stats, Y, key, beta, n_batches):
+        """One epoch: shuffle, scan over batches, sgd updates on device.
+        ``stats`` (batch_stats; {} for GroupNorm models) rides the scan
+        carry so running statistics accumulate across batches."""
         n = Y.shape[0]
         perm = jax.random.permutation(jax.random.fold_in(key, 0), n)
         pad = n_batches * batch_size - n
@@ -147,27 +166,27 @@ def _make_epoch_bodies(
         ) if pad else jnp.ones((n,), jnp.float32)
 
         def step(carry, i):
-            params, opt_state = carry
+            params, opt_state, stats = carry
             bidx = jax.lax.dynamic_slice_in_dim(idx, i * batch_size, batch_size)
             bmask = shard_rows(
                 jax.lax.dynamic_slice_in_dim(mask_full, i * batch_size, batch_size)
             )
             batch = shard_rows(Y[bidx])
             rng = jax.random.fold_in(key, i + 1)
-            grads, comps = jax.grad(loss_fn, has_aux=True)(
-                params, batch, bmask, rng, beta, False
+            grads, (comps, stats) = jax.grad(loss_fn, has_aux=True)(
+                params, stats, batch, bmask, rng, beta, False
             )
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return (params, opt_state), comps
+            return (params, opt_state, stats), comps
 
-        (params, opt_state), comps = jax.lax.scan(
-            step, (params, opt_state), jnp.arange(n_batches)
+        (params, opt_state, stats), comps = jax.lax.scan(
+            step, (params, opt_state, stats), jnp.arange(n_batches)
         )
         means = jax.tree_util.tree_map(jnp.mean, comps)
-        return params, opt_state, means
+        return params, opt_state, stats, means
 
-    def eval_epoch(params, Y, key, beta, n_batches):
+    def eval_epoch(params, stats, Y, key, beta, n_batches):
         n = Y.shape[0]
         pad = n_batches * batch_size - n
         idx = jnp.concatenate([jnp.arange(n), jnp.zeros((pad,), jnp.int32)]) if pad else jnp.arange(n)
@@ -181,7 +200,9 @@ def _make_epoch_bodies(
                 mask_full, i * batch_size, batch_size
             )
             rng = jax.random.fold_in(key, i + 1)
-            _, comps = loss_fn(params, Y[bidx], bmask, rng, beta, True)
+            _, (comps, _stats) = loss_fn(
+                params, stats, Y[bidx], bmask, rng, beta, True
+            )
             # weight by valid count so epoch mean is exact over rows
             w = jnp.sum(bmask)
             return None, (comps, w)
@@ -265,14 +286,15 @@ def make_chunked_train_fn(
                 1.0, epoch.astype(jnp.float32) / warmup_epochs
             )
             ekey = jax.random.fold_in(base_key, epoch)
-            p_new, o_new, tr_m = train_body(
-                state["params"], state["opt_state"], Y_train, ekey, beta,
-                n_tb,
+            p_new, o_new, s_new, tr_m = train_body(
+                state["params"], state["opt_state"], state["stats"],
+                Y_train, ekey, beta, n_tb,
             )
             params = _select(ran, p_new, state["params"])
             opt_state = _select(ran, o_new, state["opt_state"])
+            stats = _select(ran, s_new, state["stats"])
             va_m = (
-                eval_body(params, Y_val, ekey, beta, n_vb)
+                eval_body(params, stats, Y_val, ekey, beta, n_vb)
                 if has_val else tr_m
             )
             improvement = state["best_val"] - va_m["loss"]
@@ -280,6 +302,7 @@ def make_chunked_train_fn(
             best_val = jnp.where(improved, va_m["loss"], state["best_val"])
             best_params = _select(improved, params, state["best_params"])
             best_opt = _select(improved, opt_state, state["best_opt"])
+            best_stats = _select(improved, stats, state["best_stats"])
             best_epoch = jnp.where(improved, epoch, state["best_epoch"])
             wait = state["wait"] + ran.astype(jnp.int32)
             stop_now = jnp.logical_and(
@@ -293,8 +316,10 @@ def make_chunked_train_fn(
             new_state = {
                 "params": params,
                 "opt_state": opt_state,
+                "stats": stats,
                 "best_params": best_params,
                 "best_opt": best_opt,
+                "best_stats": best_stats,
                 "best_val": best_val,
                 "best_epoch": best_epoch,
                 "wait": wait,
@@ -307,12 +332,15 @@ def make_chunked_train_fn(
         )
         return state, tr_rows, va_rows, ran, stopped
 
-    def init_state(params, opt_state):
+    def init_state(params, opt_state, stats=None):
+        stats = {} if stats is None else stats
         return {
             "params": params,
             "opt_state": opt_state,
+            "stats": stats,
             "best_params": params,
             "best_opt": opt_state,
+            "best_stats": stats,
             "best_val": jnp.asarray(jnp.inf, jnp.float32),
             "best_epoch": jnp.asarray(0, jnp.int32),
             "wait": jnp.asarray(0, jnp.int32),
@@ -393,6 +421,9 @@ def train(config, output_dir: str, seed: int = 123, resume: bool = False,
         deterministic=True,
     )
     params = variables["params"]
+    # mutable running stats ({} unless cnn_norm="batch") — ride the train
+    # loop alongside params and land in every checkpoint
+    stats = variables.get("batch_stats", {})
     opt_state = optimizer.init(params)
     start_epoch = 1
 
@@ -401,6 +432,10 @@ def train(config, output_dir: str, seed: int = 123, resume: bool = False,
     if resume and os.path.exists(last_ckpt):
         obj = load_checkpoint(last_ckpt)
         params = jax.tree_util.tree_map(jnp.asarray, obj["params"])
+        if obj.get("batch_stats"):
+            stats = jax.tree_util.tree_map(
+                jnp.asarray, obj["batch_stats"]
+            )
         if "opt_state" in obj:
             opt_state = jax.tree_util.tree_map(
                 lambda ref, saved: jnp.asarray(saved).astype(ref.dtype)
@@ -441,13 +476,13 @@ def train(config, output_dir: str, seed: int = 123, resume: bool = False,
     ckpt_every = int(tr.get("ckpt_every", 25))
 
     best_val_loss = np.inf
-    best_state = None  # (params, opt_state, epoch) device refs
+    best_state = None  # (params, opt_state, stats, epoch) device refs
     wait = 0
     logs = []
     epoch = start_epoch - 1
 
     if epochs_per_jit > 1:
-        state = init_chunk_state(params, opt_state)
+        state = init_chunk_state(params, opt_state, stats)
         for chunk_start in range(
             start_epoch, num_epochs + 1, epochs_per_jit
         ):
@@ -480,11 +515,13 @@ def train(config, output_dir: str, seed: int = 123, resume: bool = False,
                 )
             params = state["params"]
             opt_state = state["opt_state"]
+            stats = state["stats"]
             if (epoch // ckpt_every) > ((chunk_start - 1) // ckpt_every):
                 save_checkpoint(
                     {
                         "params": params,
                         "opt_state": opt_state,
+                        "batch_stats": stats,
                         "meta": meta,
                         "cfg": cfg,
                         "epoch": epoch,
@@ -499,6 +536,7 @@ def train(config, output_dir: str, seed: int = 123, resume: bool = False,
             best_state = (
                 state["best_params"],
                 state["best_opt"],
+                state["best_stats"],
                 int(jax.device_get(state["best_epoch"])),
             )
         else:
@@ -511,11 +549,11 @@ def train(config, output_dir: str, seed: int = 123, resume: bool = False,
     for epoch in per_epoch_range:
         beta = beta_target * min(1.0, epoch / warmup_epochs)
         ekey = jax.random.fold_in(base_key, epoch)
-        params, opt_state, tr_m = train_epoch(
-            params, opt_state, Y_train, ekey, beta, n_tb
+        params, opt_state, stats, tr_m = train_epoch(
+            params, opt_state, stats, Y_train, ekey, beta, n_tb
         )
         if Y_val.shape[0] > 0:
-            va_m = eval_epoch(params, Y_val, ekey, beta, n_vb)
+            va_m = eval_epoch(params, stats, Y_val, ekey, beta, n_vb)
         else:
             va_m = tr_m
         tr_m = jax.device_get(tr_m)
@@ -526,6 +564,7 @@ def train(config, output_dir: str, seed: int = 123, resume: bool = False,
                 {
                     "params": params,
                     "opt_state": opt_state,
+                    "batch_stats": stats,
                     "meta": meta,
                     "cfg": cfg,
                     "epoch": epoch,
@@ -546,7 +585,7 @@ def train(config, output_dir: str, seed: int = 123, resume: bool = False,
         improved = improvement > IMPROVEMENT_THRESHOLD
         if improved:
             best_val_loss = float(va_m["loss"])
-            best_state = (params, opt_state, epoch)
+            best_state = (params, opt_state, stats, epoch)
 
         # reference semantics (train.py:249-253): past min_epochs, stop once
         # `wait` reaches `patience` (patience=0 stops right at min_epochs)
@@ -561,6 +600,7 @@ def train(config, output_dir: str, seed: int = 123, resume: bool = False,
         {
             "params": params,
             "opt_state": opt_state,
+            "batch_stats": stats,
             "meta": meta,
             "cfg": cfg,
             "epoch": epoch,
@@ -568,11 +608,12 @@ def train(config, output_dir: str, seed: int = 123, resume: bool = False,
         last_ckpt,
     )
     if best_state is not None:
-        b_params, b_opt, b_epoch = best_state
+        b_params, b_opt, b_stats, b_epoch = best_state
         save_checkpoint(
             {
                 "params": b_params,
                 "opt_state": b_opt,
+                "batch_stats": b_stats,
                 "meta": meta,
                 "cfg": cfg,
                 "epoch": b_epoch,
@@ -588,6 +629,7 @@ def train(config, output_dir: str, seed: int = 123, resume: bool = False,
             {
                 "params": params,
                 "opt_state": opt_state,
+                "batch_stats": stats,
                 "meta": meta,
                 "cfg": cfg,
                 "epoch": num_epochs,

@@ -39,6 +39,7 @@ class ScheduleVAE(nn.Module):
     cnn_channels: Sequence[int] = (64, 64)
     cnn_kernel: int = 5
     cnn_dropout: float = 0.1
+    cnn_norm: str = "group"
     rnn_hidden_dim: int = 64
     use_emb_layernorm: bool = False
     rnn_cell: str = "gru"
@@ -53,6 +54,7 @@ class ScheduleVAE(nn.Module):
                 cnn_channels=tuple(self.cnn_channels),
                 cnn_kernel=self.cnn_kernel,
                 cnn_dropout=self.cnn_dropout,
+                norm=self.cnn_norm,
             )
         elif self.encoder_kind == "rnn":
             self.encoder = ScheduleEncoderRNN(
