@@ -731,7 +731,8 @@ def serve(
 def build_adjoint_loss_fn_g(model, config, static,
                             use_fused="auto", adjoint_mode="continuous",
                             max_accepted=512, ckpt_every=16,
-                            bwd_precision=None, store_f="auto"):
+                            bwd_precision=None, store_f="auto",
+                            ckpt_dtype="auto"):
     """Graph-threaded ``loss_fn_g(params, pf, hz, targets, graph)`` whose
     integration uses adaptive DOPRI5 with adjoint gradients — the loss
     core shared by :func:`make_adjoint_step_fns` (per-step trainer) and
@@ -743,6 +744,7 @@ def build_adjoint_loss_fn_g(model, config, static,
 
     if adjoint_mode not in ("continuous", "discrete"):
         raise ValueError(f"unknown adjoint_mode {adjoint_mode!r}")
+    explicit_ckpt_dtype = None if ckpt_dtype == "auto" else ckpt_dtype
     ckpt_dtype = None
     if store_f == "auto":
         if ckpt_every == 1 and bwd_precision == "bf16":
@@ -752,6 +754,11 @@ def build_adjoint_loss_fn_g(model, config, static,
             store_f = ckpt_dtype = "bf16"
         else:
             store_f = False
+    if explicit_ckpt_dtype is not None:
+        # explicit override (e.g. ckpt_every=2 with a bf16 state buffer
+        # — halves checkpoint memory where the store_f auto-coupling
+        # doesn't engage); validation happens in dopri5_solve
+        ckpt_dtype = explicit_ckpt_dtype
 
     # graph threaded as a jit argument, not closure-captured — see
     # make_step_fns
@@ -783,7 +790,11 @@ def build_adjoint_loss_fn_g(model, config, static,
             )
 
             step_impl, step_vjp = make_fused_dopri5_hooks(
-                bwd_precision=bwd_precision)
+                bwd_precision=bwd_precision,
+                # in-kernel Hairer error reduction — the controller then
+                # skips its full-state norm pass (same rtol/atol as the
+                # solve below, threaded from the one config)
+                err_stats=(config.rtol, config.atol))
 
     def rhs(t, x, args):
         params, h, zone_emb = args
@@ -828,7 +839,8 @@ def build_adjoint_loss_fn_g(model, config, static,
 def make_adjoint_step_fns(model, optimizer, config, static,
                           use_fused="auto", adjoint_mode="continuous",
                           max_accepted=512, ckpt_every=16,
-                          bwd_precision=None, store_f="auto"):
+                          bwd_precision=None, store_f="auto",
+                          ckpt_dtype="auto"):
     """Training step whose integration uses adaptive DOPRI5 with
     adjoint gradients (BASELINE config 3: "adaptive dopri5 + adjoint
     gradients through the GAT dynamics").
@@ -886,12 +898,20 @@ def make_adjoint_step_fns(model, optimizer, config, static,
     existing linearization noise class) costs exactly what the f32
     state buffer alone did; the f32 pair OOMs one chip at config-3
     scale. True/"bf16"/False force it.
+
+    ``ckpt_dtype`` ("auto" | None | "bf16"): the state-checkpoint
+    buffer's dtype. "auto" follows the store_f coupling above (bf16
+    exactly when store_f auto-engages); an explicit "bf16" narrows the
+    buffer at any ``ckpt_every`` — the lever that halves checkpoint
+    memory for large chunks at ckpt_every >= 2 (the backward then
+    linearizes each segment start at a bf16-rounded state, the same
+    noise class as ``bwd_precision="bf16"``).
     """
     loss_fn_g = build_adjoint_loss_fn_g(
         model, config, static, use_fused=use_fused,
         adjoint_mode=adjoint_mode, max_accepted=max_accepted,
         ckpt_every=ckpt_every, bwd_precision=bwd_precision,
-        store_f=store_f,
+        store_f=store_f, ckpt_dtype=ckpt_dtype,
     )
     # graph threaded as a jit argument, not closure-captured — see
     # make_step_fns

@@ -167,17 +167,13 @@ def _disc_bwd(rhs, step_impl, step_vjp, rtol, atol, max_steps,
             else:
                 f_c = rhs(rec_t0[s * K], y_c, args)
 
-            if K == 1:
-                # ckpt_every=1: every accepted step's pre-step state is
-                # checkpointed, so there is NO segment recompute — the
-                # backward is one RHS eval (the FSAL f above) plus one
-                # step VJP per accepted step. This trades
-                # O(max_accepted) checkpoint memory for skipping a full
-                # forward replay (one fused step kernel per step).
-                ys_seg = _tm(lambda l: l[None], y_c)
-                fs_seg = _tm(lambda l: l[None], f_c)
-            else:
-                ys_seg = fs_seg = None
+            # ckpt_every=1: every accepted step's pre-step state is
+            # checkpointed, so there is NO segment recompute — the
+            # backward is one RHS eval (the FSAL f above) plus one
+            # step VJP per accepted step, called directly below (no
+            # stacks, no scan). This trades O(max_accepted) checkpoint
+            # memory for skipping a full forward replay.
+            ys_seg = fs_seg = None
 
             def fwd_body(cc, j):
                 y, f = cc
@@ -199,7 +195,13 @@ def _disc_bwd(rhs, step_impl, step_vjp, rtol, atol, max_steps,
                 g_y, g_f, g_args = cc
                 j, y_j, f_j = xs
                 idx = s * K + j
-                act = idx < n_acc
+                # K == 1: the outer cond (s*K < n_acc) already proves
+                # this step was accepted — the act masking below is
+                # statically dead, and skipping it removes two
+                # full-state selects plus a masked g_args accumulate
+                # (~150 MB of pure HBM traffic per accepted step at
+                # config-3 scale) from the backward glue.
+                act = True if K == 1 else idx < n_acc
                 t0j, hj = rec_t0[idx], rec_h[idx]
 
                 # Fold dense-output cotangents into the step's gset
@@ -233,36 +235,74 @@ def _disc_bwd(rhs, step_impl, step_vjp, rtol, atol, max_steps,
                 gy0, gf0, gargs_j = step_vjp(
                     t0j, hj, y_j, f_j, args, gset,
                 )
-                g_y = tree_where(act, gy0, g_y)
-                g_f = tree_where(act, gf0, g_f)
-                g_args = _tm(
-                    lambda a, b: a + jnp.where(act, b, jnp.zeros_like(b)),
-                    g_args, gargs_j,
-                )
+                if act is True:
+                    g_y, g_f = gy0, gf0
+                    g_args = tree_add(g_args, gargs_j)
+                else:
+                    g_y = tree_where(act, gy0, g_y)
+                    g_f = tree_where(act, gf0, g_f)
+                    g_args = _tm(
+                        lambda a, b: a + jnp.where(
+                            act, b, jnp.zeros_like(b)),
+                        g_args, gargs_j,
+                    )
                 return (g_y, g_f, g_args), None
 
-            rev = (
-                jnp.arange(K - 1, -1, -1),
-                _tm(lambda b: b[::-1], ys_seg),
-                _tm(lambda b: b[::-1], fs_seg),
-            )
-            (g_y, g_f, g_args), _ = jax.lax.scan(
-                bwd_body, (g_y, g_f, g_args), rev
-            )
+            if K == 1:
+                # single-step segment: call the body directly — no
+                # length-1 scan, no [None]-stack/reverse shuffling
+                (g_y, g_f, g_args), _ = bwd_body(
+                    (g_y, g_f, g_args), (jnp.asarray(0), y_c, f_c)
+                )
+            else:
+                rev = (
+                    jnp.arange(K - 1, -1, -1),
+                    _tm(lambda b: b[::-1], ys_seg),
+                    _tm(lambda b: b[::-1], fs_seg),
+                )
+                (g_y, g_f, g_args), _ = jax.lax.scan(
+                    bwd_body, (g_y, g_f, g_args), rev
+                )
             return g_y, g_f, g_args
 
         carry = jax.lax.cond(s * K < n_acc, do, lambda c: c,
                              (g_y, g_f, g_args))
         return carry, None
 
-    init = (
-        zeros_like_row(g),                      # g_y: cotangent of y after
-        zeros_like_row(g),                      # g_f: cotangent of FSAL f
-        tree_map(jnp.zeros_like, args) if args is not None else None,
+    # Whole-backward fast path: at ckpt_every=1 with the FSAL buffer
+    # recorded, a hook may replay ALL accepted steps in one kernel
+    # launch (grid (tile, step), cotangent carries in VMEM — see
+    # ops/pallas/fused_dopri5.py::dopri5_backward_fused) instead of the
+    # per-step scan below. Single-array states only; the scan stays the
+    # general path.
+    backward_all = getattr(step_vjp, "backward_all", None)
+    use_whole = (
+        backward_all is not None
+        and K == 1
+        and ckpt_f is not None
+        and len(jax.tree_util.tree_leaves(g)) == 1
+        and len(jax.tree_util.tree_leaves(ckpts)) == 1
     )
-    (g_y, g_f, g_args), _ = jax.lax.scan(
-        seg_bwd, init, jnp.arange(n_ckpt - 1, -1, -1)
-    )
+    if use_whole:
+        ydef = jax.tree_util.tree_structure(ckpts)
+        gy_l, gf_l, g_args = backward_all(
+            jax.tree_util.tree_leaves(ckpts)[0],
+            jax.tree_util.tree_leaves(ckpt_f)[0],
+            rec_t0, rec_h, n_acc,
+            jax.tree_util.tree_leaves(g)[0],
+            out_step, ts, args,
+        )
+        g_y = jax.tree_util.tree_unflatten(ydef, [gy_l])
+        g_f = jax.tree_util.tree_unflatten(ydef, [gf_l])
+    else:
+        init = (
+            zeros_like_row(g),                  # g_y: cotangent of y after
+            zeros_like_row(g),                  # g_f: cotangent of FSAL f
+            tree_map(jnp.zeros_like, args) if args is not None else None,
+        )
+        (g_y, g_f, g_args), _ = jax.lax.scan(
+            seg_bwd, init, jnp.arange(n_ckpt - 1, -1, -1)
+        )
 
     # row 0 of ys is y0 written directly; the solve's initial FSAL eval
     # f0 = rhs(ts[0], y0, args) closes the chain

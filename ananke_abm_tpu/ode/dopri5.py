@@ -70,6 +70,22 @@ _MAX_FACTOR = 10.0
 _ORDER_EXP = -0.2  # err ** (-1/5)
 
 
+class ErrNormSq(NamedTuple):
+    """Pre-reduced error norm from a fused step kernel.
+
+    A ``step_impl`` may return this in place of the raw ``err`` pytree:
+    ``sq_sum`` is ``sum((err/scale)^2)`` with the Hairer scale
+    ``atol + rtol*max(|y0|,|y1|)`` already applied (padded rows masked),
+    ``count`` the number of real elements. The controller then skips
+    :func:`tree_error_norm`'s full-state HBM re-read — at config-3 scale
+    that pass (err+y0+y1, ~75 MB/attempted step) plus the kernel's err
+    write were ~25% of the forward controller glue.
+    """
+
+    sq_sum: jnp.ndarray  # scalar f32
+    count: int
+
+
 class _Interp(NamedTuple):
     """Continuous extension over one accepted step [t0, t0+h].
 
@@ -337,7 +353,11 @@ def dopri5_solve(
         t, y, f, h, out_idx, ys, n_steps, n_acc, rec = s
         h = jnp.minimum(h, t_end - t)
         y1, f1, err, interp = step(t, h, y, f, args)
-        err_norm = tree_error_norm(err, y, y1, rtol, atol)
+        if isinstance(err, ErrNormSq):
+            # fused step kernels pre-reduce the scaled error in-kernel
+            err_norm = jnp.sqrt(err.sq_sum / err.count)
+        else:
+            err_norm = tree_error_norm(err, y, y1, rtol, atol)
         # guard NaN: treat as rejection with aggressive shrink
         bad = ~jnp.isfinite(err_norm)
         err_norm = jnp.where(bad, 2.0, err_norm)

@@ -103,7 +103,7 @@ def stage_time_rows(t0, h_step, W1t, b1):
 
 def dopri5_step_fused(x, f0, h, ze, tf_rows, Wq, W1xc, W1h, blocks, W3,
                       b3, h_step, *, interpret=None, precision="f32",
-                      tile=None):
+                      tile=None, err_stats=None):
     """One full DOPRI5 step for the GAT-ODE drift in a single kernel.
 
     x: (N, Da) f32 state at t0; f0: (N, Da) f32 FSAL eval f(t0, x);
@@ -120,6 +120,16 @@ def dopri5_step_fused(x, f0, h, ze, tf_rows, Wq, W1xc, W1h, blocks, W3,
     remaining interpolation coefficients (r2..r4) are elementwise in
     (x, f0, y1, f1) and are formed lazily at dense-output fill time
     (ode/dopri5.py ``_Interp``).
+
+    ``err_stats=(rtol, atol)`` replaces the full (N, Da) ``err`` output
+    with the CONTROLLER-READY reduction: ``err`` comes back as a (1, 1)
+    array holding ``sum((err/scale)^2)`` over all real rows
+    (scale = atol + rtol*max(|x|,|y1|), padded rows masked, accumulated
+    across tiles in-kernel).
+    The step-size controller only ever consumes the scaled RMS norm, so
+    shipping the raw err vector through HBM (one 25 MB write + a 75 MB
+    err/y0/y1 re-read by ``tree_error_norm`` per attempted step at
+    config-3 scale) is pure glue — this folds it into the step kernel.
 
     NOT differentiable (no AD rule): the adaptive controller's
     while_loop never differentiates; training gradients come from
@@ -142,6 +152,9 @@ def dopri5_step_fused(x, f0, h, ze, tf_rows, Wq, W1xc, W1h, blocks, W3,
     hp, _ = _pad_tile(h, tile)
     Np = n_tiles * tile
     hs = jnp.asarray(h_step, jnp.float32)
+    if err_stats is not None:
+        err_rtol = np.float32(err_stats[0])
+        err_atol = np.float32(err_stats[1])
 
     def kernel(x_ref, f0_ref, h_ref, ze_ref, tf_ref, hs_ref,
                wq_ref, w1xc_ref, w1h_ref, *rest):
@@ -172,16 +185,45 @@ def dopri5_step_fused(x, f0, h, ze, tf_rows, Wq, W1xc, W1h, blocks, W3,
             ks.append(k)
 
         incr5 = sum(b * k for b, k in zip(_B5[:6], ks[:6]) if b != 0.0)
-        y1_ref[:] = x0 + hstep * incr5
+        y1 = x0 + hstep * incr5
+        y1_ref[:] = y1
         f1_ref[:] = ks[6]
-        err_ref[:] = hstep * sum(
+        err = hstep * sum(
             e * k for e, k in zip(_BE, ks) if e != 0.0
         )
+        if err_stats is None:
+            err_ref[:] = err
+        else:
+            # Hairer scaled-RMS sum, padded rows masked, accumulated
+            # across tiles in a (1, 1) grid-accumulated output
+            # (constant index_map + program_id==0 init — the
+            # fused_train cross-tile pattern; Mosaic rejects per-tile
+            # scalar blocks over an (n_tiles, 1) array)
+            esc = err / (err_atol
+                         + err_rtol * jnp.maximum(jnp.abs(x0),
+                                                  jnp.abs(y1)))
+            rows = pl.program_id(0) * tile + jax.lax.broadcasted_iota(
+                jnp.int32, (tile, Da), 0
+            )
+            esc = jnp.where(rows < N, esc, 0.0)
+
+            @pl.when(pl.program_id(0) == 0)
+            def _init_err():
+                err_ref[:] = jnp.zeros_like(err_ref)
+
+            err_ref[:] += jnp.sum(esc * esc)
         r5_ref[:] = hstep * sum(
             d * k for d, k in zip(_D, ks) if d != 0.0
         )
 
-    out_shapes = [jax.ShapeDtypeStruct((Np, Da), jnp.float32)] * 4
+    row_shape = jax.ShapeDtypeStruct((Np, Da), jnp.float32)
+    if err_stats is None:
+        err_shape = row_shape
+        err_spec = _tile_spec(Da, tile)
+    else:
+        err_shape = jax.ShapeDtypeStruct((1, 1), jnp.float32)
+        err_spec = _rep((1, 1))
+    out_shapes = [row_shape, row_shape, err_shape, row_shape]
     y1, f1, err, r5 = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -194,7 +236,8 @@ def dopri5_step_fused(x, f0, h, ze, tf_rows, Wq, W1xc, W1h, blocks, W3,
             *[_rep(w.shape) for w in flat_blocks],
             _rep(W3.shape), _rep(b3.shape),
         ],
-        out_specs=[_tile_spec(Da, tile)] * 4,
+        out_specs=[_tile_spec(Da, tile), _tile_spec(Da, tile),
+                   err_spec, _tile_spec(Da, tile)],
         out_shape=out_shapes,
         interpret=interpret,
         compiler_params=None if interpret else _VMEM_100MB,
@@ -203,6 +246,8 @@ def dopri5_step_fused(x, f0, h, ze, tf_rows, Wq, W1xc, W1h, blocks, W3,
         cast(Wq), cast(W1xc), cast(W1h), *flat_blocks,
         cast(W3), cast(b3),
     )
+    if err_stats is not None:
+        return y1[:N], f1[:N], err, r5[:N]
     return y1[:N], f1[:N], err[:N], r5[:N]
 
 
@@ -426,8 +471,310 @@ def dopri5_step_vjp_fused(x, f0, h, ze, tf_rows, Wq, W1xc, W1h, blocks,
             gblocks, gW3, gb3[0])
 
 
+def dopri5_backward_fused(ckpts, ckpt_f, hc, ze, tf_all, rec_t0, rec_h,
+                          n_acc, g, out_step, ts, Wq, W1xc, W1h, blocks,
+                          W3, b3, *, interpret=None, precision="bf16",
+                          tile=None):
+    """The ENTIRE discrete-adjoint backward sweep in ONE kernel launch.
+
+    The per-step backward (``dopri5_step_vjp_fused`` under the
+    ``ode/discrete_adjoint.py`` scan) pays, per accepted step: a kernel
+    launch over all agent tiles, an HBM round-trip of the (N, Da)
+    cotangent carries, a widen of the bf16 checkpoint pair, per-step
+    weight-gradient partial outputs plus their XLA tree-adds, and the
+    dense-output cotangent fold as a separate XLA cond. At config-3
+    scale that glue plus relaunch overhead is ~10% of the backward and
+    the carries alone move ~100 MB/step.
+
+    Here the grid is ``(agent_tile, step)`` with the step axis innermost
+    (TPU grids iterate the last dimension fastest): for each tile the
+    kernel replays the accepted steps in reverse, carrying ``g_y``/
+    ``g_f`` in VMEM scratch — they NEVER touch HBM — while the
+    checkpointed states/FSAL evals stream in as per-(tile, step) blocks
+    (cast from their storage dtype in-VMEM, no widen round-trip) and the
+    weight/zone/time-row gradients accumulate in grid-persistent output
+    blocks (constant index maps, ``program_id == 0`` init — the
+    fused_train cross-tile pattern). The dense-output cotangent fold
+    runs unconditionally per step from SMEM scalars (out_step/ts/rec_*):
+    for the ~T of n_acc steps that filled a row it reproduces the CONTD5
+    derivation in ``ode/discrete_adjoint.py``; for every other step the
+    masks are zero and it degenerates to the plain (g_y, 0, 0, g_f,
+    g_y) gset, so there is no branch.
+
+    Contract: ``ckpt_every == 1`` with ``store_f`` recording (every
+    accepted step's pre-step state AND FSAL eval are in the buffers) —
+    the configuration the fast adaptive trainer ships.
+
+    Shapes: ckpts/ckpt_f (max_acc, N, Da) (any float dtype — cast
+    in-kernel); hc (N, Hc); ze (Z, Dz); tf_all (max_acc, 7, H) f32 from
+    the per-step stage-time rows; rec_t0/rec_h (max_acc,) f32; n_acc
+    scalar int32; g (T, N, Da) f32 output cotangents; out_step (T,)
+    int32; ts (T,) f32.
+
+    Returns ``(gy0, gf0, gh, gze, gtf_all, gWq, gW1xc, gW1h, gblocks,
+    gW3, gb3)`` — gy0/gf0 the carries after step 0 (the caller adds the
+    row-0 and initial-FSAL terms), gh (N, Hc), gtf_all (max_acc, 7, H),
+    the rest accumulated weight gradients.
+    """
+    max_acc, N, Da = ckpts.shape
+    Z, Dz = ze.shape
+    Hc = hc.shape[1]
+    H = W1xc.shape[1]
+    T = g.shape[0]
+    n_blocks = len(blocks)
+    cast = _mk_cast(precision)
+    flat_blocks = [cast(w) for blk in blocks for w in blk]
+    scale = np.float32(1.0 / np.sqrt(float(Dz)))
+    if interpret is None:
+        interpret = not _on_tpu()
+    tile = TILE_N_BWD if tile is None else tile
+
+    # pad the agent axis of every per-agent operand (zeros: zero
+    # cotangent rows and zero states are grad-inert through the linear
+    # backward — same argument as dopri5_step_vjp_fused)
+    hcp, n_tiles = _pad_tile(hc, tile)
+    Np = n_tiles * tile
+    pad_n = Np - N
+    if pad_n:
+        ckpts = jnp.pad(ckpts, ((0, 0), (0, pad_n), (0, 0)))
+        ckpt_f = jnp.pad(ckpt_f, ((0, 0), (0, pad_n), (0, 0)))
+        g = jnp.pad(g, ((0, 0), (0, pad_n), (0, 0)))
+
+    def kernel(*refs):
+        (nacc_ref, t0_ref, h_ref, ostep_ref, ts_ref,
+         ck_ref, ckf_ref, g_ref, hc_ref, ze_ref, tf_ref,
+         wq_ref, w1xc_ref, w1h_ref) = refs[:14]
+        blk_refs = refs[14: 14 + 4 * n_blocks]
+        w3_ref, b3_ref = refs[14 + 4 * n_blocks: 16 + 4 * n_blocks]
+        n_in = 16 + 4 * n_blocks
+        n_out = 10 + 4 * n_blocks
+        outs = refs[n_in: n_in + n_out]
+        (gy0_ref, gf0_ref, gh_ref, gze_ref, gtf_ref,
+         gwq_ref, gw1xc_ref, gw1h_ref) = outs[:8]
+        gblk_refs = outs[8: 8 + 4 * n_blocks]
+        gw3_ref, gb3_ref = outs[8 + 4 * n_blocks:]
+        gy_scr, gf_scr = refs[n_in + n_out:]
+
+        i = pl.program_id(1)
+        s = max_acc - 1 - i
+        blk = tuple(
+            (blk_refs[4 * b][:], blk_refs[4 * b + 1][:],
+             blk_refs[4 * b + 2][:], blk_refs[4 * b + 3][:])
+            for b in range(n_blocks)
+        )
+
+        @pl.when(i == 0)
+        def _init_tile():
+            gy_scr[:] = jnp.zeros_like(gy_scr)
+            gf_scr[:] = jnp.zeros_like(gf_scr)
+            gh_ref[:] = jnp.zeros_like(gh_ref)
+
+        @pl.when((i == 0) & (pl.program_id(0) == 0))
+        def _init_global():
+            for r in ((gze_ref, gtf_ref, gwq_ref, gw1xc_ref, gw1h_ref,
+                       gw3_ref, gb3_ref) + tuple(gblk_refs)):
+                r[:] = jnp.zeros_like(r)
+
+        @pl.when(s < nacc_ref[0])
+        def _body():
+            x0 = ck_ref[0].astype(jnp.float32)
+            f0 = ckf_ref[0].astype(jnp.float32)
+            hstep = h_ref[s]
+            t0s = t0_ref[s]
+            hb = cast(hc_ref[:])
+            ze16 = ze_ref[:]
+            hpre = jnp.dot(hb, w1h_ref[:],
+                           preferred_element_type=jnp.float32)
+            wq16, w1xc16, w316 = wq_ref[:], w1xc_ref[:], w3_ref[:]
+
+            # ---- dense-output cotangent fold (CONTD5, from SMEM) ----
+            g_y = gy_scr[:]
+            g_f = gf_scr[:]
+            zrow = jnp.zeros((tile, Da), jnp.float32)
+            gr = [zrow, zrow, zrow, zrow, zrow]
+            safe_h = jnp.where(hstep == 0.0, 1.0, hstep)
+            for t in range(T):
+                mask = (ostep_ref[t] == s).astype(jnp.float32)
+                theta = jnp.clip((ts_ref[t] - t0s) / safe_h, 0.0, 1.0)
+                om = 1.0 - theta
+                w = (mask, theta * mask, theta * om * mask,
+                     theta * theta * om * mask,
+                     theta * theta * om * om * mask)
+                gt = g_ref[t]
+                gr = [gr[k] + w[k] * gt for k in range(5)]
+            gr1, gr2, gr3, gr4, gr5 = gr
+            g_dy = g_y + gr2 - gr3 + 2.0 * gr4
+            g_k1x = hstep * (gr3 - gr4)
+            g_k7x = g_f - hstep * gr4
+            g_y0d = g_y + gr1
+
+            # ---- forward recompute, stage intermediates in VMEM -----
+            ks = [f0]
+            inters = [None]
+            for st in range(1, 7):
+                y_stage = x0
+                for j, a in enumerate(_A[st]):
+                    if a != 0.0:
+                        y_stage = y_stage + (hstep * a) * ks[j]
+                k, inter = _stage_math(
+                    cast(y_stage), hpre, tf_ref[0, st][None, :], ze16,
+                    scale, wq16, w1xc16, blk, w316, b3_ref[:],
+                    cast=cast,
+                )
+                ks.append(k)
+                inters.append(inter)
+
+            # ---- reverse sweep through the tableau ------------------
+            tw = (
+                ze16, ze16.T, wq16.T, w1xc16.T,
+                tuple((b[0].T, b[2].T) for b in blk), w316.T,
+            )
+            acc = (
+                jnp.zeros((Z, Dz), jnp.float32),
+                jnp.zeros((Da, Dz), jnp.float32),
+                jnp.zeros((Da + Dz, H), jnp.float32),
+                jnp.zeros((tile, H), jnp.float32),
+                tuple(
+                    (jnp.zeros((H, H), jnp.float32),
+                     jnp.zeros((1, H), jnp.float32),
+                     jnp.zeros((H, H), jnp.float32),
+                     jnp.zeros((1, H), jnp.float32))
+                    for _ in range(n_blocks)
+                ),
+                jnp.zeros((H, Da), jnp.float32),
+                jnp.zeros((1, Da), jnp.float32),
+            )
+            gk = [
+                hstep * (_B5[j] * g_dy + _D[j] * gr5)
+                if (_B5[j] != 0.0 or _D[j] != 0.0)
+                else jnp.zeros((tile, Da), jnp.float32)
+                for j in range(7)
+            ]
+            gk[0] = gk[0] + g_k1x
+            gk[6] = gk[6] + g_k7x
+            gy0 = g_y0d
+            gtf_rows = [jnp.zeros((1, H), jnp.float32)] * 7
+            for st in range(6, 0, -1):
+                gx_i, gtf_i, acc = _stage_vjp_math(
+                    gk[st], inters[st], acc, tw, scale, Da, cast=cast
+                )
+                gtf_rows[st] = gtf_i
+                gy0 = gy0 + gx_i
+                for j, a in enumerate(_A[st]):
+                    if a != 0.0:
+                        gk[j] = gk[j] + (hstep * a) * gx_i
+
+            (gzeA, gwqA, gw1A, ghpA, blkA, gw3A, gb3A) = acc
+            gy_scr[:] = gy0
+            gf_scr[:] = gk[0]
+            gh_ref[:] += jnp.dot(cast(ghpA), w1h_ref[:].T,
+                                 preferred_element_type=jnp.float32)
+            gze_ref[:] += gzeA
+            gwq_ref[:] += gwqA
+            gw1xc_ref[:] += gw1A
+            gw1h_ref[:] += _nt_dot(hb, cast(ghpA))
+            for b in range(4 * n_blocks):
+                gblk_refs[b][:] += blkA[b // 4][b % 4]
+            gw3_ref[:] += gw3A
+            gb3_ref[:] += gb3A
+            gtf_step = jnp.concatenate(gtf_rows, axis=0)  # (7, H)
+            gtf_ref[pl.dslice(s, 1)] = (
+                gtf_ref[pl.dslice(s, 1)] + gtf_step[None]
+            )
+
+        @pl.when(i == max_acc - 1)
+        def _final():
+            gy0_ref[:] = gy_scr[:]
+            gf0_ref[:] = gf_scr[:]
+
+    blk_grad_shapes = []
+    for _ in range(n_blocks):
+        blk_grad_shapes += [(H, H), (1, H), (H, H), (1, H)]
+
+    def smem(shape, dtype=jnp.float32):
+        return pl.BlockSpec(shape, lambda t, i: (0,) * len(shape),
+                            memory_space=pltpu.SMEM)
+
+    rep2 = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda t, i: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    step_blk = pl.BlockSpec((1, tile, Da),
+                            lambda t, i: (max_acc - 1 - i, t, 0),
+                            memory_space=pltpu.VMEM)
+    tf_blk = pl.BlockSpec((1, 7, H), lambda t, i: (max_acc - 1 - i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    g_blk = pl.BlockSpec((T, tile, Da), lambda t, i: (0, t, 0),
+                         memory_space=pltpu.VMEM)
+    tile_out = lambda d: pl.BlockSpec(  # noqa: E731
+        (tile, d), lambda t, i: (t, 0), memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_tiles, max_acc),
+        in_specs=[
+            smem((1,)), smem((max_acc,)), smem((max_acc,)),
+            smem((T,)), smem((T,)),
+            step_blk, step_blk, g_blk,
+            pl.BlockSpec((tile, Hc), lambda t, i: (t, 0),
+                         memory_space=pltpu.VMEM),
+            rep2((Z, Dz)), tf_blk,
+            rep2(Wq.shape), rep2(W1xc.shape), rep2(W1h.shape),
+            *[rep2(w.shape) for w in flat_blocks],
+            rep2(W3.shape), rep2(b3.shape),
+        ],
+        out_specs=[
+            tile_out(Da), tile_out(Da), tile_out(Hc),
+            rep2((Z, Dz)), rep2((max_acc, 7, H)),
+            rep2((Da, Dz)), rep2((Da + Dz, H)), rep2((Hc, H)),
+            *[rep2(sh) for sh in blk_grad_shapes],
+            rep2((H, Da)), rep2((1, Da)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Np, Da), jnp.float32),
+            jax.ShapeDtypeStruct((Np, Da), jnp.float32),
+            jax.ShapeDtypeStruct((Np, Hc), jnp.float32),
+            jax.ShapeDtypeStruct((Z, Dz), jnp.float32),
+            jax.ShapeDtypeStruct((max_acc, 7, H), jnp.float32),
+            jax.ShapeDtypeStruct((Da, Dz), jnp.float32),
+            jax.ShapeDtypeStruct((Da + Dz, H), jnp.float32),
+            jax.ShapeDtypeStruct((Hc, H), jnp.float32),
+            *[jax.ShapeDtypeStruct(sh, jnp.float32)
+              for sh in blk_grad_shapes],
+            jax.ShapeDtypeStruct((H, Da), jnp.float32),
+            jax.ShapeDtypeStruct((1, Da), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile, Da), jnp.float32),
+            pltpu.VMEM((tile, Da), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else _VMEM_100MB,
+    )(
+        jnp.asarray(n_acc, jnp.int32)[None],
+        jnp.asarray(rec_t0, jnp.float32),
+        jnp.asarray(rec_h, jnp.float32),
+        jnp.asarray(out_step, jnp.int32),
+        jnp.asarray(ts, jnp.float32),
+        ckpts, ckpt_f, g, hcp, cast(ze),
+        tf_all.astype(jnp.float32),
+        cast(Wq), cast(W1xc), cast(W1h), *flat_blocks,
+        cast(W3), cast(b3),
+    )
+    gy0, gf0, gh, gze, gtf, gWq, gW1xc, gW1h = outs[:8]
+    flat_gblk = outs[8: 8 + 4 * n_blocks]
+    gW3, gb3 = outs[8 + 4 * n_blocks:]
+    gblocks = tuple(
+        (flat_gblk[4 * b], flat_gblk[4 * b + 1][0],
+         flat_gblk[4 * b + 2], flat_gblk[4 * b + 3][0])
+        for b in range(n_blocks)
+    )
+    return (gy0[:N], gf0[:N], gh[:N], gze, gtf, gWq, gW1xc, gW1h,
+            gblocks, gW3, gb3[0])
+
+
 def make_fused_dopri5_hooks(params_template=None, *, interpret=None,
-                            precision="f32", bwd_precision=None):
+                            precision="f32", bwd_precision=None,
+                            err_stats=None):
     """Build the ``(step_impl, step_vjp)`` pair for
     ``ode.odeint_discrete_adjoint`` over GATODE drift dynamics with
     ``args = (params, h_ctx, zone_emb)``.
@@ -453,8 +800,17 @@ def make_fused_dopri5_hooks(params_template=None, *, interpret=None,
     chain) — same budget as the fixed-step trainer's tested ~4e-3
     relative class; the win is 1-pass MXU matmuls in the
     weight-gradient NT dots that dominate the backward kernel.
+
+    ``err_stats=(rtol, atol)``: fold the Hairer scaled-RMS error
+    reduction into the step kernel (see :func:`dopri5_step_fused`) —
+    ``step_impl`` then returns an ``ode.dopri5.ErrNormSq`` instead of
+    the raw err vector and the controller skips its full-state norm
+    pass. Pass the SAME tolerances the solve uses; a mismatch would
+    steer the controller with a different norm than configured, so
+    ``odeint_discrete_adjoint`` callers thread them from one place
+    (gnn_embed ``build_adjoint_loss_fn_g``).
     """
-    from ananke_abm_tpu.ode.dopri5 import _Interp
+    from ananke_abm_tpu.ode.dopri5 import ErrNormSq, _Interp
     from ananke_abm_tpu.ops.pallas.fused_rhs import split_drift_params
 
     if bwd_precision is None:
@@ -476,7 +832,10 @@ def make_fused_dopri5_hooks(params_template=None, *, interpret=None,
         y1, f1, err, r5 = dopri5_step_fused(
             y, f, hc, ze, tf_rows, Wq, W1xc, W1h, blocks, W3, b3,
             h_step, interpret=interpret, precision=precision,
+            err_stats=err_stats,
         )
+        if err_stats is not None:
+            err = ErrNormSq(sq_sum=jnp.sum(err), count=y.size)
         # _Interp is lazy (ode/dopri5.py): endpoints only — the CONTD5
         # r2..r4 combines are formed at fill time, not per attempted step
         return y1, f1, err, _Interp(t0=t0, h=h_step, y0=y, f0=f,
@@ -496,4 +855,38 @@ def make_fused_dopri5_hooks(params_template=None, *, interpret=None,
         (gparams,) = pull((gWq, gW1xc, gW1h, gblocks, gW3, gb3, gtf))
         return gy0, gf0, (gparams, gh, gze)
 
+    def backward_all(ckpts, ckpt_f, rec_t0, rec_h, n_acc, g, out_step,
+                     ts, args):
+        """Whole-backward fast path (``ode/discrete_adjoint.py`` calls
+        this instead of its per-step scan when ckpt_every == 1 and the
+        FSAL buffer was recorded): one :func:`dopri5_backward_fused`
+        launch replaces n_acc step-VJP launches."""
+        params, hc, ze = args
+        max_acc = ckpts.shape[0]
+
+        def prep_all(p):
+            (Wq, W1xc, W1h, W1t, b1, blocks, W3, b3) = \
+                split_drift_params(p)
+            stage_t = (rec_t0[:, None]
+                       + jnp.asarray(_C, jnp.float32)[None, :]
+                       * rec_h[:, None])  # (max_acc, 7)
+            tf_all = _time_feature_table(
+                stage_t.reshape(-1), W1t, b1
+            ).reshape(max_acc, 7, -1)
+            return (Wq, W1xc, W1h, blocks, W3, b3, tf_all)
+
+        wt, pull = jax.vjp(prep_all, params)
+        (Wq, W1xc, W1h, blocks, W3, b3, tf_all) = wt
+        (gy0, gf0, gh, gze, gtf_all, gWq, gW1xc, gW1h, gblocks, gW3,
+         gb3) = dopri5_backward_fused(
+            ckpts, ckpt_f, hc, ze, tf_all, rec_t0, rec_h, n_acc, g,
+            out_step, ts, Wq, W1xc, W1h, blocks, W3, b3,
+            interpret=interpret, precision=bwd_precision,
+        )
+        (gparams,) = pull(
+            (gWq, gW1xc, gW1h, gblocks, gW3, gb3, gtf_all)
+        )
+        return gy0, gf0, (gparams, gh, gze)
+
+    step_vjp.backward_all = backward_all
     return step_impl, step_vjp

@@ -1054,3 +1054,117 @@ class TestFusedDopri5:
                 model, optax.adamw(1e-3), cfg, (None, None, None),
                 adjoint_mode="banana",
             )
+
+    @pytest.mark.slow
+    def test_whole_backward_kernel_matches_xla_and_per_step(self):
+        """ckpt_every=1 + store_f routes the discrete adjoint through
+        dopri5_backward_fused (ONE launch for the whole reverse sweep,
+        carries in VMEM scratch) — gradients must match both the
+        plain-XLA discrete adjoint and the per-step fused kernels on
+        y0, the full params tree, the h context, and zone_emb."""
+        from ananke_abm_tpu.ode import odeint_discrete_adjoint
+        from ananke_abm_tpu.ops.pallas.fused_dopri5 import (
+            make_fused_dopri5_hooks,
+        )
+
+        cfg, model, params, rhs, args, x0 = self._drift_setup(
+            n_agents=60, num_blocks=2, seed=5
+        )
+        ts = jnp.linspace(0.0, 4.0, 4)
+        step_impl, step_vjp = make_fused_dopri5_hooks(
+            params, interpret=True
+        )
+        assert hasattr(step_vjp, "backward_all")
+        cot = jax.random.normal(jax.random.PRNGKey(3),
+                                (4,) + x0.shape) * 0.1
+
+        def loss(y0, a, mode):
+            kw = {"rtol": 1e-4, "atol": 1e-6, "max_accepted": 128}
+            if mode == "xla":
+                ys = odeint_discrete_adjoint(
+                    rhs, y0, ts, a, ckpt_every=8, **kw
+                )
+            elif mode == "per_step":  # ckpt_every=2 keeps the scan path
+                ys = odeint_discrete_adjoint(
+                    rhs, y0, ts, a, ckpt_every=2,
+                    step_impl=step_impl, step_vjp=step_vjp, **kw
+                )
+            else:  # whole-backward kernel
+                ys = odeint_discrete_adjoint(
+                    rhs, y0, ts, a, ckpt_every=1, store_f=True,
+                    step_impl=step_impl, step_vjp=step_vjp, **kw
+                )
+            return jnp.sum(ys * cot)
+
+        l_x = loss(x0, args, "xla")
+        l_w = loss(x0, args, "whole")
+        np.testing.assert_allclose(float(l_w), float(l_x), rtol=5e-3)
+
+        gx = jax.grad(loss, argnums=(0, 1))(x0, args, "xla")
+        gw = jax.grad(loss, argnums=(0, 1))(x0, args, "whole")
+        gp = jax.grad(loss, argnums=(0, 1))(x0, args, "per_step")
+        assert _cos(gw[0], gx[0]) > 0.999                 # y0
+        assert _cos(gw[1][0], gx[1][0]) > 0.995           # params
+        assert _cos(gw[1][1], gx[1][1]) > 0.999           # h context
+        assert _cos(gw[1][2], gx[1][2]) > 0.999           # zone_emb
+        # same kernels, different harness: whole vs per-step agree to
+        # reduction-order noise
+        assert _cos(gw[0], gp[0]) > 0.99999
+        assert _cos(gw[1][0], gp[1][0]) > 0.9999
+        # params outside the drift get exactly zero in both paths
+        for k in ("zone_gat", "context_encoder", "init_proj",
+                  "decode_proj"):
+            leaves = jax.tree_util.tree_leaves(gw[1][0][k])
+            assert all(float(jnp.abs(l).max()) == 0.0 for l in leaves)
+
+    def test_err_stats_in_kernel_matches_controller_norm(self):
+        """err_stats=(rtol, atol): the in-kernel Hairer reduction must
+        drive the controller onto the SAME accepted-step sequence (and
+        solution) as the full tree_error_norm pass — including correct
+        masking of the kernel's padded agent rows (n_agents is far off
+        the tile multiple here, so an unmasked reduction would shift
+        every norm)."""
+        from ananke_abm_tpu.ode.dopri5 import ErrNormSq, dopri5_solve
+        from ananke_abm_tpu.ops.pallas.fused_dopri5 import (
+            make_fused_dopri5_hooks,
+        )
+
+        cfg, model, params, rhs, args, x0 = self._drift_setup(
+            n_agents=70, num_blocks=1, seed=2
+        )
+        ts = jnp.linspace(0.0, 4.0, 5)
+        rtol, atol = 1e-4, 1e-6
+        plain_impl, _ = make_fused_dopri5_hooks(params, interpret=True)
+        errs_impl, _ = make_fused_dopri5_hooks(
+            params, interpret=True, err_stats=(rtol, atol)
+        )
+
+        # the reduced err IS the controller norm's square
+        t0 = jnp.asarray(0.5)
+        f0 = rhs(t0, x0, args)
+        h_step = jnp.asarray(1.5)
+        from ananke_abm_tpu.ode.tree import tree_error_norm
+
+        y1p, _, err_p, _ = plain_impl(t0, h_step, x0, f0, args)
+        _, _, err_s, _ = errs_impl(t0, h_step, x0, f0, args)
+        assert isinstance(err_s, ErrNormSq)
+        want = float(tree_error_norm(err_p, x0, y1p, rtol, atol))
+        got = float(jnp.sqrt(err_s.sq_sum / err_s.count))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+        # full solve: same accepted sequence, same outputs
+        ys_a, st_a = dopri5_solve(
+            rhs, x0, ts, args, rtol=rtol, atol=atol, step_impl=plain_impl
+        )
+        ys_b, st_b = dopri5_solve(
+            rhs, x0, ts, args, rtol=rtol, atol=atol, step_impl=errs_impl
+        )
+        assert int(st_a["n_steps"]) == int(st_b["n_steps"])
+        assert int(st_a["n_accepted"]) == int(st_b["n_accepted"])
+        # the controller's h is continuous in the norm, so the two
+        # reductions' last-digit differences compound into ~1e-6
+        # absolute solution noise (measured 1.4e-6 here) — far below
+        # the solve's own rtol=1e-4 accuracy target
+        np.testing.assert_allclose(
+            np.asarray(ys_b), np.asarray(ys_a), rtol=1e-4, atol=5e-6
+        )
