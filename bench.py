@@ -45,6 +45,14 @@ TRAIN_N = 32768
 TRAIN_ZONES = 500
 TRAIN_TIMES = 12
 
+# Adaptive-training workload (BASELINE config 3: dopri5 + discrete
+# adjoint at 98,304 agents x 64 zones — the measured config-3 geometry,
+# docs/evidence_round5/config3_fast.json). Tracked here since round 5
+# (VERDICT r4 #1) so the driver records the adaptive rung every round.
+ADAPT_N = 98304
+ADAPT_ZONES = 64
+ADAPT_TIMES = 12
+
 V5E_BF16_PEAK_TFLOPS = 197.0  # per-chip MXU peak, bf16 multiply / f32 acc
 
 
@@ -220,6 +228,63 @@ def measure_train_step() -> dict:
     }
 
 
+def measure_adaptive_step() -> dict:
+    """BASELINE config 3: adaptive dopri5 + discrete-adjoint train step
+    (fused step kernels, ckpt_every=1, bf16 backward — the shipping fast
+    configuration) at 98,304 agents x 64 zones. Steps chain through the
+    carried params; the final scalar pull syncs all of them."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ananke_abm_tpu.data_generator.agent_trajectories import (
+        generate_agent_population,
+    )
+    from ananke_abm_tpu.models.gnn_embed.train import (
+        GATODEConfig,
+        build_model,
+        init_params,
+        make_adjoint_step_fns,
+    )
+
+    config = GATODEConfig(method="dopri5")
+    data = generate_agent_population(
+        ADAPT_N, num_times=ADAPT_TIMES, seed=7, num_zones=ADAPT_ZONES
+    )
+    model = build_model(config, 7, 8)
+    params = init_params(model, config, data, 4096, jax.random.PRNGKey(7))
+    static = (
+        jnp.asarray(data["zone_features"]),
+        jnp.asarray(data["adj"]),
+        jnp.asarray(data["times"]),
+    )
+    optimizer = optax.adamw(config.lr, weight_decay=config.weight_decay)
+    opt_state = optimizer.init(params)
+    step, _ = make_adjoint_step_fns(
+        model, optimizer, config, static, adjoint_mode="discrete",
+        max_accepted=256, ckpt_every=1, bwd_precision="bf16",
+    )
+    pf = jnp.asarray(data["person_feats"])
+    hz = jnp.asarray(data["home_zone"])
+    tg = jnp.asarray(data["zone_ids"])
+
+    params, opt_state, loss, _ = step(params, opt_state, pf, hz, tg)
+    float(loss)  # compile + warm, synced
+    reps = 4
+    t0 = time.time()
+    for _ in range(reps):
+        params, opt_state, loss, _ = step(params, opt_state, pf, hz, tg)
+    float(loss)
+    dt = (time.time() - t0) / reps
+    return {
+        "adaptive_ms_per_step": round(1e3 * dt, 1),
+        "adaptive_agents_per_s": round(ADAPT_N / dt, 1),
+        "adaptive_workload": f"{ADAPT_N} agents x {ADAPT_ZONES} zones x "
+                             f"{ADAPT_TIMES} times, dopri5 rtol=atol=1e-5 "
+                             "discrete adjoint, fwd+bwd+adamw",
+    }
+
+
 def measure_torch_cpu_baseline() -> float:
     """Reference-style torch CPU implementation of the same rollout."""
     import torch
@@ -386,7 +451,9 @@ def _load_last_good() -> dict | None:
     want = {"n_agents": N_AGENTS, "num_times": NUM_TIMES,
             "substeps": SUBSTEPS, "num_zones": NUM_ZONES,
             "num_blocks": NUM_BLOCKS, "train_n": TRAIN_N,
-            "train_zones": TRAIN_ZONES, "train_times": TRAIN_TIMES}
+            "train_zones": TRAIN_ZONES, "train_times": TRAIN_TIMES,
+            "adapt_n": ADAPT_N, "adapt_zones": ADAPT_ZONES,
+            "adapt_times": ADAPT_TIMES}
     if wl != want:
         return None
     return cached
@@ -399,7 +466,9 @@ def _save_last_good(result: dict) -> None:
         "workload": {"n_agents": N_AGENTS, "num_times": NUM_TIMES,
                      "substeps": SUBSTEPS, "num_zones": NUM_ZONES,
                      "num_blocks": NUM_BLOCKS, "train_n": TRAIN_N,
-                     "train_zones": TRAIN_ZONES, "train_times": TRAIN_TIMES},
+                     "train_zones": TRAIN_ZONES, "train_times": TRAIN_TIMES,
+                     "adapt_n": ADAPT_N, "adapt_zones": ADAPT_ZONES,
+                     "adapt_times": ADAPT_TIMES},
     }
     tmp = LAST_GOOD_CACHE + ".tmp"
     with open(tmp, "w") as f:
@@ -427,6 +496,7 @@ def main():
         tpu = measure_tpu()
         baseline = get_baseline()
         train_stats = measure_train_step()
+        adapt_stats = measure_adaptive_step()
     except Exception as e:  # backend died mid-measure (tunnel outage)
         msg = str(e)
         transient = any(s in msg for s in (
@@ -454,6 +524,7 @@ def main():
         "mfu_vs_v5e_bf16_peak": round(tflops / V5E_BF16_PEAK_TFLOPS, 4),
         "rollout_matmul_flops_per_agent": int(flops_per_agent),
         **train_stats,
+        **adapt_stats,
     }
     _save_last_good(result)
     print(json.dumps(result))
