@@ -15,12 +15,18 @@ import jax.numpy as jnp
 from ananke_abm_tpu.ode.rk4 import _rk4_step
 
 
-def _pallas_eligible(config, expected_n=None) -> bool:
+def _pallas_eligible(config, expected_n=None, num_zones=None) -> bool:
     """The fused bf16 step kernel wins (measured, ops/pallas/fused_step.py)
     when contraction dims reach the 128-lane MXU tile, OR at large agent
     counts where the XLA path becomes HBM-bound: at 1M agents the kernel's
     grid-pipelined (auto double-buffered) tiles run 2.4x faster than XLA
-    (974k vs 412k agents/s on v5e) with 99.98% decode agreement."""
+    (974k vs 412k agents/s on v5e) with 99.98% decode agreement.
+
+    Zone-count cap: the kernel holds the (tile, Z) attention scores in
+    VMEM per tile — measured working through Z=2048 (41.3% MFU at the
+    round-5 serving ladder) and REJECTED by the Mosaic compiler at
+    Z=8192 (VMEM overflow); above the cap the XLA rollout (graph
+    threaded as jit args) serves."""
     try:
         on_tpu = jax.devices()[0].platform == "tpu"
     except Exception:  # pragma: no cover
@@ -29,6 +35,8 @@ def _pallas_eligible(config, expected_n=None) -> bool:
         return False
     if getattr(config, "num_blocks", 1) < 1:
         return False  # serving kernels assume >= 1 residual drift block
+    if num_zones is not None and num_zones > 2048:
+        return False
     aligned = (
         config.agent_dim % 128 == 0
         and config.zone_dim % 128 == 0
@@ -61,7 +69,9 @@ def make_decoded_rollout(model, config, zone_feats, adj, times,
     if edge_index is not None:
         use_pallas = False
     if use_pallas == "auto":
-        use_pallas = _pallas_eligible(config, expected_n)
+        use_pallas = _pallas_eligible(
+            config, expected_n, num_zones=zone_feats.shape[0]
+        )
     if use_pallas:
         from ananke_abm_tpu.ops.pallas.fused_step import make_pallas_rollout
 

@@ -529,9 +529,17 @@ def make_pallas_rollout(model, zone_feats, adj, times, substeps=2, mesh=None,
     the decode/argmax of each output interval in ONE kernel (one HBM
     round-trip of the agent state per interval, no (N, Z) logits
     materialization).
+
+    The zone graph rides as an explicit jit argument, never a closure
+    capture (CLAUDE.md no-closure rule): a captured dense adjacency
+    becomes a program constant, and at Z=8192 the 268 MB serialized
+    program overflows the remote-compile tunnel (HTTP 413 — measured in
+    the round-5 serving ladder). Same arrays every call -> jit cache
+    hit, no retrace.
     """
 
-    def body(params, person_feats, home_zone_ids):
+    def body(params, person_feats, home_zone_ids, graph):
+        zone_feats, adj, times = graph
         zone_emb = model.apply(
             {"params": params}, zone_feats, adj, method=model.encode_zones
         )
@@ -586,8 +594,15 @@ def make_pallas_rollout(model, zone_feats, adj, times, substeps=2, mesh=None,
         ids = jnp.concatenate([y0[None], tail], axis=0)
         return jnp.swapaxes(ids, 0, 1)
 
+    graph = (zone_feats, adj, times)
+
     if mesh is None:
-        return jax.jit(body)
+        jitted = jax.jit(body)
+
+        def rollout(params, person_feats, home_zone_ids):
+            return jitted(params, person_feats, home_zone_ids, graph)
+
+        return rollout
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -596,10 +611,17 @@ def make_pallas_rollout(model, zone_feats, adj, times, substeps=2, mesh=None,
     sharded = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(), P(AGENT_AXIS), P(AGENT_AXIS)),
+        in_specs=(P(), P(AGENT_AXIS), P(AGENT_AXIS), P()),
         out_specs=P(AGENT_AXIS),
         check_vma=False,
     )
     rep = NamedSharding(mesh, P())
     ag = NamedSharding(mesh, P(AGENT_AXIS))
-    return jax.jit(sharded, in_shardings=(rep, ag, ag), out_shardings=ag)
+    jitted_sh = jax.jit(
+        sharded, in_shardings=(rep, ag, ag, rep), out_shardings=ag
+    )
+
+    def rollout_sh(params, person_feats, home_zone_ids):
+        return jitted_sh(params, person_feats, home_zone_ids, graph)
+
+    return rollout_sh
