@@ -13,6 +13,8 @@ world (the dense adjacency alone would be 4 GB). Throughput is
 per-agent, so points are comparable; N is recorded per point.
 """
 import json
+import os
+import sys
 import time
 
 import jax
@@ -41,17 +43,26 @@ POINTS = (
     (8192, 131_072, False),
     (32768, 65_536, True),
 )
+OUT_PATH = "docs/evidence_round5/serve_ladder.json"
+# resumable: pass Z values as argv to (re)measure only those; existing
+# points for other Z are kept
+only = set(int(a) for a in sys.argv[1:])
 out = {"num_times": T, "substeps": SUBSTEPS, "num_blocks": NUM_BLOCKS,
        "points": []}
+if only and os.path.exists(OUT_PATH):
+    with open(OUT_PATH) as f:
+        prev = json.load(f)
+    out["points"] = [p for p in prev.get("points", [])
+                     if p["Z"] not in only]
 cfg = GATODEConfig(substeps=SUBSTEPS, num_blocks=NUM_BLOCKS)
 for Z, N, sparse in POINTS:
+    if only and Z not in only:
+        continue
     t_gen = time.time()
     d = generate_agent_population(N, num_times=T, seed=0, num_zones=Z,
                                   sparse_world=sparse)
     model = build_model(cfg, d["zone_features"].shape[-1],
                         d["person_feats"].shape[-1])
-    params = init_params(model, cfg, d, min(N, 1024),
-                         jax.random.PRNGKey(0))
     edge_index = None
     adj = None
     if sparse:
@@ -59,6 +70,8 @@ for Z, N, sparse in POINTS:
         edge_index = (jnp.asarray(ei[0]), jnp.asarray(ei[1]))
     else:
         adj = jnp.asarray(d["adj"])
+    params = init_params(model, cfg, d, min(N, 1024),
+                         jax.random.PRNGKey(0), edge_index=edge_index)
     rollout = make_decoded_rollout(
         model, cfg, jnp.asarray(d["zone_features"]), adj,
         jnp.asarray(d["times"]), use_pallas="auto", expected_n=N,
@@ -98,7 +111,9 @@ for Z, N, sparse in POINTS:
     }
     out["points"].append(row)
     print(row, flush=True)
+    # incremental dump: a failed later point never loses earlier ones
+    out["points"].sort(key=lambda p: p["Z"])
+    with open(OUT_PATH, "w") as f:
+        json.dump(out, f, indent=2)
 
 print(json.dumps(out, indent=2), flush=True)
-with open("docs/evidence_round5/serve_ladder.json", "w") as f:
-    json.dump(out, f, indent=2)
