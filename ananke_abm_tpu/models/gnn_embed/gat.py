@@ -28,7 +28,7 @@ class GATLayer(nn.Module):
     heads: int = 4
 
     @nn.compact
-    def __call__(self, h, adj, edge_index=None):
+    def __call__(self, h, adj, edge_index=None, edge_chunks=None):
         """h: (Z, F_in), adj: (Z, Z) {0,1} with self loops. -> (Z, features)
 
         ``edge_index``: optional ``(edge_src, edge_dst)`` int arrays
@@ -40,6 +40,13 @@ class GATLayer(nn.Module):
         segment path; on TPU the auto dispatch may route through the
         bf16-feature Pallas kernel (rel err vs dense f32 <= ~3e-3, so
         near-tie argmaxes downstream can flip — see ops/segment.py).
+
+        ``edge_chunks``: optional ``ops.pallas.edge_gather.EdgeChunks``
+        built from the SAME edge list — routes the sparse attention
+        through the large-Z block-pair kernel (the win region is
+        Z >= 8192 with chunk fill >= ~0.3; callers decide by only
+        passing chunks there — gnn_embed ``train`` gates it). Same
+        params, bf16 feature precision.
         """
         if edge_index is None and adj is None:
             raise ValueError(
@@ -59,6 +66,16 @@ class GATLayer(nn.Module):
         e_src = jnp.einsum("zhd,hd->zh", Wh, a_src)  # (Z, H)
         e_dst = jnp.einsum("zhd,hd->zh", Wh, a_dst)
         if edge_index is not None:
+            if edge_chunks is not None:
+                from ananke_abm_tpu.ops.pallas.edge_gather import (
+                    gat_edge_attention_gather,
+                )
+
+                out = gat_edge_attention_gather(
+                    Wh, e_src, e_dst, edge_chunks,
+                    edge_index[0], edge_index[1], Z,
+                )
+                return out.reshape(Z, self.features)
             from ananke_abm_tpu.ops.segment import (
                 gat_edge_attention_multihead,
             )
@@ -84,11 +101,14 @@ class ZoneGAT(nn.Module):
     num_layers: int = 2
 
     @nn.compact
-    def __call__(self, zone_feats, adj, edge_index=None):
+    def __call__(self, zone_feats, adj, edge_index=None,
+                 edge_chunks=None):
         h = nn.Dense(self.features)(zone_feats)
         for _ in range(self.num_layers):
             h = h + nn.elu(
-                GATLayer(self.features, self.heads)(h, adj, edge_index)
+                GATLayer(self.features, self.heads)(
+                    h, adj, edge_index, edge_chunks
+                )
             )
             h = nn.LayerNorm()(h)
         return h

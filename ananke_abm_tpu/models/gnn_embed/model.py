@@ -90,15 +90,21 @@ class GATODE(nn.Module):
         self.init_proj = nn.Dense(self.agent_dim)
         self.decode_proj = nn.Dense(self.zone_dim, use_bias=False)
 
-    def encode_zones(self, zone_feats, adj, edge_index=None):
+    def encode_zones(self, zone_feats, adj, edge_index=None,
+                     edge_chunks=None):
         """(Z, Dz) zone embeddings. Pass ``edge_index`` (host-built once
         — via ops.segment.edges_from_adj or directly as COO src/dst
         arrays, in which case ``adj`` may be None and the (Z, Z) matrix
         is never materialized) to run the attention over the edge list
         instead of the dense mask. Same params; exact equality vs dense
         on the XLA path, bf16-feature precision (rel err <= ~3e-3) when
-        the TPU Pallas dispatch engages (Z <= 2048 win region)."""
-        return self.zone_gat(zone_feats, adj, edge_index)  # (Z, Dz)
+        the TPU Pallas dispatch engages (Z <= 2048 win region).
+        ``edge_chunks`` additionally routes the edge attention through
+        the large-Z block-pair kernel (win region Z >= 8192 — see
+        ops/pallas/edge_gather.py; train() gates it on chunk fill)."""
+        return self.zone_gat(
+            zone_feats, adj, edge_index, edge_chunks
+        )  # (Z, Dz)
 
     def zone_attention(self, x, zone_emb):
         """Bipartite person->zone attention. x: (N, Da) -> ctx (N, Dz)."""
@@ -145,9 +151,11 @@ class GATODE(nn.Module):
         atol: float = 1e-5,
         checkpoint: bool = True,
         edge_index=None,
+        edge_chunks=None,
     ):
         """Full integrate-then-decode. Returns (logits (N, T, Z), xs (N, T, Da))."""
-        zone_emb = self.encode_zones(zone_feats, adj, edge_index)
+        zone_emb = self.encode_zones(zone_feats, adj, edge_index,
+                                     edge_chunks)
         x0, h = self.initial_state(person_feats, home_zone_ids, zone_emb)
 
         if self.is_initializing():

@@ -49,7 +49,7 @@ def _pallas_eligible(config, expected_n=None, num_zones=None) -> bool:
 def make_decoded_rollout(model, config, zone_feats, adj, times,
                          use_pallas: str | bool = "auto",
                          expected_n: int | None = None,
-                         mesh=None, edge_index=None):
+                         mesh=None, edge_index=None, edge_chunks=None):
     """Returns jitted ``rollout(params, person_feats, home_zone_ids) ->
     (N, T) int32 zone ids`` with decode fused into the integration scan.
 
@@ -89,12 +89,12 @@ def make_decoded_rollout(model, config, zone_feats, adj, times,
     # path exists precisely for Z ~ 1e5-1e6 where that blows up the
     # remote compile (CLAUDE.md no-closure rule). Same arrays each call
     # -> jit cache hit, no retrace.
-    graph = (zone_feats, adj, edge_index, times)
+    graph = (zone_feats, adj, edge_index, times, edge_chunks)
 
     def rollout_body(params, person_feats, home_zone_ids, graph):
-        zone_feats, adj, edge_index, times = graph
+        zone_feats, adj, edge_index, times, edge_chunks = graph
         zone_emb = model.apply(
-            {"params": params}, zone_feats, adj, edge_index,
+            {"params": params}, zone_feats, adj, edge_index, edge_chunks,
             method=model.encode_zones,
         )
         x0, h = model.apply(

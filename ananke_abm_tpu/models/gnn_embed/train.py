@@ -81,25 +81,48 @@ def _unpack_static(static):
     """``static`` is (zone_feats, adj, times) or, for sparse edge-list
     zone graphs, (zone_feats, adj_or_None, times, edge_index) — the
     4th element routes the zone encoder through ops.segment (adj may
-    then be None; the dense matrix is never required)."""
+    then be None; the dense matrix is never required). An optional 5th
+    element (``EdgeChunks``) additionally routes the edge attention
+    through the large-Z block-pair kernel (ops/pallas/edge_gather.py)."""
     zone_feats, adj, times = static[:3]
     edge_index = static[3] if len(static) > 3 else None
-    return zone_feats, adj, times, edge_index
+    edge_chunks = static[4] if len(static) > 4 else None
+    return zone_feats, adj, times, edge_index, edge_chunks
+
+
+def _maybe_edge_chunks(edge_index, num_zones):
+    """Build the block-pair kernel's chunk layout for a sparse zone
+    graph when it pays: TPU backend, Z in the kernel's measured win
+    region (>= 8192), and the Cuthill-McKee chunking holds up
+    (fill >= 0.3 — low-locality graphs keep the XLA path, which wins
+    there; docs/evidence_round5/edge_gather_bench.json). Returns an
+    EdgeChunks or None."""
+    if jax.default_backend() != "tpu" or num_zones < 8192:
+        return None
+    import numpy as _np
+
+    from ananke_abm_tpu.ops.pallas.edge_gather import build_edge_chunks
+
+    ch = build_edge_chunks(
+        _np.asarray(edge_index[0]), _np.asarray(edge_index[1]),
+        num_zones,
+    )
+    return ch if ch.fill >= 0.3 else None
 
 
 def _build_loss_fn_g(model, config):
     """Graph-threaded loss body shared by the per-step and whole-epoch
     trainers: ``loss_fn_g(params, pf, hz, targets, graph)`` where graph
-    is the `_unpack_static` 4-tuple passed as an explicit jit argument
+    is the `_unpack_static` 5-tuple passed as an explicit jit argument
     (never closure-captured — CLAUDE.md no-closure rule)."""
 
     def loss_fn_g(params, pf, hz, targets, graph):
-        zone_feats, adj, times, edge_index = graph
+        zone_feats, adj, times, edge_index, edge_chunks = graph
         logits, _ = model.apply(
             {"params": params}, zone_feats, adj, pf, hz, times,
             ode_method=config.method, substeps=config.substeps,
             rtol=config.rtol, atol=config.atol,
-            edge_index=edge_index,
+            edge_index=edge_index, edge_chunks=edge_chunks,
         )
         logp = jax.nn.log_softmax(logits, axis=-1)
         nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
@@ -443,6 +466,8 @@ def train(
     )
     if sparse_zones:
         static = static + (edge_index,)
+        static = static + (_maybe_edge_chunks(
+            edge_index, int(data["zone_features"].shape[0])),)
     n_dev = jax.device_count()
     data_parallel = data_parallel and n_dev > 1
     # fused Pallas fwd+VJP loss where its contract holds (TPU backend,
@@ -701,16 +726,21 @@ def serve(
         data["person_feats"].shape[-1],
     )
     edge_index = None
+    edge_chunks = None
     adj = None
     if sparse:
         ei = data["edge_index"]
         edge_index = (jnp.asarray(ei[0]), jnp.asarray(ei[1]))
+        edge_chunks = _maybe_edge_chunks(
+            edge_index, int(data["zone_features"].shape[0])
+        )
     else:
         adj = jnp.asarray(data["adj"])
     rollout = make_decoded_rollout(
         model, config, jnp.asarray(data["zone_features"]), adj,
         jnp.asarray(data["times"]), use_pallas=use_pallas,
         expected_n=n_agents, edge_index=edge_index,
+        edge_chunks=edge_chunks,
     )
     t0 = time.time()
     ids = np.asarray(rollout(
@@ -803,9 +833,9 @@ def build_adjoint_loss_fn_g(model, config, static,
         )
 
     def loss_fn_g(params, pf, hz, targets, graph):
-        zone_feats, adj, times, edge_index = graph
+        zone_feats, adj, times, edge_index, edge_chunks = graph
         zone_emb = model.apply(
-            {"params": params}, zone_feats, adj, edge_index,
+            {"params": params}, zone_feats, adj, edge_index, edge_chunks,
             method=model.encode_zones,
         )
         x0, h = model.apply(

@@ -102,6 +102,17 @@ class EdgeChunks:
         return int(self.dst_tile.shape[0])
 
 
+# registered as a pytree (arrays = children, num_dst/fill = static aux)
+# so an EdgeChunks can thread through jit/scan boundaries as an
+# explicit argument — the same no-closure discipline as edge_index
+jax.tree_util.register_dataclass(
+    EdgeChunks,
+    data_fields=["src_local", "dst_local", "src_tile", "dst_tile",
+                 "first", "order", "rank"],
+    meta_fields=["num_dst", "fill"],
+)
+
+
 def _cuthill_mckee(src, dst, n):
     """Bandwidth-reducing BFS ordering over the undirected edge set
     (numpy CSR + queue sweep). Neighbors visit in degree order; every

@@ -75,13 +75,13 @@ def make_sharded_train_step(model, optimizer, config, mesh, static,
         )
 
     def loss_fn(params, pf, hz, targets, graph):
-        zone_feats, adj, times, edge_index = graph
+        zone_feats, adj, times, edge_index, edge_chunks = graph
         if ring_enc is not None:
             zone_emb = ring_enc(params["zone_gat"], zone_feats, adj)
         else:
             zone_emb = model.apply(
                 {"params": params}, zone_feats, adj, edge_index,
-                method=model.encode_zones,
+                edge_chunks, method=model.encode_zones,
             )
         zone_emb = _constraint(mesh, zone_emb, ZONE_AXIS)
 
@@ -224,12 +224,12 @@ def make_sharded_rollout(model, config, mesh, static):
         out_shardings=agent_sh,
     )
     def rollout_g(params, pf, hz, graph):
-        zone_feats, adj, times, edge_index = graph
+        zone_feats, adj, times, edge_index, edge_chunks = graph
         logits, _ = model.apply(
             {"params": params}, zone_feats, adj, pf, hz, times,
             ode_method=config.method, substeps=config.substeps,
             rtol=config.rtol, atol=config.atol,
-            edge_index=edge_index,
+            edge_index=edge_index, edge_chunks=edge_chunks,
         )
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 

@@ -178,6 +178,64 @@ class TestGatherKernelInterpret:
         assert np.abs(out_e - want).max() / denom < 2e-2
 
 
+class TestModelIntegration:
+    def test_encode_zones_with_chunks_matches_without(self):
+        """GATLayer/ZoneGAT/encode_zones accept edge_chunks and the
+        5-element graph static threads through the trainers — same
+        embeddings as the plain edge-list path (off-TPU both routes
+        reach the XLA composition; the kernel itself is covered
+        above)."""
+        import jax.numpy as jnp
+
+        from ananke_abm_tpu.data_generator.agent_trajectories import (
+            generate_agent_population,
+        )
+        from ananke_abm_tpu.models.gnn_embed.train import (
+            GATODEConfig,
+            _unpack_static,
+            build_model,
+            init_params,
+            make_step_fns,
+        )
+        from ananke_abm_tpu.ops.segment import edges_from_adj
+
+        cfg = GATODEConfig(
+            zone_dim=16, agent_dim=8, context_dim=8, hidden_dim=16,
+            gat_heads=2, gat_layers=1, num_blocks=1, substeps=1,
+        )
+        d = generate_agent_population(32, num_times=4, num_zones=24,
+                                      seed=0)
+        model = build_model(cfg, 7, 8)
+        ei = edges_from_adj(np.asarray(d["adj"]))
+        edge_index = (jnp.asarray(ei[0]), jnp.asarray(ei[1]))
+        params = init_params(model, cfg, d, 32, jax.random.PRNGKey(0),
+                             edge_index=edge_index)
+        ch = build_edge_chunks(edge_index[0], edge_index[1], 24)
+        zf = jnp.asarray(d["zone_features"])
+
+        base = model.apply({"params": params}, zf, None, edge_index,
+                           method=model.encode_zones)
+        with_ch = model.apply({"params": params}, zf, None, edge_index,
+                              ch, method=model.encode_zones)
+        np.testing.assert_allclose(
+            np.asarray(with_ch), np.asarray(base), rtol=1e-5, atol=1e-6
+        )
+
+        # the 5-element static threads through a train step (chunks as
+        # a registered pytree riding the jitted graph argument)
+        import optax
+
+        static5 = (zf, None, jnp.asarray(d["times"]), edge_index, ch)
+        assert _unpack_static(static5)[4] is ch
+        step, _ = make_step_fns(model, optax.sgd(1e-2), cfg, static5)
+        pf = jnp.asarray(d["person_feats"])
+        hz = jnp.asarray(d["home_zone"])
+        tg = jnp.asarray(d["zone_ids"])
+        opt_state = optax.sgd(1e-2).init(params)
+        _, _, loss, _ = step(params, opt_state, pf, hz, tg)
+        assert np.isfinite(float(loss))
+
+
 class TestDifferentiableWrapper:
     def test_value_and_grads_match_composition(self):
         rng = np.random.default_rng(1)
