@@ -148,6 +148,27 @@ def test_pallas_auto_dispatch_skips_blockless_drift():
     assert _pallas_eligible(cfg, expected_n=1 << 20) is False
 
 
+def test_pallas_auto_dispatch_caps_zone_count(monkeypatch):
+    """Round-5 serving-ladder fix: the dense serving kernel holds the
+    (tile, Z) scores in VMEM and Mosaic rejects it at Z=8192 — the auto
+    dispatch must fall back to XLA above the measured Z=2048 cap (and
+    still engage below it). TPU backend faked via monkeypatch; off-TPU
+    the function is always False."""
+    import ananke_abm_tpu.models.gnn_embed.rollout as ro
+
+    class _Dev:
+        platform = "tpu"
+
+    monkeypatch.setattr(ro.jax, "devices", lambda: [_Dev()])
+    cfg = GATODEConfig()  # shipping dims, num_blocks=2
+    assert ro._pallas_eligible(cfg, expected_n=1 << 20,
+                               num_zones=2048) is True
+    assert ro._pallas_eligible(cfg, expected_n=1 << 20,
+                               num_zones=8192) is False
+    # without the zone count (older callers) large-N still engages
+    assert ro._pallas_eligible(cfg, expected_n=1 << 20) is True
+
+
 @pytest.mark.parametrize("num_blocks", [1, 2])
 def test_interval_fused_decode_matches_per_step_kernel(num_blocks):
     """rk4_interval_decode_fused (substeps + decode in one kernel) must
